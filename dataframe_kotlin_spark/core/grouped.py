@@ -1,0 +1,174 @@
+"""Grouping, aggregation, and pivot (SURVEY §2.5, §2.6).
+
+The reference materializes groups as a FrameColumn (api/groupBy.kt:19-56);
+relationally we never do — ``KGroupedFrame`` holds (df, keys) lazily and
+terminal aggregations compile straight to ``groupBy().agg(...)`` so Spark
+runs partial aggregation before the shuffle. Groups only materialize as
+values (collect_list of structs) when the program genuinely uses them as
+data (``values()``, ``map_groups``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class KGroupedFrame:
+    def __init__(self, df: DataFrame, keys: list[Column]):
+        self.df = df
+        self.keys = keys
+
+    def _gdf(self):
+        return self.df.groupBy(*self.keys)
+
+    def _wrap(self, df: DataFrame):
+        from dataframe_kotlin_spark.core.frame import KDataFrame
+
+        return KDataFrame(df)
+
+    # -- terminal aggregations -------------------------------------------
+    def aggregate(self, *aggs: Column) -> "KDataFrame":
+        """Multi-statistic named outputs: agg(expr.alias(name), ...).
+        Reference DSL `stat into "name"`: api/aggregate.kt:14-43."""
+        return self._wrap(self._gdf().agg(*aggs))
+
+    agg = aggregate
+
+    def count(self, pred: Column | None = None, name: str = "n") -> "KDataFrame":
+        """Group size / conditional count (default 0).
+        Reference: api/aggregation/GroupByAggregations.kt:30-31."""
+        e = F.count(F.lit(1)) if pred is None else F.sum(F.when(pred, 1).otherwise(0))
+        return self._wrap(self._gdf().agg(e.alias(name)))
+
+    def sum_for(self, *cols: str) -> "KDataFrame":
+        """Type-preserving sums. Reference: GroupByAggregations.kt:83-89."""
+        return self._wrap(self._gdf().agg(*[F.sum(c).alias(c) for c in cols]))
+
+    def mean_for(self, *cols: str) -> "KDataFrame":
+        return self._wrap(self._gdf().agg(*[F.avg(c).alias(c) for c in cols]))
+
+    def min_for(self, *cols: str) -> "KDataFrame":
+        return self._wrap(self._gdf().agg(*[F.min(c).alias(c) for c in cols]))
+
+    def max_for(self, *cols: str) -> "KDataFrame":
+        return self._wrap(self._gdf().agg(*[F.max(c).alias(c) for c in cols]))
+
+    def std_for(self, *cols: str) -> "KDataFrame":
+        """Sample stddev. NOTE: the reference's std computes
+        sqrt(sum((x-mean)^2)) *without* dividing by n-1 (api/std.kt:58-99,
+        a bug); we implement standard stddev_samp (SURVEY §2.5 flag)."""
+        return self._wrap(self._gdf().agg(*[F.stddev_samp(c).alias(c) for c in cols]))
+
+    def median_for(self, *cols: str) -> "KDataFrame":
+        """Exact median, even count -> mean of middles (matches reference
+        api/median.kt:20-30). percentile() is exact in Spark."""
+        return self._wrap(self._gdf().agg(*[F.percentile(F.col(c), F.lit(0.5)).alias(c) for c in cols]))
+
+    def max_by(self, order_col: str | Column, tiebreak: str | Column | None = None) -> "KDataFrame":
+        """Whole argmax row per group (reference minBy/maxBy,
+        GroupByAggregations.kt:53-77). max_by(struct(*), key) keeps it a
+        single partial-aggregatable pass — no window, no second shuffle.
+        A tiebreak column makes the result deterministic."""
+        return self._arg_extreme(order_col, tiebreak, descending=True)
+
+    def min_by(self, order_col: str | Column, tiebreak: str | Column | None = None) -> "KDataFrame":
+        return self._arg_extreme(order_col, tiebreak, descending=False)
+
+    def _arg_extreme(self, order_col, tiebreak, descending: bool) -> "KDataFrame":
+        oc = F.col(order_col) if isinstance(order_col, str) else order_col
+        if tiebreak is not None:
+            tb = F.col(tiebreak) if isinstance(tiebreak, str) else tiebreak
+            # invert tiebreak under max so ties resolve to smallest tiebreak
+            key = F.struct(oc.alias("k"), (-tb if descending else tb).alias("t"))
+        else:
+            key = oc
+        fn = F.max_by if descending else F.min_by
+        payload = F.struct(*[F.col(c) for c in self.df.columns])
+        row = fn(payload, key).alias("__row__")
+        out = self._gdf().agg(row).select("__row__.*")
+        return self._wrap(out)
+
+    def values(self, *cols: str, sort: bool = True) -> "KDataFrame":
+        """Collect group values into lists. Reference:
+        GroupByAggregations.kt:33-37. Sorted for determinism."""
+        aggs = []
+        for c in cols:
+            e = F.collect_list(c)
+            if sort:
+                e = F.sort_array(e)
+            aggs.append(e.alias(c))
+        return self._wrap(self._gdf().agg(*aggs))
+
+    def top_k(self, k: int, order_by: Sequence[Column], name: str = "rank") -> "KDataFrame":
+        """Top-k rows per group via ranked window (single shuffle)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*self.keys).orderBy(*order_by)
+        return self._wrap(
+            self.df.withColumn(name, F.row_number().over(w)).filter(F.col(name) <= k)
+        )
+
+    def map_groups(self, fn: Callable, schema) -> "KDataFrame":
+        """Arbitrary frame->frame transform per group via applyInPandas
+        (Arrow-batched). Reference mapGroups: GroupedDataFrame.kt:23."""
+        return self._wrap(self._gdf().applyInPandas(fn, schema))
+
+    def pivot(self, pivot_col: str, values: Sequence | None = None) -> "KPivotClause":
+        return KPivotClause(self, pivot_col, values)
+
+    # grouping-set extensions the reference lacks (SURVEY §2.5 last row)
+    def cube(self, *aggs: Column) -> "KDataFrame":
+        return self._wrap(self.df.cube(*self.keys).agg(*aggs))
+
+    def rollup(self, *aggs: Column) -> "KDataFrame":
+        return self._wrap(self.df.rollup(*self.keys).agg(*aggs))
+
+
+class KPivotClause:
+    """groupBy(idx).pivot(col).agg(...) with explicit sorted value list for
+    deterministic column order (SURVEY §3.3). Reference: api/pivot.kt:27-56.
+    """
+
+    def __init__(self, grouped: KGroupedFrame, pivot_col: str, values: Sequence | None):
+        self.grouped = grouped
+        self.pivot_col = pivot_col
+        self.values = values
+
+    def _pivoted(self):
+        vals = self.values
+        if vals is None:
+            vals = [
+                r[0]
+                for r in self.grouped.df.select(self.pivot_col).distinct().collect()
+            ]
+            vals = sorted(v for v in vals if v is not None)
+        return self.grouped.df.groupBy(*self.grouped.keys).pivot(self.pivot_col, list(vals))
+
+    def aggregate(self, *aggs: Column, default=None) -> "KDataFrame":
+        out = self._pivoted().agg(*aggs)
+        if default is not None:
+            out = out.na.fill(default)
+        from dataframe_kotlin_spark.core.frame import KDataFrame
+
+        return KDataFrame(out)
+
+    def count(self, default: int = 0) -> "KDataFrame":
+        return self.aggregate(F.count(F.lit(1)), default=default)
+
+    def sum(self, col: str, default=None) -> "KDataFrame":
+        return self.aggregate(F.sum(col), default=default)
+
+    def matches(self) -> "KDataFrame":
+        """Boolean presence matrix. Reference: GroupedPivotAggregations.kt:36-37."""
+        out = self._pivoted().agg(F.count(F.lit(1)))
+        from dataframe_kotlin_spark.core.frame import KDataFrame
+
+        keys = [c._jc.toString() if hasattr(c, "_jc") else str(c) for c in self.grouped.keys]
+        fixed = [
+            F.col(c) if c in keys else (F.coalesce(F.col(f"`{c}`"), F.lit(0)) > 0).alias(c)
+            for c in out.columns
+        ]
+        return KDataFrame(out.select(*fixed))

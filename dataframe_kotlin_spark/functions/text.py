@@ -1,0 +1,93 @@
+"""Text-analysis Column builders for the training-data pipeline ops
+(SURVEY §7 P6): tokenization, shingling, fingerprinting, quality scoring.
+
+Everything is a pure Column expression (split / transform / aggregate /
+md5) so it runs JVM-side with whole-stage codegen — no Python in the hot
+path. At 100 TB these run as map-only stages fused into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic — real language ID would
+# plug a model UDF into the same column slot.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pas", "pour"],
+}
+
+
+def normalize(col: Column) -> Column:
+    """Lowercase + collapse whitespace: canonical text form."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(normalize(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish approximation = chars/4 is provided
+    separately in queries where needed)."""
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as joined strings -> array<string> (distinct).
+
+    transform over index range keeps it JVM-side: for i in 0..n-k,
+    join(tokens[i:i+k]).
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Character k-gram shingles of the normalized text -> array<string>."""
+    norm = normalize(col)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    sh = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint = md5 of normalized text
+    (content-defined identity for exact dedup)."""
+    return F.md5(normalize(col))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: combines length, punctuation
+    ratio, stopword ratio, and mean word length. Mirrors common LLM-corpus
+    quality filters (C4/Gopher-style rules) as pure expressions."""
+    norm = normalize(col)
+    n_chars = F.length(norm)
+    toks = tokens(col)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    mean_word_len = n_chars / n_tok
+    punct = F.length(F.regexp_replace(norm, r"[^.,;:!?]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    sw_ratio = stopword_ratio(col, "en")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_len_score = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.5)
+    punct_score = F.when(punct_ratio <= 0.1, 1.0).otherwise(0.5)
+    sw_score = F.least(sw_ratio * 5, F.lit(1.0))
+    return (len_score + word_len_score + punct_score + sw_score) / 4

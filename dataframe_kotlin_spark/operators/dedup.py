@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY §7 P6): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- Exact dedup = fingerprint + groupBy: one shuffle on a 128-bit key.
+- MinHash signatures are computed per-row with pure array expressions
+  (transform/array_min over the shingle set) — a map-only stage, NO
+  shuffle, no UDF. At 100 TB this fuses into the parquet scan.
+- LSH banding shuffles once on (band_id, band_hash) — candidate pairs
+  come from within-bucket joins, never an all-pairs cross join.
+- SimHash: per-row bit aggregation, map-only; near-dup = hamming
+  distance on 64-bit ints (XOR + bit_count), cheap to band as well.
+
+Hash function: h(s) = first 5 hex chars of md5(s) as int (20 bits),
+then universal-hash family (a_k*h + b_k) mod P, P = 1048583 (prime >
+2^20). a_k*h < 2^41 so everything stays in int64 — deliberately chosen
+so the DuckDB oracle can reproduce it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.functions.text import normalize, tokens, word_shingles
+
+MINHASH_P = 1048583  # smallest prime > 2^20
+
+
+def hash20(col: Column) -> Column:
+    """Deterministic 20-bit string hash reproducible in ANSI SQL:
+    int(md5(s)[0:5], 16)."""
+    return F.conv(F.substring(F.md5(col), 1, 5), 16, 10).cast("bigint")
+
+
+def _ab(k: int) -> tuple[int, int]:
+    # fixed affine family; mirrored literally in oracle SQL
+    return 2 * k + 3, 5 * k + 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-identity dedup: md5 fingerprint of normalized text,
+    keep the smallest id per fingerprint. One shuffle, partial-agg."""
+    fp = F.md5(normalize(F.col(text_col)))
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_words: int = 1,
+    out_prefix: str = "mh",
+) -> DataFrame:
+    """Append num_hashes minhash columns computed from the word-shingle set.
+
+    Map-only: shingle array -> for each hash k, min over shingles of
+    (a_k*h+b_k) mod P. Empty shingle sets get sentinel P (no shingle can
+    reach it)."""
+    sh = (
+        F.array_distinct(tokens(F.col(text_col)))
+        if shingle_words == 1
+        else word_shingles(F.col(text_col), shingle_words)
+    )
+    out = df.withColumn("__sh__", sh)
+    for k in range(num_hashes):
+        a, b = _ab(k)
+        mh = F.array_min(
+            F.transform(F.col("__sh__"), lambda s: (hash20(s) * a + b) % MINHASH_P)
+        )
+        out = out.withColumn(f"{out_prefix}{k}", F.coalesce(mh, F.lit(MINHASH_P)))
+    return out.drop("__sh__")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_words: int = 1,
+) -> DataFrame:
+    """MinHash-LSH: band the signature, bucket-join within bands.
+
+    Returns candidate pairs (id_a < id_b) that share >= 1 band. The only
+    shuffles are the groupBy on (band, band_key) — never an all-pairs
+    join. rows_per_band = num_hashes // bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, num_hashes, shingle_words)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]
+        band_cols.append(F.concat_ws("_", *[p.cast("string") for p in parts]).alias(f"band{b}"))
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band_id", "bk.band_key")
+    left = stacked.withColumnRenamed(id_col, "id_a")
+    right = stacked.withColumnRenamed(id_col, "id_b")
+    pairs = (
+        left.join(right, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:
+    """SimHash over the word set: bit j of the signature is the sign of
+    sum over words of (+1 if bit j of h(word) else -1). Map-only."""
+    words = F.array_distinct(tokens(F.col(text_col)))
+    out = df.withColumn("__w__", words)
+    acc = F.lit(0).cast("bigint")
+    for j in range(bits):
+        contrib = F.aggregate(
+            F.col("__w__"),
+            F.lit(0).cast("bigint"),
+            lambda s, w: s
+            + F.when((F.floor(hash20(w) / (2**j)) % 2) == 1, 1).otherwise(-1),
+        )
+        acc = acc + F.when(contrib > 0, F.lit(2**j)).otherwise(0)
+    return out.withColumn(out_col, acc).drop("__w__")
+
+
+def hamming_pairs(df: DataFrame, id_col: str, sim_col: str, max_dist: int, block_bits: int = 8) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_dist, blocked on
+    the low bits of the signature (pigeonhole: identical low byte) to
+    avoid the cross join. For a full multi-probe scheme increase blocks."""
+    blocked = df.select(
+        F.col(id_col), F.col(sim_col), (F.col(sim_col) % (2**block_bits)).alias("__blk__")
+    )
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"), "__blk__"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"), "__blk__"
+    )
+    pairs = (
+        a.join(b, "__blk__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    threshold: float,
+) -> DataFrame:
+    """Word-set Jaccard similarity for pairs within the same block
+    (blocking keeps the join from being all-pairs; at scale block on
+    LSH buckets from lsh_candidate_pairs instead)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], toks.alias("__t__"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), *block_cols, F.col("__t__").alias("__ta__")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), *block_cols, F.col("__t__").alias("__tb__")
+    )
+    inter = F.size(F.array_intersect(F.col("__ta__"), F.col("__tb__")))
+    un = F.size(F.array_union(F.col("__ta__"), F.col("__tb__")))
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / un)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (SURVEY §7 P6).
+
+- Brute-force cosine top-k: broadcast the (small) query set, compute
+  dot products with zip_with/aggregate expressions (JVM-side, no UDF),
+  rank per query. The corpus side streams — never collected.
+- IVF-style partitioned search: restrict candidates to the same coarse
+  cell (here the `label` column stands in for a learned centroid
+  assignment), cutting the candidate set by the number of cells. At
+  scale the cell id comes from a centroid-assignment pass and the table
+  is partitioned/bucketed by cell so probes touch one partition each.
+- LSH variant (random hyperplanes) in dedup.simhash style is available
+  through sign-bit bucketing of projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, JVM-side: sum(zip_with(a,b,*))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is small -> broadcast nested-loop join (no shuffle of the
+    corpus); ranking is a window per query id. Excludes self-matches.
+    Returns (query_id, neighbor_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv__")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv__")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("__cv__"), F.col("__qv__")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: candidates restricted to the query's coarse cell.
+
+    The equi-join on cell_col replaces the cross join — at 1000 cells
+    this is ~1000x less work than brute force, and the shuffle keys on
+    the cell id. nprobe>1 = pre-expanding queries to their nearest cells.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(cell_col).alias("__cell__"),
+        as_double(F.col(vec_col)).alias("__qv__"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("__cell__"),
+        as_double(F.col(vec_col)).alias("__cv__"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell__")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("__cv__"), F.col("__qv__")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("__cell__").alias("cell"), "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 8, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign bits of projections
+    onto n_planes pseudo-random hyperplanes). Deterministic hyperplanes
+    from a hash of (seed, plane, dim index) so the operator needs no
+    driver-side randomness and replays identically on any cluster."""
+    import math
+
+    bucket = F.lit(0).cast("bigint")
+    vec = as_double(F.col(vec_col))
+    for p in range(n_planes):
+        # deterministic pseudo-random +-1 plane from md5 parity
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x
+                * F.when(
+                    F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.lit(p), i)), 1, 4), 16, 10)
+                    .cast("bigint")
+                    % 2
+                    == 1,
+                    1.0,
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(0)
+    return df.withColumn("lsh_bucket", bucket)

@@ -1,0 +1,67 @@
+"""Text-analysis pipeline operators (SURVEY §7 P6): language ID, quality
+scoring, token statistics, fingerprinting. All pure Column expressions —
+map-only stages that fuse into the scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    normalize,
+    quality_score,
+    tokens,
+)
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-overlap language ID: argmax over per-language stopword hit
+    counts; 'und' (undetermined) when nothing matches. The real-model
+    version plugs a pandas_udf into the same column slot."""
+    toks = F.array_distinct(tokens(text))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.array_intersect(toks, sw))
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def text_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Append token/char statistics: n_tokens (whitespace), n_chars_norm,
+    approx_bpe_tokens (chars/4 heuristic), mean_word_len."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(normalize(t))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("bigint"))
+        .withColumn("n_chars_norm", n_chars.cast("bigint"))
+        .withColumn("approx_bpe_tokens", F.ceil(n_chars / 4).cast("bigint"))
+        .withColumn(
+            "mean_word_len",
+            # +1e-9 nudges exact .xxxx5 ratios off the rounding boundary,
+            # where Spark (shortest-repr) and SQL engines (binary) disagree
+            F.round((n_chars - (n_tok - 1)) / F.greatest(n_tok, F.lit(1)) + 1e-9, 4),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint (md5 of normalized text) + a 64-bit rolling-hash
+    style short id (first 15 hex digits as bigint) for cheap joins."""
+    fp = doc_fingerprint(F.col(text_col))
+    return df.withColumn(out_col, fp).withColumn(
+        f"{out_col}_id", F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint")
+    )
+
+
+def score_quality(df: DataFrame, text_col: str, out_col: str = "quality") -> DataFrame:
+    # +1e-9: see text_stats — keeps exact-quarter scores off round boundaries
+    return df.withColumn(out_col, F.round(quality_score(F.col(text_col)) + 1e-9, 4))

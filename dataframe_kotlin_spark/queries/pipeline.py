@@ -1,0 +1,336 @@
+"""Training-data pipeline queries (SURVEY §7 P6): dedup, similarity
+search, text analysis, multimodal plumbing — over documents/embeddings.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.core.frame import KDataFrame
+from dataframe_kotlin_spark.operators import dedup, multimodal, similarity, textpipe
+from dataframe_kotlin_spark.queries import query
+
+
+def _t(spark, sf_dir: str, name: str):
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# -- deduplication ---------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_dupes
+    FROM documents GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup by content fingerprint (operators/dedup.exact_dedup)."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_MH_ORACLE_TERMS = ",\n".join(
+    f"""           list_min(list_transform(toks,
+               w -> ({2 * k + 3} * (('0x'||substr(md5(w),1,5))::BIGINT) + {5 * k + 1}) % 1048583)) AS mh{k}"""
+    for k in range(8)
+)
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+{_MH_ORACLE_TERMS}
+    FROM tok
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    """8-function MinHash signature per document (operators/dedup.
+    minhash_signature) — map-only, reproduced bit-for-bit by the oracle."""
+    sig = dedup.minhash_signature(_t(spark, sf_dir, "documents"), "text", num_hashes=8)
+    return sig.select("doc_id", *[f"mh{k}" for k in range(8)])
+
+
+@query(
+    "lsh_candidate_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+{_MH_ORACLE_TERMS}
+      FROM tok
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, CONCAT(mh0, '_', mh1) AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1, CONCAT(mh2, '_', mh3) FROM sig
+      UNION ALL SELECT doc_id, 2, CONCAT(mh4, '_', mh5) FROM sig
+      UNION ALL SELECT doc_id, 3, CONCAT(mh6, '_', mh7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: 4 bands x 2 rows (operators/dedup.
+    lsh_candidate_pairs). Shuffle only on band buckets, no all-pairs join."""
+    return dedup.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, bands=4
+    )
+
+
+_SIMHASH_BITS = 12
+_SIMHASH_ORACLE = " + ".join(
+    f"""CASE WHEN list_sum(list_transform(toks,
+        w -> CASE WHEN ((('0x'||substr(md5(w),1,5))::BIGINT // {2**j}) % 2) = 1 THEN 1 ELSE -1 END)) > 0
+        THEN {2**j} ELSE 0 END"""
+    for j in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "simhash_values",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST({_SIMHASH_ORACLE} AS BIGINT) AS simhash
+    FROM tok
+    """,
+)
+def simhash_values(spark, sf_dir):
+    """12-bit SimHash per document (operators/dedup.simhash)."""
+    out = dedup.simhash(_t(spark, sf_dir, "documents"), "text", bits=_SIMHASH_BITS)
+    return out.select("doc_id", "simhash")
+
+
+@query(
+    "jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+    FROM tok a JOIN tok b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          len(list_distinct(a.toks || b.toks)) >= 0.5
+    """,
+)
+def jaccard_pairs(spark, sf_dir):
+    """Word-set Jaccard near-dup pairs, blocked on (lang, source)
+    (operators/dedup.jaccard_pairs)."""
+    out = dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_cols=["lang", "source"],
+        threshold=0.5,
+    )
+    return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+
+
+# -- similarity search -----------------------------------------------------
+@query(
+    "ann_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for probe vectors (operators/similarity.
+    cosine_topk): broadcast queries, stream corpus, window rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.cosine_topk(emb, probes, k=5)
+    return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), 6))
+
+
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, e.label AS cell, e.vec_id AS neighbor_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv, q.qv))) AS sim
+      FROM embeddings e JOIN q ON e.label = q.label
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, cell, neighbor_id, ROUND(sim, 6) AS cosine_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: search only the query's coarse cell (label column as
+    centroid assignment) — operators/similarity.ivf_topk."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.ivf_topk(emb, probes, cell_col="label", k=3)
+    return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), 6))
+
+
+# -- text analysis ---------------------------------------------------------
+@query(
+    "text_stats",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(t) AS BIGINT) AS n_chars_norm,
+           CAST(CEIL(length(t) / 4.0) AS BIGINT) AS approx_bpe_tokens,
+           ROUND((length(t) - (len(string_split(t, ' ')) - 1)) * 1.0 /
+                 GREATEST(len(string_split(t, ' ')), 1) + 1e-9, 4) AS mean_word_len
+    FROM norm
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token counting + char stats (operators/textpipe.text_stats)."""
+    out = textpipe.text_stats(_t(spark, sf_dir, "documents"), "text")
+    return out.select("doc_id", "n_tokens", "n_chars_norm", "approx_bpe_tokens", "mean_word_len")
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+           ('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15))::BIGINT
+             AS fingerprint_id
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting (operators/textpipe.fingerprint): md5 +
+    64-bit short id."""
+    out = textpipe.fingerprint(_t(spark, sf_dir, "documents"), "text")
+    return out.select("doc_id", "fingerprint", "fingerprint_id")
+
+
+@query(
+    "language_id",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+        len(list_intersect(toks, ['the','and','of','to','a','in','is','it'])) AS s_en,
+        len(list_intersect(toks, ['der','die','das','und','ist','ein','nicht','mit'])) AS s_de,
+        len(list_intersect(toks, ['el','la','de','que','y','en','un','es'])) AS s_es,
+        len(list_intersect(toks, ['le','la','de','et','un','est','pas','pour'])) AS s_fr
+      FROM tok
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE
+             WHEN s_fr > GREATEST(s_en, s_de, s_es, 0) THEN 'fr'
+             WHEN s_es > GREATEST(s_en, s_de, 0) THEN 'es'
+             WHEN s_de > GREATEST(s_en, 0) THEN 'de'
+             WHEN s_en > 0 THEN 'en'
+             ELSE 'und'
+           END AS pred_lang
+    FROM scores
+    """,
+)
+def language_id(spark, sf_dir):
+    """Stopword-overlap language ID (operators/textpipe.detect_language).
+    Later languages win ties in iteration order en<de<es<fr — mirrored in
+    the oracle's CASE ladder."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        textpipe.detect_language(F.col("text")).alias("pred_lang"),
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column -> mapInPandas feature
+    extraction (operators/multimodal.extract_features, stub decode).
+    The oracle independently checks the byte-length feature; checksum and
+    feature vector are covered by unit tests."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = multimodal.text_as_media(docs, "doc_id", "text")
+    feats = multimodal.extract_features(media, decode_stub=True)
+    return feats.select("media_id", "byte_len")
+
+
+@query(
+    "quality_filter",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             length(t) AS n_chars,
+             GREATEST(len(string_split(t, ' ')), 1) AS n_tok,
+             length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS punct,
+             len(list_filter(string_split(t, ' '),
+                 w -> list_contains(['the','and','of','to','a','in','is','it'], w))) AS sw
+      FROM norm
+    )
+    SELECT doc_id, lang,
+           ROUND((LEAST(n_chars / 500.0, 1.0) +
+                  CASE WHEN n_chars * 1.0 / n_tok BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END +
+                  CASE WHEN punct * 1.0 / GREATEST(n_chars, 1) <= 0.1 THEN 1.0 ELSE 0.5 END +
+                  LEAST(sw * 5.0 / n_tok, 1.0)) / 4 + 1e-9, 4) AS quality
+    FROM feat
+    """,
+)
+def quality_filter(spark, sf_dir):
+    """Heuristic quality scoring (operators/textpipe.score_quality,
+    C4/Gopher-style length+punct+stopword rules)."""
+    out = textpipe.score_quality(_t(spark, sf_dir, "documents"), "text")
+    return out.select("doc_id", "lang", "quality")

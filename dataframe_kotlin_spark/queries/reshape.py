@@ -1,0 +1,278 @@
+"""Pivot / gather / explode / split / merge queries (SURVEY §2.6, §2.9)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.core.frame import KDataFrame
+from dataframe_kotlin_spark.queries import query
+
+
+def _t(spark, sf_dir: str, name: str) -> KDataFrame:
+    if name == "events":
+        from dataframe_kotlin_spark.session import load_events
+
+        return KDataFrame(load_events(spark, sf_dir))
+    return KDataFrame(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+@query(
+    "pivot_counts",
+    oracle="""
+    SELECT l_returnflag,
+           COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS F,
+           COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_counts(spark, sf_dir):
+    """pivot(col).count() with explicit sorted value list for deterministic
+    column order + default fill (api/pivot.kt:27-56, countBy docs
+    reference.md:1149-1161)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.group_by("l_returnflag").pivot("l_linestatus", ["F", "O"]).count(default=0).df
+
+
+@query(
+    "pivot_sum_segments",
+    oracle="""
+    SELECT c_nationkey,
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 0), 2) AS AUTOMOBILE,
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'BUILDING'   THEN c_acctbal END), 0), 2) AS BUILDING,
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'FURNITURE'  THEN c_acctbal END), 0), 2) AS FURNITURE,
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN c_acctbal END), 0), 2) AS HOUSEHOLD,
+           ROUND(COALESCE(SUM(CASE WHEN c_mktsegment = 'MACHINERY'  THEN c_acctbal END), 0), 2) AS MACHINERY
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def pivot_sum_segments(spark, sf_dir):
+    """pivot with value aggregation + default (PivotAggregations.kt:24-94).
+    Explicit value list -> single-pass pivot, no distinct-scan job."""
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    c = _t(spark, sf_dir, "customer")
+    out = c.group_by("c_nationkey").pivot("c_mktsegment", segs).aggregate(F.sum("c_acctbal"))
+    fixed = [F.round(F.coalesce(F.col(f"`{s}`"), F.lit(0.0)), 2).alias(s) for s in segs]
+    return out.df.select("c_nationkey", *fixed)
+
+
+@query(
+    "pivot_matches",
+    oracle="""
+    SELECT n_nationkey,
+           CASE WHEN SUM(CASE WHEN c_mktsegment = 'BUILDING'  THEN 1 ELSE 0 END) > 0 THEN TRUE ELSE FALSE END AS has_building,
+           CASE WHEN SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) > 0 THEN TRUE ELSE FALSE END AS has_machinery
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def pivot_matches(spark, sf_dir):
+    """pivot.matches() boolean presence matrix
+    (GroupedPivotAggregations.kt:36-37)."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey"))
+    c = _t(spark, sf_dir, "customer").rename({"c_nationkey": "n_nationkey"})
+    joined = n.left_join(c, on=["n_nationkey"])
+    return (
+        joined.group_by("n_nationkey")
+        .aggregate(
+            (F.sum(F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)) > 0).alias("has_building"),
+            (F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)) > 0).alias("has_machinery"),
+        )
+        .df
+    )
+
+
+@query(
+    "gather_melt",
+    oracle="""
+    SELECT l_returnflag, metric, ROUND(val, 2) AS val FROM (
+      SELECT l_returnflag, 'qty' AS metric, SUM(l_quantity) AS val FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, 'tax' AS metric, SUM(l_tax) AS val FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, 'disc' AS metric, SUM(l_discount) AS val FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def gather_melt(spark, sf_dir):
+    """gather (wide->long unpivot, api/gather.kt:13-117) over an aggregated
+    wide frame, via Spark's native melt."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.group_by("l_returnflag").aggregate(
+        F.sum("l_quantity").alias("qty"),
+        F.sum("l_tax").alias("tax"),
+        F.sum("l_discount").alias("disc"),
+    )
+    return (
+        wide.gather(["qty", "tax", "disc"], key_name="metric", value_name="val")
+        .add("val", F.round(F.col("val"), 2))
+        .df
+    )
+
+
+@query(
+    "explode_embeddings",
+    oracle="""
+    SELECT vec_id, label, ROUND(CAST(u.val AS DOUBLE), 6) AS component
+    FROM (SELECT vec_id, label, UNNEST(embedding) AS val FROM embeddings
+          WHERE vec_id % 20 = 0) u
+    """,
+)
+def explode_embeddings(spark, sf_dir):
+    """explode of an array column (api/explode.kt:23-108). Multiset compare
+    makes position irrelevant; values rounded as double on both sides."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.filter(F.col("vec_id") % 20 == 0)
+        .select("vec_id", "label", F.col("embedding").alias("component"))
+        .explode("component")
+        .add("component", F.round(F.col("component").cast("double"), 6))
+        .df
+    )
+
+
+@query(
+    "split_tokens",
+    oracle="""
+    SELECT doc_id,
+           SPLIT_PART(text, ' ', 1) AS tok1,
+           SPLIT_PART(text, ' ', 2) AS tok2,
+           LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+    FROM documents
+    """,
+)
+def split_tokens(spark, sf_dir):
+    """split(col).by(' ').into(...) horizontal split (api/split.kt:11-114)
+    + token count."""
+    d = _t(spark, sf_dir, "documents")
+    parts = F.split(F.col("text"), " ")
+    return (
+        d.add("tok1", parts.getItem(0))
+        .add("tok2", parts.getItem(1))
+        .add("n_tokens", F.size(parts).cast("bigint"))
+        .select("doc_id", "tok1", "tok2", "n_tokens")
+        .df
+    )
+
+
+@query(
+    "split_into_rows",
+    oracle="""
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+    FROM documents WHERE doc_id % 25 = 0
+    """,
+)
+def split_into_rows(spark, sf_dir):
+    """split(...).intoRows() = explode(split(...)) (api/split.kt:116)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 25 == 0).select("doc_id", F.col("text").alias("word")).df.withColumn(
+        "word", F.explode(F.split(F.col("word"), " "))
+    )
+
+
+@query(
+    "merge_cols_concat",
+    oracle="""
+    SELECT s_suppkey,
+           CONCAT_WS('|', s_name, CAST(s_nationkey AS VARCHAR)) AS supplier_tag
+    FROM supplier
+    """,
+)
+def merge_cols_concat(spark, sf_dir):
+    """merge(cols).by(sep).into(name) -> concat_ws (api/merge.kt:5-21)."""
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.add("nat", F.col("s_nationkey").cast("string"))
+        .merge_cols(["s_name", "nat"], into="supplier_tag", sep="|")
+        .select("s_suppkey", "supplier_tag")
+        .df
+    )
+
+
+@query(
+    "merge_rows_lists",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           LIST_SORT(LIST(DISTINCT CAST(o_orderkey % 97 AS BIGINT))) AS key_mods
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def merge_rows_lists(spark, sf_dir):
+    """mergeRows: collapse a column into list cells per group, sorted for
+    determinism (api/mergeRows.kt:13-33)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", (F.col("o_orderkey") % 97).alias("key_mods"))
+        .df.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.sort_array(F.array_distinct(F.collect_list("key_mods"))).alias("key_mods"))
+    )
+
+
+@query(
+    "struct_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS status, ROUND(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def struct_roundtrip(spark, sf_dir):
+    """Column-tree ops: group(cols).into(struct) then ungroup + flatten back
+    (api/group.kt:10-18, api/ungroup.kt:11-15, api/flatten.kt:9-31).
+    Output is flat so the oracle sees the same relation."""
+    o = _t(spark, sf_dir, "orders")
+    nested = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .group_cols(["status", "price"], into="info")
+    )
+    assert "info" in nested.columns and len(nested.columns) == 2
+    return nested.ungroup_col("info").df
+
+
+@query(
+    "flatten_nested",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus AS meta_status, o_orderdate AS meta_date,
+           ROUND(o_totalprice, 2) AS fin_price
+    FROM orders WHERE o_orderstatus <> 'O'
+    """,
+)
+def flatten_nested(spark, sf_dir):
+    """flatten(sep) over a two-level struct tree (api/flatten.kt:9-31)."""
+    o = _t(spark, sf_dir, "orders")
+    nested = (
+        o.filter(F.col("o_orderstatus") != "O")
+        .select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_orderdate").alias("date"),
+            ).alias("meta"),
+            F.struct(F.round("o_totalprice", 2).alias("price")).alias("fin"),
+        )
+    )
+    return nested.flatten(sep="_").df
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INT) AS k_val
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def json_props_extract(spark, sf_dir):
+    """JSON column normalization (reference readJson nested-object handling,
+    io/json.kt:27-131) -> JSON path extraction on a string column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .add("k_val", F.get_json_object(F.col("props"), "$.k").cast("int"))
+        .select("event_id", "k_val")
+        .df
+    )

