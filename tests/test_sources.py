@@ -1,0 +1,133 @@
+"""CSV/JSON/guess/builders — mirrors reference io tests (CsvTests,
+ReadTests, ParserTests, TypeInferenceTest) incl. the messy testCSV fixture
+(FIXTURES.md §5)."""
+
+import os
+import textwrap
+
+import pytest
+
+from dataframe_kotlin_spark.sources import (
+    append_rows,
+    dataframe_of,
+    from_map,
+    read,
+    read_csv,
+    read_json,
+    to_map,
+    write_csv,
+)
+
+MESSY_CSV = textwrap.dedent(
+    """\
+    user_id,name,duplicate,username,duplicate,double,number,time,empty
+    1,Alice,a,al,x,1203,1.5,2020-01-01 10:00:00,null
+    2,Bob,NA,bo,y,N/A,2.5,2020-01-02 11:30:00,null
+    3,Cara,,ca,z,01.01,3.0,2020-01-03 12:45:00,null
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def messy_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("csv") / "test.csv"
+    p.write_text(MESSY_CSV)
+    return str(p)
+
+
+def test_csv_duplicate_headers_deduped(spark, messy_path):
+    df = read_csv(spark, messy_path)
+    assert df.columns == [
+        "user_id", "name", "duplicate", "username", "duplicate_1",
+        "double", "number", "time", "empty",
+    ]
+
+
+def test_csv_null_strings_normalized(spark, messy_path):
+    df = read_csv(spark, messy_path)
+    rows = {r["user_id"]: r for r in df.collect()}
+    assert rows[2]["duplicate"] is None  # "NA"
+    assert rows[3]["duplicate"] is None  # ""
+    assert rows[2]["double"] is None  # "N/A"
+
+
+def test_csv_type_inference_cascade(spark, messy_path):
+    df = read_csv(spark, messy_path)
+    t = dict(df.dtypes)
+    assert t["user_id"] == "int"
+    assert t["number"] == "double"
+    assert t["time"] == "timestamp_ntz"
+    # mixed "1203"/"01.01" after null-strip -> stays string (reference §5)
+    assert t["double"] == "string"
+    # all-null column stays string
+    assert t["empty"] == "string"
+
+
+def test_csv_read_lines_limit(spark, messy_path):
+    df = read_csv(spark, messy_path, read_lines=2)
+    assert df.count() == 2
+
+
+def test_csv_skip_lines(spark, tmp_path):
+    p = tmp_path / "skip.csv"
+    p.write_text("garbage line\nanother\na,b\n1,2\n3,4\n")
+    df = read_csv(spark, str(p), skip_lines=2)
+    assert df.columns == ["a", "b"]
+    assert df.count() == 2
+
+
+def test_csv_explicit_col_types(spark, messy_path):
+    df = read_csv(spark, messy_path, col_types={"user_id": "string"})
+    assert dict(df.dtypes)["user_id"] == "string"
+
+
+def test_csv_roundtrip(spark, tmp_path, person):
+    out = str(tmp_path / "person_csv")
+    write_csv(person.df, out)
+    back = read_csv(spark, out + "/*.csv")
+    assert back.count() == 7
+    assert dict(back.dtypes)["age"] == "int"
+
+
+def test_json_nested_structs(spark, tmp_path):
+    p = tmp_path / "nested.json"
+    p.write_text(
+        '[{"name": "A", "info": {"city": "X", "zip": 1}, "tags": ["a","b"], '
+        '"orders": [{"id": 1}, {"id": 2}]}]'
+    )
+    df = read_json(spark, str(p))
+    t = dict(df.dtypes)
+    assert t["info"].startswith("struct")  # ColumnGroup
+    assert t["tags"] == "array<string>"  # Many
+    assert t["orders"].startswith("array<struct")  # FrameColumn
+    r = df.collect()[0]
+    assert r["info"]["city"] == "X"
+    assert [o["id"] for o in r["orders"]] == [1, 2]
+
+
+def test_guess_dispatch(spark, tmp_path, messy_path):
+    assert read(spark, messy_path).count() == 3
+    p = tmp_path / "d.json"
+    p.write_text('[{"a": 1}, {"a": 2}]')
+    assert read(spark, str(p)).count() == 2
+
+
+def test_dataframe_of(spark):
+    df = dataframe_of(spark, ["name", "age"], "Alice", 15, "Bob", 45)
+    assert df.columns == ["name", "age"]
+    assert df.count() == 2
+    with pytest.raises(ValueError):
+        dataframe_of(spark, ["a", "b"], 1, 2, 3)
+
+
+def test_from_map_and_to_map(spark):
+    df = from_map(spark, {"x": [1, 2], "y": ["a", "b"]})
+    assert to_map(df) == {"x": [1, 2], "y": ["a", "b"]}
+    with pytest.raises(ValueError):
+        from_map(spark, {"x": [1], "y": [1, 2]})
+
+
+def test_append_rows(person):
+    out = append_rows(person.df, ("Zoe", 99, "Oslo", 70))
+    assert out.count() == 8
+    assert out.schema == person.df.schema
