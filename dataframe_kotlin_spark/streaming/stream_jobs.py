@@ -1,0 +1,248 @@
+"""Structured Streaming entry points over the events stream.
+
+The reference has no streaming (SURVEY §2.11) — these are the scale-out
+extensions planned in SURVEY §7 P6. Design notes for cluster scale:
+
+- File-source ``readStream`` with an explicit schema (never
+  ``inferSchema`` on a stream): schema inference would stall the driver
+  listing files at 100 TB.
+- Every aggregation carries a watermark so state is bounded: without it
+  a windowed agg's state store grows forever. Watermark delay is a
+  parameter, not a constant, because event-time skew is workload-specific.
+- Window aggs use the built-in ``F.window`` / ``F.session_window``
+  (JVM-side, incremental, RocksDB-spillable state). The custom stateful
+  path (``sessionize_stateful``) uses ``applyInPandasWithState`` — the
+  Arrow-batched state API — and exists for session semantics the built-in
+  can't express (e.g. per-session value caps).
+- The same logical transformations run in batch through
+  ``streaming/windows.py``; tests assert batch == streaming on the same
+  input (Spark's unified model).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit source schema — matches the driver's events.parquet with
+# spark.sql.legacy.parquet.nanosAsLong=true (TIMESTAMP(NANOS) → bigint).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events with ts normalized to TIMESTAMP.
+
+    ``path`` is a directory (or glob) of parquet files. At scale, set
+    ``max_files_per_trigger`` to bound micro-batch size; the source tracks
+    processed files in the checkpoint, so reprocessing is exactly-once.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(path)
+    # integer div: double math loses precision on ~1.7e18 ns values
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(
+    events: DataFrame, width_seconds: int, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Windowed count/sum per event_type. State pruned by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{width_seconds} seconds"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_stream(
+    events: DataFrame,
+    width_seconds: int,
+    slide_seconds: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Overlapping windows; fan-out = width/slide copies per event."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{width_seconds} seconds", f"{slide_seconds} seconds"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_stream(
+    events: DataFrame, gap_seconds: int, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Built-in session windows (inactivity gap) per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{gap_seconds} seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState sessionization.
+# Demonstrates the Arrow-batched arbitrary-state API for semantics
+# session_window can't express (here: emit per-session event-value sum with
+# a hard cap on session length in events).
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _session_fn_factory(gap_seconds: int, max_events: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter: Iterator, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [round(total, 2)],
+                }
+            )
+            return
+
+        rows = []
+        start_us, last_us, n, total = state.get if state.exists else (None, None, 0, 0.0)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                closes = last_us is not None and (
+                    ts_us - last_us > gap_us or n >= max_events
+                )
+                if closes:
+                    rows.append((user_id, start_us, last_us, n, total))
+                    start_us, last_us, n, total = None, None, 0, 0.0
+                if start_us is None:
+                    start_us = ts_us
+                last_us, n, total = ts_us, n + 1, total + (value or 0.0)
+        if start_us is not None:
+            state.update((start_us, last_us, n, total))
+            state.setTimeoutDuration(gap_seconds * 1000)
+        if rows:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                    "n_events": [r[3] for r in rows],
+                    "sum_value": [round(r[4], 2) for r in rows],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int,
+    max_events: int = 1_000_000,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState.
+
+    Differs from ``session_stream`` by the ``max_events`` cap: a session
+    also closes after N events (built-in session_window cannot do this).
+    State is one small tuple per open session per user — bounded by the
+    active-user cardinality, pruned by processing-time timeout.
+    """
+    ev = events.withWatermark("ts", watermark)
+    return ev.select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _session_fn_factory(gap_seconds, max_events),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain a bounded stream into an in-memory table (tests / smoke).
+
+    Uses availableNow so the query processes every currently-available
+    file then stops — the batch-parity harness. In append mode only
+    watermark-closed windows are emitted (Spark runs a no-data microbatch
+    at the end to flush state once the watermark advances). Production
+    sinks would be ``format("parquet").partitionBy(...)`` or a Kafka sink
+    with ``trigger(processingTime=...)``.
+    """
+    (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, table_name))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )

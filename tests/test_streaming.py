@@ -1,0 +1,156 @@
+"""Structured Streaming jobs: batch-parity under the unified model.
+
+The reference has no streaming (SURVEY §2.11); these cover the scale-out
+extensions in streaming/stream_jobs.py. Each test runs a bounded
+availableNow stream to a memory sink and asserts equality with the same
+logical computation in batch mode.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.session import load_events
+from dataframe_kotlin_spark.streaming import stream_jobs as sj
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_src(tmp_path_factory):
+    # file-source streams need a directory, not a single parquet file
+    d = tmp_path_factory.mktemp("events_src")
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), d)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("ckpt"))
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    return load_events(spark, SF_DIR).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_tumbling_stream_matches_batch(spark, stream_src, ckpt, batch_events):
+    stream = sj.tumbling_stream(
+        sj.read_event_stream(spark, stream_src), 3600, watermark="0 seconds"
+    )
+    sj.run_to_memory(stream, "t_tumbling", ckpt)
+    got = spark.table("t_tumbling")
+
+    # append mode emits exactly the watermark-closed windows (end <= max ts)
+    maxts = batch_events.agg(F.max("ts")).first()[0]
+    exp = (
+        batch_events.groupBy(F.window("ts", "3600 seconds"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .filter(F.col("window.end") <= F.lit(maxts))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_session_stream_matches_batch(spark, stream_src, ckpt, batch_events):
+    stream = sj.session_stream(
+        sj.read_event_stream(spark, stream_src), gap_seconds=1800, watermark="0 seconds"
+    )
+    sj.run_to_memory(stream, "t_session", ckpt)
+    got = spark.table("t_session")
+
+    maxts = batch_events.agg(F.max("ts")).first()[0]
+    exp = (
+        batch_events.groupBy(F.session_window("ts", "1800 seconds"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .filter(F.col("session_window.end") <= F.lit(maxts))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(
+    spark, stream_src, ckpt, batch_events
+):
+    """applyInPandasWithState sessions == batch gaps-and-islands sessions,
+    excluding each user's final session (still open when the bounded
+    stream ends; would flush on processing-time timeout in production)."""
+    stream = sj.sessionize_stateful(
+        sj.read_event_stream(spark, stream_src), gap_seconds=1800
+    )
+    sj.run_to_memory(stream, "t_stateful", ckpt)
+    got = spark.table("t_stateful")
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_micros(F.col("ts"))
+    new_s = F.when(
+        F.lag(epoch).over(w).isNull() | ((epoch - F.lag(epoch).over(w)) > 1800 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = (
+        batch_events.withColumn("__new__", new_s)
+        .withColumn(
+            "sid",
+            F.sum("__new__").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    last_sid = sessions.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    exp = sessions.join(last_sid, ["user_id", "sid"], "left_anti").drop("sid")
+
+    assert got.count() == exp.count() > 0
+    assert (
+        got.exceptAll(exp.select(*got.columns)).count() == 0
+        and exp.select(*got.columns).exceptAll(got).count() == 0
+    )
+
+
+def test_multibatch_incremental(spark, ckpt, batch_events, tmp_path_factory):
+    """Files arriving across micro-batches produce the same result as one
+    batch (exactly-once file tracking + incremental state)."""
+    src = tmp_path_factory.mktemp("events_chunks")
+    # split the events into 3 time-ordered parquet files
+    chunks = batch_events.withColumn(
+        "part", F.ntile(3).over(Window.orderBy("ts"))
+    )
+    for i in range(1, 4):
+        chunks.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / "data"))
+    stream = sj.tumbling_stream(
+        spark.readStream.schema(batch_events.schema).option("maxFilesPerTrigger", "1").parquet(
+            str(src / "data")
+        ),
+        3600,
+        watermark="0 seconds",
+    )
+    sj.run_to_memory(stream, "t_multibatch", ckpt)
+    got = spark.table("t_multibatch")
+
+    maxts = batch_events.agg(F.max("ts")).first()[0]
+    exp = (
+        batch_events.groupBy(F.window("ts", "3600 seconds"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .filter(F.col("window.end") <= F.lit(maxts))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
