@@ -139,3 +139,39 @@ def hyperplane_lsh_buckets(
         )
         bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(0)
     return df.withColumn("lsh_bucket", bucket)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    cell_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by a coarse cell.
+
+    Self-join restricted to the same cell with id_a < id_b (each pair
+    once), cosine >= threshold. The cell blocking (IVF centroid id, or
+    hyperplane_lsh_buckets output) is what makes this O(sum cell^2)
+    instead of O(n^2) — at 100 TB the all-pairs join is impossible, the
+    blocked one shuffles each side once on the cell key. Recall is the
+    bucketing's recall; run multiple hash tables and union for higher
+    recall (pairs dedup via distinct).
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(cell_col).alias("__cell__"),
+        as_double(F.col(vec_col)).alias("__va__"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(cell_col).alias("__cell__"),
+        as_double(F.col(vec_col)).alias("__vb__"),
+    )
+    return (
+        a.join(b, "__cell__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", cosine(F.col("__va__"), F.col("__vb__")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", F.col("__cell__").alias("cell"), "cosine_sim")
+    )

@@ -510,3 +510,184 @@ def null_handling(spark, sf_dir):
         )
         .df
     )
+
+
+# --------------------------------------------------------------------------
+# Grouping-set / introspection extensions (SURVEY §2.5 last row, §2.6
+# transpose, §2.7 ranking) — ops the reference lacks but Spark gives free.
+# --------------------------------------------------------------------------
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           CASE WHEN r_name IS NULL THEN 'ALL' ELSE COALESCE(n_name, 'ALL') END AS nation_name,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_region_nation(spark, sf_dir):
+    """Hierarchical totals via rollup (KGroupedFrame.rollup): per-nation,
+    per-region subtotal, grand total in ONE pass (Spark Expand node — no
+    re-aggregation of the base table per level)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.inner_join(n, on=[F.col("c_nationkey") == F.col("n_nationkey")]).inner_join(
+        r, on=[F.col("n_regionkey") == F.col("r_regionkey")]
+    )
+    out = joined.group_by("r_name", "n_name").rollup(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+    return out.df.select(
+        F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+        F.when(F.col("r_name").isNull(), "ALL")
+        .otherwise(F.coalesce(F.col("n_name"), F.lit("ALL")))
+        .alias("nation_name"),
+        "n_customers",
+        "sum_acctbal",
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark, sf_dir):
+    """All grouping-set combinations via cube (KGroupedFrame.cube)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.group_by("l_returnflag", "l_linestatus").cube(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )
+    return out.df.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "n_items",
+        "sum_qty",
+    )
+
+
+@query(
+    "ntile_quartiles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+    FROM customer
+    """,
+)
+def ntile_quartiles(spark, sf_dir):
+    """ntile ranking (SURVEY §2.7 'absent in reference' row): quartile of
+    account balance within market segment. Shuffles once on the partition
+    key; unique c_custkey tiebreak keeps it deterministic."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.df.select(
+        "c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "count_by_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def count_by_priority(spark, sf_dir):
+    """countBy: per-value frequency (docs/reference.md:505)."""
+    return _t(spark, sf_dir, "orders").group_by("o_orderpriority").count(name="n").df
+
+
+@query(
+    "transpose_stats",
+    oracle="""
+    WITH s AS (
+      SELECT ROUND(AVG(l_quantity), 4) AS mean_qty,
+             ROUND(AVG(l_extendedprice), 4) AS mean_price,
+             ROUND(AVG(l_discount), 4) AS mean_disc,
+             CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM lineitem
+    )
+    SELECT 'mean_qty' AS stat, mean_qty AS value FROM s
+    UNION ALL SELECT 'mean_price', mean_price FROM s
+    UNION ALL SELECT 'mean_disc', mean_disc FROM s
+    UNION ALL SELECT 'n_rows', n_rows FROM s
+    """,
+)
+def transpose_stats(spark, sf_dir):
+    """transpose() of an aggregate row -> (name, value) long form
+    (api/transpose.kt:3) via stack — no driver-side collect."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.df.agg(
+        F.round(F.avg("l_quantity"), 4).alias("mean_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.avg("l_discount"), 4).alias("mean_disc"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'mean_qty', mean_qty, 'mean_price', mean_price,"
+            " 'mean_disc', mean_disc, 'n_rows', n_rows) AS (stat, value)"
+        )
+    )
+
+
+@query(
+    "describe_numeric",
+    oracle="""
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             COUNT(l_quantity) AS nn_q, COUNT(DISTINCT l_quantity) AS nd_q,
+             CAST(MIN(l_quantity) AS DOUBLE) AS min_q, CAST(MAX(l_quantity) AS DOUBLE) AS max_q,
+             ROUND(AVG(l_quantity), 4) AS mean_q,
+             COUNT(l_discount) AS nn_d, COUNT(DISTINCT l_discount) AS nd_d,
+             CAST(MIN(l_discount) AS DOUBLE) AS min_d, CAST(MAX(l_discount) AS DOUBLE) AS max_d,
+             ROUND(AVG(l_discount), 4) AS mean_d
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_name, n, nn_q AS n_notnull, nd_q AS n_distinct,
+           min_q AS min_val, max_q AS max_val, mean_q AS mean_val FROM a
+    UNION ALL
+    SELECT 'l_discount', n, nn_d, nd_d, min_d, max_d, mean_d FROM a
+    """,
+)
+def describe_numeric(spark, sf_dir):
+    """describe() long form for numeric columns (api/describe.kt:13-64):
+    one aggregation pass, transposed with stack — stays distributed."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_quantity").alias("nn_q"),
+        F.count_distinct("l_quantity").alias("nd_q"),
+        F.min("l_quantity").cast("double").alias("min_q"),
+        F.max("l_quantity").cast("double").alias("max_q"),
+        F.round(F.avg("l_quantity"), 4).alias("mean_q"),
+        F.count("l_discount").alias("nn_d"),
+        F.count_distinct("l_discount").alias("nd_d"),
+        F.min("l_discount").cast("double").alias("min_d"),
+        F.max("l_discount").cast("double").alias("max_d"),
+        F.round(F.avg("l_discount"), 4).alias("mean_d"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2,"
+            " 'l_quantity', n, nn_q, nd_q, min_q, max_q, mean_q,"
+            " 'l_discount', n, nn_d, nd_d, min_d, max_d, mean_d"
+            ") AS (col_name, n, n_notnull, n_distinct, min_val, max_val, mean_val)"
+        )
+    )

@@ -207,6 +207,30 @@ def ann_ivf_topk(spark, sf_dir):
     return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), 6))
 
 
+@query(
+    "neardup_embedding",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS cell,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+    """,
+)
+def neardup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by coarse cell
+    (operators/similarity.cosine_neardup_pairs). Threshold tuned to the
+    synthetic embeddings (random vectors peak ~0.47 cosine)."""
+    out = similarity.cosine_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), cell_col="label", threshold=0.35
+    )
+    return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), 6))
+
+
 # -- text analysis ---------------------------------------------------------
 @query(
     "text_stats",

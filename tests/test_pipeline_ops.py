@@ -160,3 +160,17 @@ def test_multimodal_real_decode_raises(spark):
 
     with _pytest.raises(Exception):
         feats.collect()
+
+
+def test_cosine_neardup_pairs(spark):
+    # two near-identical vectors in cell 0, one orthogonal, one other cell
+    rows = [
+        (0, [1.0, 0.0, 0.1], 0),
+        (1, [1.0, 0.01, 0.1], 0),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0], 0),   # orthogonal
+        (3, [1.0, 0.0, 0.1], 1),   # identical to 0 but different cell: blocked out
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.cosine_neardup_pairs(df, cell_col="label", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+    assert out[0]["cosine_sim"] > 0.99
