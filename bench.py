@@ -43,9 +43,30 @@ def main():
         "ann_bruteforce_topk",   # pipeline: similarity search
     ]
 
-    # warm the JVM + parquet footers with a trivial job so per-query times
-    # measure the plan, not session startup
-    spark.range(1).count()
+    # Warm the JVM so per-query times measure the plan, not startup:
+    # a parquet scan, a hash aggregate, and a broadcast join at sf0.001
+    # compile the codegen paths the headline queries reuse.
+    from pyspark.sql import functions as F
+
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        li = spark.read.parquet(os.path.join(warm_dir, "lineitem.parquet"))
+        o = spark.read.parquet(os.path.join(warm_dir, "orders.parquet"))
+        (
+            li.filter(F.col("l_quantity") > 0)
+            .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+            .count()
+        )
+    else:
+        spark.range(1).count()
+
+    # warm the Arrow/Python worker pool (mapInPandas paths reuse workers)
+    def _ident(it):
+        yield from it
+
+    spark.range(64).repartition(8).mapInPandas(_ident, "id long").count()
 
     timings: dict[str, float] = {}
     for name in headline:

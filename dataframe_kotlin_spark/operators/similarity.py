@@ -175,3 +175,59 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.col("__cell__").alias("cell"), "cosine_sim")
     )
+
+
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries_rows: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine via Arrow-batched numpy matmul (the scale path).
+
+    ``queries_rows`` is the collected query set [(id, vector), ...] — small
+    by definition (probe set), shipped to executors in the task closure
+    (at cluster scale: a broadcast variable). Per Arrow batch the scoring
+    is ONE BLAS sgemm (batch x dim @ dim x nq), ~50-100x the throughput of
+    per-pair expression eval. Each partition emits only its local top-k
+    per query, so the final exact rank shuffles nq*k*npartitions rows,
+    not the full nq*N score matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = np.array([r[0] for r in queries_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in queries_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = x @ q_mat.T  # (batch, nq) — one BLAS call
+            frames = []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid  # exclude self-match
+                cand_ids, cand_sims = ids[mask], col[mask]
+                if len(cand_ids) > k:
+                    top = np.argpartition(-cand_sims, k)[:k]
+                    cand_ids, cand_sims = cand_ids[top], cand_sims[top]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": cand_ids, "cosine_sim": cand_sims}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -170,11 +170,16 @@ def jaccard_pairs(spark, sf_dir):
     """,
 )
 def ann_bruteforce_topk(spark, sf_dir):
-    """Brute-force cosine top-5 for probe vectors (operators/similarity.
-    cosine_topk): broadcast queries, stream corpus, window rank."""
+    """Brute-force cosine top-5 for probe vectors via the BLAS scale path
+    (operators/similarity.cosine_topk_blas): Arrow-batched numpy matmul,
+    per-partition top-k pruning, exact final rank. The pure-JVM
+    expression variant (similarity.cosine_topk) computes the same result."""
     emb = _t(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") % 100 == 0)
-    out = similarity.cosine_topk(emb, probes, k=5)
+    probes = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") % 100 == 0).collect()
+    ]
+    out = similarity.cosine_topk_blas(emb, probes, k=5)
     return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), 6))
 
 
