@@ -468,6 +468,166 @@ class KDataFrame:
         rest = [c for c in self.df.columns if c not in cols]
         return self._wrap(self.df.select(*cols, *rest))
 
+    def move_after(self, col: str, after: str) -> "KDataFrame":
+        """Reposition col directly after another column
+        (api/move.kt:13-139 `after`). Pure select-list metadata."""
+        rest = [c for c in self.df.columns if c != col]
+        i = rest.index(after) + 1
+        return self._wrap(self.df.select(*rest[:i], col, *rest[i:]))
+
+    def insert_col(self, name: str, expr: Column, at: int | None = None) -> "KDataFrame":
+        """Computed column at an explicit position (api/insert.kt:14-38)."""
+        cols = [F.col(c) for c in self.df.columns]
+        pos = len(cols) if at is None else at
+        return self._wrap(self.df.select(*cols[:pos], expr.alias(name), *cols[pos:]))
+
+    def replace_col(self, name: str, expr: Column) -> "KDataFrame":
+        """Swap a column for a computed replacement, keeping its position
+        (api/replace.kt)."""
+        return self._wrap(self.df.withColumn(name, expr))
+
+    # -- positional slicing under explicit order (SURVEY §2.2) ------------
+    # The reference slices by insertion order (DataFrame.kt:138-185); a
+    # distributed engine has none, so every positional op takes the order.
+
+    def head_rows(self, n: int, order_by: Sequence[Column | str]) -> "KDataFrame":
+        """take/head: first n under the order (TakeOrderedAndProject)."""
+        return self.take_ordered(n, order_by)
+
+    def tail_rows(self, n: int, order_by: Sequence[Column | str]) -> "KDataFrame":
+        """takeLast/tail: last n = top-n under the reversed order. Sorts
+        only n rows globally (TakeOrdered), never the full frame.
+        order_by entries are names or plain (ascending) Columns — the
+        reversal negates each to desc."""
+        rev = [(F.col(c) if isinstance(c, str) else c).desc() for c in order_by]
+        return self._wrap(self.df.orderBy(*rev).limit(n))
+
+    def drop_first(self, n: int, order_by: Sequence[Column | str]) -> "KDataFrame":
+        """drop(n): everything after the first n (DataFrame.kt:181) —
+        `offset` pushes into the exchange (Spark >= 3.4)."""
+        return self._wrap(self.df.orderBy(*_cols(order_by)).offset(n))
+
+    def skip_last(self, n: int, order_by: Sequence[Column | str]) -> "KDataFrame":
+        """skipLast(n): all but the last n. One unpartitioned row_number
+        window — fine for slice-sized frames, flagged as a driver
+        bottleneck for table-scale inputs (SURVEY §4.2-2)."""
+        w = Window.orderBy(*_cols(order_by))
+        total = self.df.count()
+        return self._wrap(
+            self.df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= total - n)
+            .drop("__rn__")
+        )
+
+    def rows_at(self, indices: Sequence[int], order_by: Sequence[Column | str]) -> "KDataFrame":
+        """df[i] / getRows: 0-based positional lookup under the order."""
+        w = Window.orderBy(*_cols(order_by))
+        return self._wrap(
+            self.df.withColumn("__rn__", F.row_number().over(w) - 1)
+            .filter(F.col("__rn__").isin(list(indices)))
+            .drop("__rn__")
+        )
+
+    def slice_rows(self, start: int, end: int, order_by: Sequence[Column | str]) -> "KDataFrame":
+        """df[start..end) positional slice under the order."""
+        w = Window.orderBy(*_cols(order_by))
+        return self._wrap(
+            self.df.withColumn("__rn__", F.row_number().over(w) - 1)
+            .filter((F.col("__rn__") >= start) & (F.col("__rn__") < end))
+            .drop("__rn__")
+        )
+
+    # -- row lookups / quantifiers (SURVEY §2.2 first/last/single/any/all) -
+    def first_row(self, cond: Column | None = None):
+        """first{pred}: one collected Row (DataFrame.kt:169-177). Plans as
+        filter + limit(1) — no full scan materialized."""
+        df = self.df.filter(cond) if cond is not None else self.df
+        rows = df.limit(1).collect()
+        return rows[0] if rows else None
+
+    def single_row(self, cond: Column | None = None):
+        """single{pred}: exactly one match or error (DataFrame.kt:178)."""
+        df = self.df.filter(cond) if cond is not None else self.df
+        rows = df.limit(2).collect()
+        if len(rows) != 1:
+            raise ValueError(f"expected exactly 1 row, found {'>1' if len(rows) > 1 else 0}")
+        return rows[0]
+
+    def any_rows(self, cond: Column) -> bool:
+        """any{pred} (DataFrame.kt:190): existence via limit(1), not count."""
+        return len(self.df.filter(cond).limit(1).collect()) > 0
+
+    def all_rows(self, cond: Column) -> bool:
+        """all{pred}: no counterexample exists."""
+        return len(self.df.filter(~cond).limit(1).collect()) == 0
+
+    def count_rows(self, cond: Column | None = None) -> int:
+        """count{pred} (Math.kt:10-12 / DataFrameAggregations.kt:25)."""
+        return (self.df.filter(cond) if cond is not None else self.df).count()
+
+    def duplicate_row(self, cond: Column, n: int) -> "KDataFrame":
+        """DataRow.duplicate(n) (api/duplicate.kt:9-19): replicate the
+        first matching row n times. explode(array_repeat) — no driver
+        round-trip, no crossJoin."""
+        one = self.df.filter(cond).limit(1)
+        return self._wrap(
+            one.withColumn("__dup__", F.explode(F.array_repeat(F.lit(1), n))).drop("__dup__")
+        )
+
+    # -- frame-level reshape helpers (SURVEY §2.5 countBy, §2.6 transpose) -
+    def count_by(self, *cols: str) -> "KDataFrame":
+        """Per-value frequency (docs/reference.md:505)."""
+        return self._wrap(self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")))
+
+    def transpose_row(self, order_by: Sequence[Column | str] | None = None) -> "KDataFrame":
+        """transpose() of a single-row frame -> (name, value) pairs as
+        strings (api/transpose.kt:3). Distributed stack — no collect."""
+        names = self.df.columns
+        args = []
+        for c in names:
+            args += [f"'{c}'", f"CAST(`{c}` AS STRING)"]
+        df = self.df if order_by is None else self.df.orderBy(*_cols(order_by))
+        return self._wrap(
+            df.limit(1).select(
+                F.expr(f"stack({len(names)}, {', '.join(args)}) AS (name, value)")
+            )
+        )
+
+    def zip_frames(
+        self,
+        other: "KDataFrame | DataFrame",
+        order_by: Sequence[Column | str],
+        other_order_by: Sequence[Column | str],
+    ) -> "KDataFrame":
+        """Positional column-concat of equal-length frames (api/add.kt:14-16
+        `add(otherDf)`). Joins on explicit per-frame row numbers — the
+        reference's implicit positional semantics need an order on an
+        unordered engine (SURVEY §2.9 flag)."""
+        right = other.df if isinstance(other, KDataFrame) else other
+        lw = Window.orderBy(*_cols(order_by))
+        rw = Window.orderBy(*_cols(other_order_by))
+        left = self.df.withColumn("__zip__", F.row_number().over(lw))
+        rgt = right.withColumn("__zip__", F.row_number().over(rw))
+        return self._wrap(left.join(rgt, "__zip__", "inner").drop("__zip__"))
+
+    # -- type re-inference (SURVEY §2.8 parse/guessType) ------------------
+    def parse(self, cols: Sequence[str] | None = None) -> "KDataFrame":
+        """parse(): run the reference's string->type inference cascade over
+        string columns (api/parse.kt:18-48) — distributed acceptance test
+        per candidate type, then cast. Delegates to sources.csv."""
+        from dataframe_kotlin_spark.sources.csv import infer_column_types
+
+        skip = (
+            frozenset()
+            if cols is None
+            else frozenset(c for c in self.df.columns if c not in set(cols))
+        )
+        return self._wrap(infer_column_types(self.df, skip=skip))
+
+    def guess_type(self, col: str) -> "KDataFrame":
+        """Re-infer one column from its values (Columns.kt:272)."""
+        return self.parse([col])
+
     # -- stats / introspection (SURVEY §2.5, §2.8) ------------------------
     def describe(self) -> "KDataFrame":
         """Per-column count/nulls/unique/min/max (+mean for numeric).

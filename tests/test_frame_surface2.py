@@ -1,0 +1,122 @@
+"""Positional slicing, row lookups, column-tree ops, transpose, zip,
+parse — the SURVEY §2.2/§2.8/§2.9 surface added after the core engine.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark import KDataFrame
+
+
+@pytest.fixture(scope="module")
+def kdf(person):
+    return person
+
+
+ORDER = ["name", "age"]
+
+
+def test_head_tail_rows(kdf):
+    names = [r["name"] for r in kdf.sort_by("name", "age").collect()]
+    head = [r["name"] for r in kdf.head_rows(3, ORDER).sort_by("name", "age").collect()]
+    tail = [r["name"] for r in kdf.tail_rows(2, ORDER).sort_by("name", "age").collect()]
+    assert head == names[:3]
+    assert sorted(tail) == sorted(names[-2:])
+
+
+def test_drop_first_skip_last(kdf):
+    n = kdf.nrow()
+    assert kdf.drop_first(2, ORDER).nrow() == n - 2
+    out = kdf.skip_last(2, ORDER)
+    assert out.nrow() == n - 2
+    kept = [r["name"] for r in out.sort_by("name", "age").collect()]
+    full = [r["name"] for r in kdf.sort_by("name", "age").collect()]
+    assert kept == full[:-2]
+
+
+def test_rows_at_slice(kdf):
+    full = kdf.sort_by("name", "age").collect()
+    at = kdf.rows_at([0, 2], ORDER).sort_by("name", "age").collect()
+    assert [r["name"] for r in at] == [full[0]["name"], full[2]["name"]]
+    sl = kdf.slice_rows(1, 4, ORDER).sort_by("name", "age").collect()
+    assert [r["name"] for r in sl] == [r["name"] for r in full[1:4]]
+
+
+def test_row_lookups_quantifiers(kdf):
+    assert kdf.first_row(F.col("city") == "Dubai")["name"] == "Bob"
+    assert kdf.first_row(F.col("city") == "Atlantis") is None
+    with pytest.raises(ValueError):
+        kdf.single_row(F.col("name") == "Alice")  # two Alices in fixture
+    assert kdf.any_rows(F.col("age") > 40)
+    assert not kdf.any_rows(F.col("age") > 400)
+    assert kdf.all_rows(F.col("age") > 0)
+    assert not kdf.all_rows(F.col("age") > 20)
+    assert kdf.count_rows(F.col("age") > 20) == kdf.df.filter("age > 20").count()
+
+
+def test_duplicate_row(kdf):
+    out = kdf.duplicate_row(F.col("name") == "Bob", 3)
+    rows = out.collect()
+    assert len(rows) == 3 and all(r["name"] == "Bob" for r in rows)
+
+
+def test_column_tree_ops(kdf):
+    cols = kdf.columns
+    moved = kdf.move_after(cols[0], cols[-1])
+    assert moved.columns[-1] == cols[0]
+    ins = kdf.insert_col("age2", F.col("age") * 2, at=1)
+    assert ins.columns[1] == "age2"
+    assert ins.first_row(F.col("name") == "Bob")["age2"] == 2 * kdf.first_row(
+        F.col("name") == "Bob"
+    )["age"]
+    rep = kdf.replace_col("age", F.col("age") + 100)
+    assert rep.columns == kdf.columns  # position kept
+    assert rep.first_row(F.col("name") == "Bob")["age"] > 100
+
+
+def test_count_by(kdf):
+    out = {r["city"]: r["n"] for r in kdf.count_by("city").collect()}
+    assert out == {
+        r["city"]: r["n"]
+        for r in kdf.df.groupBy("city").agg(F.count("*").alias("n")).collect()
+    }
+
+
+def test_transpose_row(kdf):
+    out = kdf.transpose_row(order_by=ORDER).collect()
+    assert [r["name"] for r in out] == kdf.columns
+    first = kdf.sort_by(*ORDER).collect()[0]
+    vals = {r["name"]: r["value"] for r in out}
+    assert vals["name"] == first["name"]
+    assert vals["age"] == str(first["age"])
+
+
+def test_zip_frames(spark):
+    a = KDataFrame(spark.createDataFrame([(1, "a"), (2, "b")], "id int, x string"))
+    b = KDataFrame(spark.createDataFrame([(10, "A"), (20, "B")], "id2 int, y string"))
+    out = a.zip_frames(b, ["id"], ["id2"]).sort_by("id").collect()
+    assert [(r["id"], r["id2"]) for r in out] == [(1, 10), (2, 20)]
+    assert [(r["x"], r["y"]) for r in out] == [("a", "A"), ("b", "B")]
+
+
+def test_parse_cascade(spark):
+    df = spark.createDataFrame(
+        [("1", "1.5", "true", "2020-01-02", "x")],
+        "i string, d string, b string, dt string, s string",
+    )
+    out = KDataFrame(df).parse()
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["i"] in ("int", "bigint")
+    assert types["d"] == "double"
+    assert types["b"] == "boolean"
+    assert types["s"] == "string"
+
+
+def test_guess_type_single_column(spark):
+    df = spark.createDataFrame([("1", "2")], "a string, b string")
+    out = KDataFrame(df).guess_type("a")
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types["a"] in ("int", "bigint")
+    assert types["b"] == "string"  # untouched
