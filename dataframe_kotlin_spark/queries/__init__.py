@@ -50,6 +50,13 @@ def _load_all():
     if _LOADED:
         return
     # import for registration side effects
-    from dataframe_kotlin_spark.queries import core, joins, reshape, windowed, pipeline  # noqa: F401
+    from dataframe_kotlin_spark.queries import (  # noqa: F401
+        core,
+        joins,
+        pipeline,
+        reshape,
+        tpch_extra,
+        windowed,
+    )
 
     _LOADED = True

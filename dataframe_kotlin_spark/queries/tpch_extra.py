@@ -1,0 +1,247 @@
+"""TPC-H-shaped composite queries (adapted to the driver's star schema:
+no partsupp/commitdate/shipmode columns), built on the KDataFrame API.
+
+These exercise operator COMPOSITION — semi-joins with non-equi
+conditions, having-style agg-then-join, OR-of-ANDs pushdown, conditional
+aggregation — the way a reference user would chain the §2 operators.
+
+Money sums follow the q1 decimal policy (queries/__init__.py): DECIMAL in
+the aggregate so Spark and duckdb agree bit-for-bit, cast to double at
+the end, ROUND(+1e-9) on averages/ratios.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.core.frame import KDataFrame
+from dataframe_kotlin_spark.queries import query
+
+
+def _t(spark, sf_dir: str, name: str) -> KDataFrame:
+    return KDataFrame(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+def _dec(c):
+    return F.col(c).cast("decimal(12,2)")
+
+
+@query(
+    "q6_revenue_band",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_band(spark, sf_dir):
+    """TPC-H Q6 shape: all predicates push to the scan, agg is a single
+    partial+final pass with no grouping — the cheapest possible plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .df.agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS = left-semi join with a non-equi residual
+    condition (filter_join). The semi join shuffles on l_orderkey and
+    never widens the row — no dedup needed afterwards."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.filter_join(
+            li,
+            on=[
+                F.col("o_orderkey") == F.col("l_orderkey"),
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"),
+            ],
+        )
+        .group_by("o_orderpriority")
+        .count(name="n_orders")
+        .df
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    lineitem streams past broadcast orders-subset/customer/nation;
+    TakeOrderedAndProject caps the output."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        c.inner_join(o, on=[F.col("c_custkey") == F.col("o_custkey")])
+        .inner_join(li, on=[F.col("o_orderkey") == F.col("l_orderkey")])
+        .inner_join(
+            _t(spark, sf_dir, "nation"), on=[F.col("c_nationkey") == F.col("n_nationkey")]
+        )
+        .group_by("c_custkey", "c_name", "n_name")
+        .aggregate(F.sum(revenue).cast("double").alias("revenue"))
+        .take_ordered(20, [F.col("revenue").desc(), F.col("c_custkey")])
+        .df
+    )
+
+
+@query(
+    "q14_type_share",
+    oracle="""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                 THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(12,2)))
+                 ELSE 0 END) AS DOUBLE) /
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) + 1e-9,
+               4) AS economy_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def q14_type_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a broadcast join
+    (part is the dim). One shuffle-free join + one scalar agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .df.agg(
+            F.round(
+                F.lit(100.0) * F.sum(econ).cast("double") / F.sum(rev).cast("double") + 1e-9,
+                4,
+            ).alias("economy_share")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY c_custkey, o_orderkey, o_orderdate
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: having-filtered aggregate drives a semi join back
+    onto the fact tables. The qty pre-aggregate and the final aggregate
+    share the l_orderkey partitioning (one logical shuffle key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.group_by("l_orderkey")
+        .aggregate(F.sum(_dec("l_quantity")).alias("__qty__"))
+        .filter(F.col("__qty__") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.filter_join(big, on=[F.col("o_orderkey") == F.col("l_orderkey")])
+        .inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")])
+        .inner_join(li, on=[F.col("o_orderkey") == F.col("l_orderkey")])
+        .group_by("c_custkey", "o_orderkey", "o_orderdate")
+        .aggregate(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .df
+    )
+
+
+@query(
+    "q19_brand_bands",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_brand_bands(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    derives the single-side implications (brand/size to the part scan,
+    quantity bounds to the lineitem scan) so both scans still prune."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .filter(band)
+        .df.agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Scale-path operators: salting (skew), bucketed co-located joins.
+
+These assert SEMANTIC equivalence with the plain operator and, for
+bucketing, the structural property (no shuffle exchange in the plan) —
+the thing that actually matters at cluster scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.operators import skew
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key "hot" carries 80% of rows
+    rows = [("hot" if i % 10 < 8 else f"k{i % 97}", i, float(i % 7)) for i in range(2000)]
+    return spark.createDataFrame(rows, "k string, id long, v double")
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    keys = ["hot"] + [f"k{i}" for i in range(97)]
+    return spark.createDataFrame([(k, len(k)) for k in keys], "k string, klen int")
+
+
+def test_key_skew_stats(skewed):
+    top = skew.key_skew_stats(skewed, ["k"], top=1).collect()
+    assert top[0]["k"] == "hot"
+    assert top[0]["share"] > 0.7
+
+
+def test_salted_join_matches_plain(skewed, dim):
+    plain = skewed.join(dim, "k", "inner")
+    salted = skew.salted_join(skewed, dim, ["k"], buckets=8)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark, dim):
+    left = spark.createDataFrame(
+        [("hot", 1), ("nope", 2)], "k string, id long"
+    )
+    out = skew.salted_join(left, dim, ["k"], buckets=4, how="left").collect()
+    by_key = {r["k"]: r["klen"] for r in out}
+    assert by_key["hot"] == 3 and by_key["nope"] is None
+
+
+def test_salted_distinct_count_exact(skewed):
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in skew.salted_distinct_count(skewed, ["k"], "v", buckets=4).collect()
+    }
+    exp = {
+        r["k"]: r["nd"]
+        for r in skewed.groupBy("k").agg(F.count_distinct("v").alias("nd")).collect()
+    }
+    assert got == exp
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Pre-bucketing both sides on the join key removes the exchange —
+    the co-located join strategy for repeated fact-fact joins at scale."""
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    a = spark.range(0, 1000).withColumn("va", F.col("id") % 13)
+    b = spark.range(0, 1000).withColumn("vb", F.col("id") % 7)
+    for name, df in [("bkt_a", a), ("bkt_b", b)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, "id").sortBy("id")
+            .option("path", f"{wh}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucketed SMJ: sides are pre-partitioned, no shuffle exchange
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
