@@ -288,3 +288,74 @@ def chunked_groups(spark, sf_dir):
         )
         .df
     )
+
+
+@query(
+    "asof_last_purchase",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+           CAST(FLOOR(EPOCH(l.ts)) AS BIGINT) AS ts_epoch,
+           r.value AS last_purchase_value,
+           CAST(FLOOR(EPOCH(r.ts)) AS BIGINT) AS last_purchase_epoch
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_last_purchase(spark, sf_dir):
+    """As-of join (operators/temporal.asof_join): for every click, the
+    user's latest at-or-before purchase. One shuffle on user_id, no join
+    node — the duckdb oracle is its native ASOF JOIN, an independent
+    implementation of the same semantics."""
+    from dataframe_kotlin_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").df
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks, purchases, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value", "ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("bigint").alias("ts_epoch"),
+        F.col("r_value").alias("last_purchase_value"),
+        (F.unix_micros(F.col("r_ts").cast("timestamp")) / 1_000_000).cast("bigint").alias("last_purchase_epoch"),
+    )
+
+
+@query(
+    "interval_join_windows",
+    oracle="""
+    SELECT e.event_id, i.window_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS ts_epoch
+    FROM events e
+    JOIN (SELECT event_id AS window_id, ts AS start_ts,
+                 ts + INTERVAL 2 HOUR AS end_ts
+          FROM events WHERE event_id % 199 = 0) i
+      ON e.ts >= i.start_ts AND e.ts < i.end_ts
+    """,
+)
+def interval_join_windows(spark, sf_dir):
+    """Interval/range join (operators/temporal.interval_join): events to
+    the 2h windows containing them, via time-bucket equi-join + exact
+    containment filter — no theta-join cross product. Oracle: the naive
+    BETWEEN join (fine at sf0.01, impossible at 100 TB)."""
+    from dataframe_kotlin_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events").df
+    iv = ev.filter(F.col("event_id") % 199 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = interval_join(
+        ev.select("event_id", "ts"), iv, "ts", "start_ts", "end_ts",
+        bucket_seconds=3600,
+    )
+    return out.select(
+        "event_id",
+        "window_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("bigint").alias("ts_epoch"),
+    )

@@ -1,0 +1,111 @@
+"""as-of and interval join operators (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.operators import temporal
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, "A", ts("2024-01-01 10:00:05"), 100.0),
+            (2, "A", ts("2024-01-01 10:00:30"), 101.0),
+            (3, "B", ts("2024-01-01 10:00:10"), 50.0),
+            (4, "B", ts("2024-01-01 09:59:00"), 49.0),  # before any quote
+        ],
+        "trade_id long, sym string, t timestamp, px double",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts("2024-01-01 10:00:00"), 99.5),
+            ("A", ts("2024-01-01 10:00:05"), 99.9),  # tie with trade 1 -> matches
+            ("A", ts("2024-01-01 10:00:20"), 100.5),
+            ("B", ts("2024-01-01 10:00:00"), 49.5),
+        ],
+        "sym string, t timestamp, bid double",
+    )
+
+
+def test_asof_join_basic(trades, quotes):
+    out = temporal.asof_join(
+        trades, quotes, keys=["sym"], left_ts="t", right_ts="t", right_cols=["bid"]
+    )
+    got = {r["trade_id"]: r["r_bid"] for r in out.collect()}
+    assert got == {1: 99.9, 2: 100.5, 3: 49.5, 4: None}
+
+
+def test_asof_join_tolerance(trades, quotes):
+    out = temporal.asof_join(
+        trades, quotes, keys=["sym"], left_ts="t", right_ts="t",
+        right_cols=["bid"], tolerance_seconds=5,
+    )
+    got = {r["trade_id"]: r["r_bid"] for r in out.collect()}
+    # trade 2 at 10:00:30: latest quote 10:00:20 is 10s old -> outside tolerance
+    assert got == {1: 99.9, 2: None, 3: None, 4: None}
+
+
+def test_asof_join_matches_pandas(spark):
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {"k": ["x"] * 50, "t": pd.date_range("2024-01-01", periods=50, freq="7s")}
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["x"] * 30,
+            "t": pd.date_range("2024-01-01 00:00:03", periods=30, freq="11s"),
+            "v": [float(i) for i in range(30)],
+        }
+    )
+    exp = pd.merge_asof(left.sort_values("t"), right.sort_values("t"), on="t", by="k")
+    out = temporal.asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        keys=["k"], left_ts="t", right_ts="t", right_cols=["v"],
+    )
+    got = out.toPandas().sort_values("t").reset_index(drop=True)
+    assert list(got["r_v"].fillna(-1)) == list(exp["v"].fillna(-1))
+
+
+def test_interval_join(spark):
+    events = spark.createDataFrame(
+        [(i, ts(f"2024-01-01 10:{i:02d}:00")) for i in range(0, 50, 5)],
+        "eid long, t timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (100, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:12:00")),
+            (200, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:30:00")),
+        ],
+        "wid long, s timestamp, e timestamp",
+    )
+    out = temporal.interval_join(events, iv, "t", "s", "e", bucket_seconds=300)
+    pairs = sorted((r["eid"], r["wid"]) for r in out.collect())
+    # exact containment, start inclusive / end exclusive, overlaps allowed
+    assert pairs == [(0, 100), (5, 100), (10, 100), (10, 200), (15, 200), (20, 200), (25, 200)]
+
+
+def test_interval_join_no_duplicates_across_buckets(spark):
+    # interval spans many buckets; each contained event must appear once
+    events = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:01"))], "eid long, t timestamp"
+    )
+    iv = spark.createDataFrame(
+        [(7, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00"))],
+        "wid long, s timestamp, e timestamp",
+    )
+    out = temporal.interval_join(events, iv, "t", "s", "e", bucket_seconds=60)
+    assert out.count() == 1
