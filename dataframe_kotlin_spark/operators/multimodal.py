@@ -102,3 +102,100 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feat_dim: int =
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, decode_stub: bool = True
+) -> DataFrame:
+    """Resize step: same media schema in and out, so resize composes with
+    extract_features/sample_frames in either order.
+
+    Stub 'resize' truncates/zero-pads the payload to width*height bytes
+    (deterministic); a real implementation decodes, resizes (PIL/cv2),
+    re-encodes — same mapInPandas shape, same schema contract.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires an image library; use decode_stub=True"
+                )
+
+            def rz(b):
+                if b is None:
+                    return None
+                b = bytes(b)
+                return b[:target] if len(b) >= target else b + b"\x00" * (target - len(b))
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": pdf["payload"].map(rz),
+                    "meta": pdf["meta"].map(
+                        lambda m: {"mime": m["mime"], "width": width, "height": height}
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int, decode_stub: bool = True
+) -> DataFrame:
+    """Frame sampling: one input row -> n output rows (UDTF shape via
+    mapInPandas). Stub treats the payload as n equal byte slices; a real
+    implementation seeks n evenly-spaced video frames (ffmpeg) — the
+    row-expansion plumbing, schema, and partition behavior are identical.
+    Output partitioning == input partitioning (no shuffle introduced)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg; use decode_stub=True"
+                )
+            ids, idxs, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                step = max(len(b) // n_frames, 1)
+                for i in range(min(n_frames, len(b))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame": frames}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -174,3 +174,43 @@ def test_cosine_neardup_pairs(spark):
     out = similarity.cosine_neardup_pairs(df, cell_col="label", threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
     assert out[0]["cosine_sim"] > 0.99
+
+
+def test_resize_media_composes(spark, docs):
+    from dataframe_kotlin_spark.operators import multimodal as mm
+
+    media = mm.text_as_media(docs, "doc_id", "text")
+    resized = mm.resize_media(media, width=4, height=3)
+    rows = resized.collect()
+    assert all(len(r["payload"]) == 12 for r in rows)
+    assert all(r["meta"]["width"] == 4 and r["meta"]["height"] == 3 for r in rows)
+    # schema contract: output feeds extract_features unchanged
+    feats = mm.extract_features(resized).collect()
+    assert all(f["byte_len"] == 12 for f in feats)
+
+
+def test_sample_frames_row_expansion(spark, docs):
+    from dataframe_kotlin_spark.operators import multimodal as mm
+
+    media = mm.text_as_media(docs, "doc_id", "text")
+    frames = mm.sample_frames(media, n_frames=3)
+    per_doc = {
+        r["media_id"]: r["n"]
+        for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n == 3 for n in per_doc.values())
+    # frames are deterministic byte slices, reassemblable in order
+    one = sorted(
+        (r["frame_idx"], bytes(r["frame"])) for r in frames.filter("media_id = 0").collect()
+    )
+    text0 = DOCS[0][1].encode()
+    step = len(text0) // 3
+    assert one[0][1] == text0[:step]
+
+
+def test_decode_stub_gate(spark, docs):
+    from dataframe_kotlin_spark.operators import multimodal as mm
+
+    media = mm.text_as_media(docs, "doc_id", "text")
+    with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
+        mm.extract_features(media, decode_stub=False).collect()
