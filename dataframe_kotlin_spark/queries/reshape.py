@@ -276,3 +276,38 @@ def json_props_extract(spark, sf_dir):
         .select("event_id", "k_val")
         .df
     )
+
+
+@query(
+    "pivot_multi_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent_n,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 0), 2) AS urgent_total,
+           COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 0), 2) AS low_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_multi_agg(spark, sf_dir):
+    """Multi-aggregate pivot: the reference nests multiple stats under
+    each pivot value as column groups (GroupedPivotAggregations.kt:20-129,
+    groupByValue layout); the relational layout is {value}_{agg} flat
+    columns (SURVEY §2.6 flatten-with-separator parity). Single pivot
+    pass, both aggs in one Expand-free aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.group_by("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .aggregate(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+        )
+    )
+    return out.df.select(
+        "o_orderstatus",
+        F.col("`1-URGENT_n`").alias("urgent_n"),
+        F.col("`1-URGENT_total`").alias("urgent_total"),
+        F.col("`5-LOW_n`").alias("low_n"),
+        F.col("`5-LOW_total`").alias("low_total"),
+    )
