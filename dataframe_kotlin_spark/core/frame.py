@@ -234,6 +234,40 @@ class KDataFrame:
         """Cast via the converter matrix. Reference: api/convert.kt:32-203."""
         return self._wrap(self.df.withColumn(col, F.col(col).cast(to)))
 
+    def convert_epoch_millis(self, col: str, to: str = "timestamp") -> "KDataFrame":
+        """Epoch-millis Long -> timestamp/date (api/convert.kt:166-203's
+        toDate/toTime(zone) path; zone handling = the session time zone,
+        UTC in this engine)."""
+        ts = F.timestamp_millis(F.col(col).cast("long"))
+        return self._wrap(
+            self.df.withColumn(col, ts.cast("date") if to == "date" else ts.cast(to))
+        )
+
+    def update_at(
+        self,
+        col: str,
+        indices: Sequence[int],
+        with_expr: Column,
+        order_by: Sequence[Column | str],
+    ) -> "KDataFrame":
+        """update(col).at(rowIndices).with{} (api/update.kt:46-60):
+        positional targeting needs an explicit order (SURVEY §4.2-2);
+        implemented over a row_number window, then the index set becomes
+        an isin predicate."""
+        w = Window.orderBy(*_cols(order_by))
+        rn = F.row_number().over(w) - 1
+        out = (
+            self.df.withColumn("__rn__", rn)
+            .withColumn(col, F.when(F.col("__rn__").isin(list(indices)), with_expr).otherwise(F.col(col)))
+            .drop("__rn__")
+        )
+        return self._wrap(out)
+
+    def update_not_null(self, col: str, with_expr: Column) -> "KDataFrame":
+        """update(col).notNull{} — rewrite only non-null cells
+        (api/update.kt:101-110)."""
+        return self.update(col, where=F.col(col).isNotNull(), with_expr=with_expr)
+
     # -- sorting (SURVEY §2.7) --------------------------------------------
     def sort_by(self, *keys: Column | str) -> "KDataFrame":
         """Multi-key sort; pass col.asc_nulls_first()/desc() etc. for
@@ -381,9 +415,17 @@ class KDataFrame:
         out = out.select(*others, *[F.col(f"__z__.{c}").alias(c) for c in cols])
         return self._wrap(out)
 
-    def split_col(self, col: str, sep: str, into: Sequence[str]) -> "KDataFrame":
-        """String -> several columns. Reference: api/split.kt:11-114."""
+    def split_col(self, col: str, sep: str, into: Sequence[str] | None = None) -> "KDataFrame":
+        """String -> several columns. Reference: api/split.kt:11-114.
+
+        With ``into=None`` the reference's name generator kicks in:
+        output width = max split count across the data ({col}_1..{col}_n).
+        That width needs one extra aggregate job (max(size)) before the
+        plan is built — explicit `into` avoids it."""
         parts = F.split(F.col(col), sep)
+        if into is None:
+            n = self.df.select(F.max(F.size(parts)).alias("n")).first()["n"] or 0
+            into = [f"{col}_{i + 1}" for i in range(n)]
         out = self.df
         for i, name in enumerate(into):
             out = out.withColumn(name, parts.getItem(i))
@@ -406,14 +448,37 @@ class KDataFrame:
         key_name: str = "key",
         value_name: str = "value",
         drop_nulls: bool = True,
+        where: Column | None = None,
+        map_values: Callable[[Column], Column] | None = None,
+        map_names: Callable[[Column], Column] | None = None,
     ) -> "KDataFrame":
-        """Wide -> long unpivot. Reference: api/gather.kt:13-117.
-        Uses Spark's native melt (whole-stage codegen, no UDF)."""
+        """Wide -> long unpivot with the reference's full clause set
+        (api/gather.kt:13-117): `where` filters gathered values,
+        `map_values` transforms them, `map_names` transforms the key
+        (e.g. strip a prefix). Uses Spark's native melt (whole-stage
+        codegen, no UDF); the clause callables receive/return Columns."""
         ids = [c for c in self.df.columns if c not in value_cols]
         out = self.df.melt(ids=ids, values=list(value_cols), variableColumnName=key_name, valueColumnName=value_name)
         if drop_nulls:
             out = out.filter(F.col(value_name).isNotNull())
+        if where is not None:
+            out = out.filter(where)
+        if map_values is not None:
+            out = out.withColumn(value_name, map_values(F.col(value_name)))
+        if map_names is not None:
+            out = out.withColumn(key_name, map_names(F.col(key_name)))
         return self._wrap(out)
+
+    def gather_presence(
+        self,
+        bool_cols: Sequence[str],
+        key_name: str = "key",
+    ) -> "KDataFrame":
+        """Boolean columns gather to presence: one output row per true
+        cell, key = column name (api/gather.kt bool fast path)."""
+        return self.gather(
+            bool_cols, key_name=key_name, value_name="__v__", where=F.col("__v__")
+        ).remove("__v__")
 
     def merge_rows(self, cols: Sequence[str], sort_lists: bool = True) -> "KDataFrame":
         """Group by remaining columns, collapse selected cols to lists

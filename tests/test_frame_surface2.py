@@ -120,3 +120,59 @@ def test_guess_type_single_column(spark):
     types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
     assert types["a"] in ("int", "bigint")
     assert types["b"] == "string"  # untouched
+
+
+def test_gather_clauses(spark):
+    df = KDataFrame(
+        spark.createDataFrame(
+            [(1, 10, 20, None), (2, 5, None, 30)],
+            "id int, m_a int, m_b int, m_c int",
+        )
+    )
+    out = df.gather(
+        ["m_a", "m_b", "m_c"],
+        key_name="metric",
+        value_name="v",
+        where=F.col("v") > 5,
+        map_values=lambda c: c * 10,
+        map_names=lambda c: F.regexp_replace(c, "^m_", ""),
+    ).sort_by("id", "metric").collect()
+    assert [(r["id"], r["metric"], r["v"]) for r in out] == [
+        (1, "a", 100),
+        (1, "b", 200),
+        (2, "c", 300),
+    ]
+
+
+def test_gather_presence(spark):
+    df = KDataFrame(
+        spark.createDataFrame(
+            [(1, True, False), (2, True, True)], "id int, f1 boolean, f2 boolean"
+        )
+    )
+    out = df.gather_presence(["f1", "f2"]).sort_by("id", "key").collect()
+    assert [(r["id"], r["key"]) for r in out] == [(1, "f1"), (2, "f1"), (2, "f2")]
+
+
+def test_split_col_name_generator(spark):
+    df = KDataFrame(spark.createDataFrame([("a-b-c",), ("x-y",)], "s string"))
+    out = df.split_col("s", "-")
+    assert out.columns == ["s_1", "s_2", "s_3"]
+    rows = out.sort_by("s_1").collect()
+    assert (rows[0]["s_1"], rows[0]["s_2"], rows[0]["s_3"]) == ("a", "b", "c")
+    assert (rows[1]["s_1"], rows[1]["s_2"], rows[1]["s_3"]) == ("x", "y", None)
+
+
+def test_update_at_and_not_null(kdf):
+    out = kdf.update_at("age", [0, 1], F.lit(99), order_by=ORDER)
+    ages = [r["age"] for r in out.sort_by(*ORDER).collect()]
+    assert ages[:2] == [99, 99] and 99 not in ages[2:]
+    out2 = kdf.update_not_null("city", F.upper(F.col("city")))
+    cities = {r["city"] for r in out2.collect()}
+    assert None in cities and all(c is None or c.isupper() for c in cities)
+
+
+def test_convert_epoch_millis(spark):
+    df = KDataFrame(spark.createDataFrame([(0,), (86_400_000,)], "t long"))
+    out = df.convert_epoch_millis("t", to="date").collect()
+    assert sorted(str(r["t"]) for r in out) == ["1970-01-01", "1970-01-02"]
