@@ -691,3 +691,63 @@ def describe_numeric(spark, sf_dir):
             ") AS (col_name, n, n_notnull, n_distinct, min_val, max_val, mean_val)"
         )
     )
+
+
+@query(
+    "quantiles_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-9, 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9) + 1e-9, 4)  AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99) + 1e-9, 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles_price(spark, sf_dir):
+    """Exact interpolated quantiles per group (median generalization,
+    api/median.kt:20-30): Spark `percentile` and duckdb `quantile_cont`
+    share the linear-interpolation definition. At 100 TB switch to
+    `percentile_approx` (t-digest, mergeable partial sketches)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.group_by("l_returnflag")
+        .aggregate(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)") + 1e-9, 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)") + 1e-9, 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)") + 1e-9, 4).alias("p99"),
+        )
+        .df
+    )
+
+
+@query(
+    "mode_per_segment",
+    oracle="""
+    SELECT c_mktsegment, n AS top_freq, nk AS top_value
+    FROM (SELECT c_mktsegment, c_nationkey AS nk, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY COUNT(*) DESC, c_nationkey) AS rn
+          FROM customer GROUP BY c_mktsegment, c_nationkey)
+    WHERE rn = 1
+    """,
+)
+def mode_per_segment(spark, sf_dir):
+    """describe()'s top/freq (api/describe.kt:40-45): most frequent value
+    per group with a DETERMINISTIC tie-break (smallest value wins) —
+    engine `mode()` tie behavior differs across engines, so the portable
+    formulation is count + argmax. Two aggregations, one shuffle each,
+    both keyed on the group."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    counts = c.group_by("c_mktsegment", "c_nationkey").count(name="n")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), F.col("c_nationkey"))
+    return (
+        counts.df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("n").alias("top_freq"),
+            F.col("c_nationkey").alias("top_value"),
+        )
+    )
