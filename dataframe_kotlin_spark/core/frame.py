@@ -392,6 +392,18 @@ class KDataFrame:
             out = out.union(o)
         return out
 
+    def merge_upsert(self, updates: "KDataFrame | DataFrame", keys: Sequence[str]) -> "KDataFrame":
+        """Table-level upsert: update rows replace base rows with the same
+        key; new keys insert (scale extension — the reference's `update`
+        is cell-level; at table scale the idiom is MERGE INTO).
+
+        updates UNION ALL (base ANTI-JOIN updates): one shuffle on the
+        keys, no wide outer join, no per-column coalesce ambiguity (an
+        update row wins wholesale, including its explicit nulls)."""
+        up = updates if isinstance(updates, KDataFrame) else KDataFrame(updates)
+        keep = self.exclude_join(up.select(*keys), on=list(keys))
+        return up.union(keep)
+
     # -- grouping (SURVEY §2.5) -------------------------------------------
     def group_by(self, *keys: Column | str):
         from dataframe_kotlin_spark.core.grouped import KGroupedFrame

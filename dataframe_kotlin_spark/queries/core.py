@@ -751,3 +751,33 @@ def mode_per_segment(spark, sf_dir):
             F.col("c_nationkey").alias("top_value"),
         )
     )
+
+
+@query(
+    "merge_upsert_customers",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+    FROM (
+      SELECT c_custkey, c_name, c_acctbal * 2 AS c_acctbal
+      FROM customer WHERE c_custkey % 100 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer b
+      WHERE NOT EXISTS (SELECT 1 FROM customer u
+                        WHERE u.c_custkey % 100 = 0 AND u.c_custkey = b.c_custkey)
+    )
+    """,
+)
+def merge_upsert_customers(spark, sf_dir):
+    """MERGE INTO-style table upsert (KDataFrame.merge_upsert): update
+    rows win wholesale, unmatched base rows survive, via anti-join +
+    union — one shuffle on the key, no outer join."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    updates = c.filter(F.col("c_custkey") % 100 == 0).replace_col(
+        "c_acctbal", F.col("c_acctbal") * 2
+    )
+    return (
+        c.merge_upsert(updates, keys=["c_custkey"])
+        .replace_col("c_acctbal", F.round(F.col("c_acctbal"), 2))
+        .df
+    )

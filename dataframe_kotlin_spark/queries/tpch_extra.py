@@ -245,3 +245,115 @@ def q19_brand_bands(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume by year. The same dim table
+    (nation) joins twice under different roles — exercises the join
+    collision renaming; the pair filter applies post-join on the
+    broadcast side, so the fact scan is shared."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .inner_join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")], broadcast_right=True)
+        .inner_join(sn, on=[F.col("s_nationkey") == F.col("sn_key")], broadcast_right=True)
+        .inner_join(cn, on=[F.col("c_nationkey") == F.col("cn_key")], broadcast_right=True)
+        .filter(pair)
+        .group_by("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .aggregate(F.sum(rev).cast("double").alias("revenue"))
+        .df
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                     THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE 0 END) AS DOUBLE) /
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                          (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) + 1e-9,
+                 4) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY order_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's revenue
+    by year — conditional numerator over the same aggregate scan, nation
+    joined twice (customer role filters, supplier role classifies)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_5", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.inner_join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")], broadcast_right=True)
+        .inner_join(cn, on=[F.col("c_nationkey") == F.col("cn_key")], broadcast_right=True)
+        .inner_join(r, on=[F.col("cn_region") == F.col("r_regionkey")], broadcast_right=True)
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .inner_join(sn, on=[F.col("s_nationkey") == F.col("sn_key")], broadcast_right=True)
+        .group_by(F.year("o_orderdate").alias("order_year"))
+        .aggregate(
+            F.round(
+                F.sum(nat_rev).cast("double") / F.sum(rev).cast("double") + 1e-9, 4
+            ).alias("mkt_share")
+        )
+        .df
+    )

@@ -246,3 +246,11 @@ def run_to_memory(
         .start()
         .awaitTermination(300)
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (re-read)
+    static side — the standard enrichment pattern. The static side is
+    broadcast per batch when under the threshold; no state is kept, so
+    this composes freely with downstream watermarked aggs."""
+    return events.join(F.broadcast(dim), on, "left")

@@ -176,3 +176,15 @@ def test_convert_epoch_millis(spark):
     df = KDataFrame(spark.createDataFrame([(0,), (86_400_000,)], "t long"))
     out = df.convert_epoch_millis("t", to="date").collect()
     assert sorted(str(r["t"]) for r in out) == ["1970-01-01", "1970-01-02"]
+
+
+def test_merge_upsert(spark):
+    base = KDataFrame(
+        spark.createDataFrame([(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int")
+    )
+    updates = KDataFrame(
+        spark.createDataFrame([(2, "B", None), (4, "d", 40)], "k int, s string, v int")
+    )
+    out = {r["k"]: (r["s"], r["v"]) for r in base.merge_upsert(updates, ["k"]).collect()}
+    # update row wins wholesale (including its explicit null), new key inserts
+    assert out == {1: ("a", 10), 2: ("B", None), 3: ("c", 30), 4: ("d", 40)}

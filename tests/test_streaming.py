@@ -154,3 +154,29 @@ def test_multibatch_incremental(spark, ckpt, batch_events, tmp_path_factory):
     )
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stream_static_enrichment(spark, stream_src, ckpt):
+    """Stream-static join enriches each micro-batch; result matches the
+    batch join on the same inputs."""
+    dim = spark.createDataFrame(
+        [(t, t.upper()) for t in ["click", "view", "purchase", "signup", "error"]],
+        "event_type string, label string",
+    )
+    enriched = sj.enrich_stream(sj.read_event_stream(spark, stream_src), dim, "event_type")
+    agg = (
+        enriched.withWatermark("ts", "0 seconds")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+    sj.run_to_memory(agg, "t_enriched", ckpt, output_mode="complete")
+    got = {r["label"]: r["n"] for r in spark.table("t_enriched").collect()}
+    exp = {
+        r["label"]: r["n"]
+        for r in load_events(spark, SF_DIR)
+        .join(dim, "event_type", "left")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp and len(got) == 5
