@@ -327,3 +327,30 @@ def join_part_supplier_stats(spark, sf_dir):
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
+
+
+@query(
+    "distinct_suppliers_brand",
+    oracle="""
+    SELECT p_brand,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def distinct_suppliers_brand(spark, sf_dir):
+    """count_distinct per group over a broadcast join (TPC-H Q16 shape
+    without partsupp). Spark plans distinct-agg as a two-phase expand —
+    partials still combine before the shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .group_by("p_brand")
+        .aggregate(
+            F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .df
+    )

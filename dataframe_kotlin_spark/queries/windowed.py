@@ -359,3 +359,26 @@ def interval_join_windows(spark, sf_dir):
         "window_id",
         (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("bigint").alias("ts_epoch"),
     )
+
+
+@query(
+    "percent_rank_dist",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY c_acctbal, c_custkey) + 1e-9, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey) + 1e-9, 6) AS cume
+    FROM customer
+    """,
+)
+def percent_rank_dist(spark, sf_dir):
+    """percent_rank / cume_dist (SURVEY §2.7 ranking extras): relative
+    standing within a partition — one shuffle on the partition key."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.df.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + 1e-9, 6).alias("cume"),
+    )

@@ -254,3 +254,49 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     broadcast per batch when under the threshold; no state is kept, so
     this composes freely with downstream watermarked aggs."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def run_upsert_sink(
+    stream_df: DataFrame,
+    target_dir: str,
+    keys: list,
+    checkpoint_dir: str,
+    reduce=None,
+) -> None:
+    """foreachBatch upsert sink: each micro-batch MERGEs into a parquet
+    target via KDataFrame.merge_upsert (anti-join + union). This is the
+    idempotent-sink pattern for engines without a transactional table
+    format; with Delta/Iceberg the body becomes MERGE INTO. Batch
+    replays are safe: upserting the same batch twice is a no-op.
+
+    `reduce` (optional, DataFrame -> DataFrame) collapses the micro-batch
+    to one row per key first (e.g. latest-by-timestamp) — batch-local
+    work, no streaming state.
+    """
+    import os as _os
+
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if reduce is not None:
+            batch_df = reduce(batch_df)
+        if _os.path.exists(_os.path.join(target_dir, "_SUCCESS")):
+            base = KDataFrame(spark.read.parquet(target_dir))
+            merged = base.merge_upsert(KDataFrame(batch_df), keys=keys).df
+        else:
+            merged = batch_df
+        # stage-then-swap: the base read above must complete before the
+        # target is overwritten (parquet has no transactions; a table
+        # format would make this one atomic MERGE)
+        tmp = target_dir + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_dir)
+
+    (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )

@@ -180,3 +180,48 @@ def test_stream_static_enrichment(spark, stream_src, ckpt):
         .collect()
     }
     assert got == exp and len(got) == 5
+
+
+def test_foreach_batch_upsert_sink(spark, ckpt, batch_events, tmp_path_factory):
+    """foreachBatch upsert: latest state per user survives multi-batch
+    streaming; equals batch distinct-by-latest."""
+    src = tmp_path_factory.mktemp("upsert_chunks")
+    chunks = batch_events.withColumn("part", F.ntile(2).over(Window.orderBy("ts")))
+    for i in (1, 2):
+        chunks.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src / "data"))
+    target = str(tmp_path_factory.mktemp("upsert_target") / "state")
+
+    latest_cols = ["user_id", "ts", "event_type", "value"]
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "data"))
+        .select(*latest_cols)
+    )
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+    from dataframe_kotlin_spark.streaming.stream_jobs import run_upsert_sink
+
+    run_upsert_sink(
+        stream,
+        target,
+        keys=["user_id"],
+        checkpoint_dir=os.path.join(ckpt, "upsert"),
+        reduce=lambda df: KDataFrame(df)
+        .distinct_by(["user_id"], order_by=[F.col("ts").desc()])
+        .df,
+    )
+
+    got = spark.read.parquet(target)
+    exp = (
+        batch_events.select(*latest_cols)
+        .withColumn(
+            "__rn__",
+            F.row_number().over(Window.partitionBy("user_id").orderBy(F.col("ts").desc())),
+        )
+        .filter("__rn__ = 1")
+        .drop("__rn__")
+    )
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
