@@ -357,3 +357,237 @@ def q8_market_share(spark, sf_dir):
         )
         .df
     )
+
+
+@query(
+    "q12_late_priority",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode -> returnflag, commit/receipt lag ->
+    ship lag): two conditional counts over one joined pass. The priority
+    CASE stays inside the partial agg, so the shuffle carries 2 longs per
+    group, not rows."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.inner_join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .group_by("l_returnflag")
+        .aggregate(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .df
+    )
+
+
+@query(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customers-per-order-count histogram. The LEFT
+    join keeps order-less customers (c_count = 0); COUNT(col) skips the
+    null probe rows. Two shuffles (custkey, then tiny c_count)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.left_join(o, on=[F.col("c_custkey") == F.col("o_custkey")])
+        .group_by("c_custkey")
+        .aggregate(F.count("o_orderkey").alias("c_count"))
+        .group_by("c_count")
+        .count(name="custdist")
+        .df
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax over an aggregate (top revenue supplier,
+    ties kept). The scalar MAX is a 1-row broadcast joined back onto the
+    aggregate — no window over a single partition, no collect. Revenue
+    stays DECIMAL until output so the equality is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.group_by("l_suppkey").aggregate(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("total_rev")
+    )
+    mx = KDataFrame(rev.df.agg(F.max("total_rev").alias("__mx__")))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.inner_join(mx, on=[F.col("total_rev") == F.col("__mx__")], broadcast_right=True)
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+        .df
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 + 1e-9,
+                 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN (SELECT l_partkey AS a_partkey, 0.2 * AVG(l_quantity) AS qty_thr
+          FROM lineitem GROUP BY l_partkey) a
+      ON a_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_thr
+    """,
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: rows below 20% of their part's average quantity —
+    the correlated AVG subquery decorrelated into a groupBy + equi-join.
+    The per-part aggregate is tiny (one row per partkey) and broadcasts;
+    lineitem is scanned twice but never shuffled on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    thr = li.group_by(F.col("l_partkey").alias("a_partkey")).aggregate(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .inner_join(thr, on=[F.col("l_partkey") == F.col("a_partkey")], broadcast_right=True)
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .df.agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0) + 1e-9, 2
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (lateness = shipped >90d after order): the sole
+    late supplier on a multi-supplier order. The EXISTS / NOT EXISTS
+    pair is decorrelated into per-order window sets (distinct
+    suppliers / distinct late suppliers over the orderkey partition)
+    instead of two lineitem self-joins — ONE shuffle on orderkey
+    replaces Q21's classic triple scan, and the filter (n_supp > 1,
+    n_late = 1, row is late) is algebraically the original
+    correlation. A key's rows all sit in one window frame; orders have
+    few lines each, so the collect_set state is bounded."""
+    from pyspark.sql import Window
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    w = Window.partitionBy("l_orderkey")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.inner_join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .add("__n_supp__", F.size(F.collect_set("l_suppkey").over(w)))
+        .add("__n_late__", F.size(F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)))
+        .filter(late & (F.col("__n_supp__") > 1) & (F.col("__n_late__") == 1))
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .group_by("s_name")
+        .count(name="numwait")
+        .take_ordered(25, [F.col("numwait").desc(), F.col("s_name")])
+        .df
+    )
+
+
+@query(
+    "q22_idle_balance",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_balance(spark, sf_dir):
+    """TPC-H Q22 shape (phone-prefix -> mktsegment, never-ordered ->
+    no-urgent-order): above-average balances among customers with no
+    urgent orders. The scalar AVG is a 1-row cross-join broadcast; the
+    NOT EXISTS is an anti join on a pre-filtered, projected orders side.
+    The threshold divides an exact DECIMAL sum so both engines compare
+    the same double."""
+    cust = _t(spark, sf_dir, "customer")
+    thr = cust.filter(F.col("c_acctbal") > 0.0).df.agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("__thr__")
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        KDataFrame(cust.df.crossJoin(F.broadcast(thr)))
+        .filter(F.col("c_acctbal") > F.col("__thr__"))
+        .exclude_join(urgent, on=[F.col("c_custkey") == F.col("o_custkey")])
+        .group_by("c_mktsegment")
+        .aggregate(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .df
+    )
