@@ -126,6 +126,15 @@ class KGroupedFrame:
     def rollup(self, *aggs: Column) -> "KDataFrame":
         return self._wrap(self.df.rollup(*self.keys).agg(*aggs))
 
+    def grouping_sets(self, sets: Sequence[Sequence[str]], *aggs: Column) -> "KDataFrame":
+        """Explicit GROUPING SETS (arbitrary subsets of the group keys,
+        unlike cube/rollup's fixed lattices). One Expand pass — each input
+        row is replicated once per set, then a single hash aggregate."""
+        key_cols = [F.col(k) if isinstance(k, str) else k for k in self.keys]
+        return self._wrap(
+            self.df.groupingSets([[F.col(c) for c in s] for s in sets], *key_cols).agg(*aggs)
+        )
+
 
 class KPivotClause:
     """groupBy(idx).pivot(col).agg(...) with explicit sorted value list for

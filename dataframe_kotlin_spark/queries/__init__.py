@@ -51,6 +51,7 @@ def _load_all():
         return
     # import for registration side effects
     from dataframe_kotlin_spark.queries import (  # noqa: F401
+        approx,
         core,
         joins,
         pipeline,

@@ -1,0 +1,75 @@
+"""Approximate-cardinality and grouping-set queries.
+
+The HLL queries have NO oracle_sql on purpose: Spark HLL++ /
+DataSketches and DuckDB's approx_count_distinct use different hash
+functions, so their estimates differ legitimately. The driver records a
+rows-only check; tests/test_approx.py pins the relative error against
+the exact count instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.core.frame import KDataFrame
+from dataframe_kotlin_spark.operators import sketches
+from dataframe_kotlin_spark.queries import query
+
+
+def _t(spark, sf_dir: str, name: str) -> KDataFrame:
+    return KDataFrame(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
+
+
+@query(
+    "grouping_sets_qty",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def grouping_sets_qty(spark, sf_dir):
+    """Explicit GROUPING SETS — an arbitrary subset lattice (here:
+    pair, linestatus-only, grand total; deliberately NOT a rollup of
+    returnflag). One Expand + one hash agg, same as cube/rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.group_by("l_returnflag", "l_linestatus").grouping_sets(
+        [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+    )
+    return out.df.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+        "n_items",
+        "sum_qty",
+    )
+
+
+@query("approx_distinct_parts")
+def approx_distinct_parts(spark, sf_dir):
+    """HLL++ distinct parts per supplier nation: the shuffle carries one
+    fixed-size register set per nation instead of every distinct
+    (nation, partkey) pair — the 100 TB COUNT(DISTINCT) replacement."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    j = li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+    return sketches.approx_distinct(j.df, ["s_nationkey"], "l_partkey", rsd=0.02)
+
+
+@query("hll_rollup_customers")
+def hll_rollup_customers(spark, sf_dir):
+    """Sketch-rollup reuse: per-(nation, orderpriority) customer sketches
+    built ONCE, then merged up to nation level without rescanning orders
+    — distinct counts stay correct across the merge because HLL is a
+    true monoid (unlike pre-counted distincts, which can't be summed)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")], broadcast_right=True)
+    per_leaf = sketches.hll_sketch(j.df, ["c_nationkey", "o_orderpriority"], "o_custkey")
+    return sketches.hll_merge(per_leaf, ["c_nationkey"])

@@ -300,3 +300,33 @@ def run_upsert_sink(
         .start()
         .awaitTermination(300)
     )
+
+
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within_seconds: int = 1800,
+    watermark: str = "0 seconds",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Watermarked stream-stream inner join with a time-range bound
+    (right event within ``within_seconds`` AFTER the left event).
+
+    The range condition is not decoration — it is what bounds the join
+    state: each side buffers rows only until the other side's watermark
+    passes ts + within, then the state store evicts them. An equi-join
+    without a time bound would buffer both streams forever. Right-side
+    columns get ``suffix`` so the joined row keeps both timestamps.
+    """
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + suffix)
+    lw = left.withWatermark("ts", watermark)
+    rw = r.withWatermark("ts" + suffix, watermark)
+    cond = (
+        (F.col(key) == F.col(key + suffix))
+        & (F.col("ts" + suffix) >= F.col("ts"))
+        & (F.col("ts" + suffix) <= F.col("ts") + F.expr(f"INTERVAL {within_seconds} SECOND"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -1,0 +1,75 @@
+"""Approximate-cardinality operators: error bounds vs exact counts, and
+sketch-merge consistency (the checks the DuckDB oracle can't do — see
+queries/approx.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.operators import sketches
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(os.path.join(SF, "orders.parquet"))
+
+
+def test_approx_distinct_error_bound(spark, lineitem):
+    exact = {
+        r["l_returnflag"]: r["nd"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("nd"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_nd"]
+        for r in sketches.approx_distinct(
+            lineitem, ["l_returnflag"], "l_partkey", rsd=0.02
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
+def test_hll_merge_matches_direct_sketch(spark, orders):
+    """Merging per-priority sketches to the custkey universe must agree
+    with sketching the universe directly (union promotes HLL_4 -> HLL_8,
+    so the estimates may differ by a hair but not by data loss — this is
+    what makes persisted rollups reusable)."""
+    per_leaf = sketches.hll_sketch(orders, ["o_orderpriority"], "o_custkey")
+    merged = sketches.hll_merge(
+        per_leaf.withColumn("g", F.lit(1)), ["g"]
+    ).collect()[0]["approx_nd"]
+    direct = (
+        sketches.hll_sketch(orders.withColumn("g", F.lit(1)), ["g"], "o_custkey")
+        .select(F.hll_sketch_estimate("sketch").alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(merged - direct) / direct < 0.01
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
+
+
+def test_hll_estimate_error_bound(spark, orders):
+    est = sketches.hll_merge(
+        sketches.hll_sketch(orders, ["o_orderpriority"], "o_orderkey"),
+        ["o_orderpriority"],
+    ).collect()
+    exact = {
+        r["o_orderpriority"]: r["nd"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_orderkey").alias("nd"))
+        .collect()
+    }
+    for r in est:
+        e, x = r["approx_nd"], exact[r["o_orderpriority"]]
+        assert abs(e - x) / x < 0.05, (r["o_orderpriority"], e, x)

@@ -86,3 +86,43 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """With runtime bloom filters on, a selective dim-side filter injects
+    a might_contain() probe into the fact scan side of a shuffle join —
+    rows that can't match are dropped BEFORE the shuffle. At 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the matching slice."""
+    sf = "/root/testdata/sf0.01"
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        p = spark.read.parquet(f"{sf}/part.parquet").filter(F.col("p_brand") == "Brand#23")
+        j = li.join(p, li.l_partkey == p.p_partkey).groupBy("p_brand").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # and the probe result is still correct
+        exact = (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{sf}/part.parquet").filter("p_brand = 'Brand#23'"),
+                F.expr("l_partkey = p_partkey"),
+            )
+            .count()
+        )
+        assert j.collect()[0]["count"] == exact
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -225,3 +225,28 @@ def test_foreach_batch_upsert_sink(spark, ckpt, batch_events, tmp_path_factory):
     )
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, stream_src, ckpt, batch_events):
+    """click->purchase attribution join across two watermarked streams
+    equals the same time-range join in batch mode."""
+    clicks = sj.read_event_stream(spark, stream_src).filter(F.col("event_type") == "click")
+    buys = sj.read_event_stream(spark, stream_src).filter(F.col("event_type") == "purchase")
+    joined = sj.join_event_streams(clicks, buys, within_seconds=1800).select(
+        "event_id", "event_id_r", "user_id", "ts", "ts_r"
+    )
+    sj.run_to_memory(joined, "t_ss_join", ckpt)
+    got = spark.table("t_ss_join")
+
+    bc = batch_events.filter("event_type = 'click'")
+    bp = batch_events.filter("event_type = 'purchase'")
+    for c in bp.columns:
+        bp = bp.withColumnRenamed(c, c + "_r")
+    exp = bc.join(
+        bp,
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts_r") >= F.col("ts"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr("INTERVAL 1800 SECOND")),
+    ).select("event_id", "event_id_r", "user_id", "ts", "ts_r")
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
