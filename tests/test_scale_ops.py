@@ -126,3 +126,34 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path_factory):
+    """Hive-style partitionBy layout: a filter on the partition column
+    becomes a PartitionFilter (directory pruning — unmatched partitions
+    are never listed into tasks), not a data filter. This is the layout
+    contract for time-partitioned fact tables at 100 TB."""
+    sf = "/root/testdata/sf0.01"
+    target = str(tmp_path_factory.mktemp("pp") / "lineitem_by_month")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    (
+        li.withColumn("ship_month", F.date_format("l_shipdate", "yyyy-MM"))
+        .write.partitionBy("ship_month")
+        .mode("overwrite")
+        .parquet(target)
+    )
+
+    part = spark.read.parquet(target)
+    q = part.filter(F.col("ship_month") == "1996-03").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    part_filters = plan.split("PartitionFilters")[1][:200]
+    assert "ship_month" in part_filters and "1996-03" in part_filters
+    # the partition predicate is directory-level, not a parquet row filter
+    assert "ship_month" not in plan.split("PushedFilters")[1][:200]
+    # and values agree with an unpartitioned filter
+    exp = li.filter(F.date_format("l_shipdate", "yyyy-MM") == "1996-03").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
+    )
+    assert q.collect() == exp.collect()
