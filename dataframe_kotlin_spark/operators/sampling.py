@@ -1,0 +1,127 @@
+"""Sampling / splitting operators for training-data pipelines.
+
+Design rule: every split is a PURE FUNCTION of the row key, not of
+``rand()``. At 100 TB a random split is irreproducible (task retries
+resample) and unjoinable (the same document lands in train today, val
+tomorrow). A multiplicative integer hash gives:
+
+- determinism across runs, retries, and engines (plain BIGINT
+  arithmetic — the duckdb oracle computes the identical value);
+- stability under repartition (keyed on the value, not the task);
+- disjoint, exhaustive buckets by construction.
+
+``rand(seed)``-based ops (stratified_sample, reservoir_per_group) are
+kept for when statistical independence from the key matters; their seed
+makes a single run reproducible, but prefer hash_split for anything
+that must be stable across pipelines.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative constant (2^32 / phi), odd -> bijective mod 2^64;
+# a second odd constant for the output stage so the two mixes differ.
+_KNUTH = 2654435761
+_MIX2 = 2246822519
+
+
+def hash_bucket(key: Column, buckets: int = 100, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key.
+
+    Two multiplicative mixes with a mod-2^31 fold between them:
+    ``pmod(pmod(key, 2^31) * K1 + salt * K2, 2^31) * K2 % buckets``.
+    Plain BIGINT ops (max intermediate 2^31 * 2^32 < 2^63 — no overflow
+    even under ANSI mode), so any engine (Spark, DuckDB, a feature
+    store) reproduces the same assignment. The fold between the two
+    multiplies is what makes different ``salt`` values genuinely
+    independent splits — a single affine hash would only shift the
+    bucket boundaries by a constant. |salt| must stay under ~10^9.
+    """
+    folded = F.pmod(key.cast("bigint"), F.lit(2**31))
+    mixed = F.pmod(folded * F.lit(_KNUTH) + F.lit(salt) * F.lit(_MIX2), F.lit(2**31))
+    return (mixed * F.lit(_MIX2)) % F.lit(buckets)
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: int = 0,
+    name: str = "split",
+) -> DataFrame:
+    """Label every row train/val/test (any names) by hashed key ranges.
+
+    ``weights`` maps split name -> fraction (must sum to ~1). Buckets are
+    permille-granular. Rows with the same key ALWAYS land in the same
+    split — the property that prevents train/test leakage when the key
+    is a document/user id duplicated across shards.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    b = hash_bucket(F.col(key), buckets=1000, salt=salt)
+    expr = None
+    lo = 0
+    items = sorted(weights.items())  # deterministic boundary order
+    for nm, w in items:
+        hi = lo + int(round(w * 1000))
+        cond = (b >= lo) & (b < hi) if nm != items[-1][0] else (b >= lo)
+        expr = F.when(cond, nm) if expr is None else expr.when(cond, nm)
+        lo = hi
+    return df.withColumn(name, expr)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``df.sampleBy``): map-only, no
+    shuffle; each task samples its partition independently."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def mix_weighted(
+    sources: Sequence[tuple[DataFrame, float]],
+    key: str,
+    salt: int = 0,
+    name: str = "source_id",
+) -> DataFrame:
+    """Mix N corpora at given sampling rates into one training stream.
+
+    Each source keeps rows whose hash bucket falls under its rate
+    (deterministic — re-running the pipeline yields the same mixture),
+    tagged with its source index. Union is by name so schemas may be
+    column-order-divergent; all sources must share the schema set.
+    """
+    parts = []
+    for i, (df, rate) in enumerate(sources):
+        kept = df.filter(hash_bucket(F.col(key), buckets=1000, salt=salt + i) < int(round(rate * 1000)))
+        parts.append(kept.withColumn(name, F.lit(i)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def reservoir_per_group(
+    df: DataFrame, keys: Sequence[str], k: int, seed: int = 42, order_salt: str | None = None
+) -> DataFrame:
+    """Uniform k-sample per group: rank by a seeded per-row hash-random
+    and keep the first k. One shuffle on the group keys; equivalent to a
+    distributed reservoir because the random order is exchangeable.
+    ``order_salt`` names a unique column mixed into the randomness so
+    ties are impossible; defaults to all non-key columns' hash.
+    """
+    from pyspark.sql import Window
+
+    salt_col = F.col(order_salt) if order_salt else F.struct(*[c for c in df.columns if c not in keys])
+    rnd = F.xxhash64(salt_col, F.lit(seed))
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(rnd)
+    return (
+        df.withColumn("__rs_rank__", F.row_number().over(w))
+        .filter(F.col("__rs_rank__") <= k)
+        .drop("__rs_rank__")
+    )

@@ -363,3 +363,36 @@ def quality_filter(spark, sf_dir):
     C4/Gopher-style length+punct+stopword rules)."""
     out = textpipe.score_quality(_t(spark, sf_dir, "documents"), "text")
     return out.select("doc_id", "lang", "quality")
+
+
+# -- deterministic splitting / mixing --------------------------------------
+@query(
+    "hash_split_counts",
+    oracle="""
+    SELECT CASE WHEN bucket < 100 THEN 'test'
+                WHEN bucket < 900 THEN 'train'
+                ELSE 'val' END AS split,
+           o_orderpriority,
+           COUNT(*) AS n_orders
+    FROM (SELECT o_orderpriority,
+                 ((((((o_orderkey % 2147483648) + 2147483648) % 2147483648)
+                     * 2654435761) % 2147483648 + 2147483648) % 2147483648)
+                   * 2246822519 % 1000 AS bucket
+          FROM orders)
+    GROUP BY split, o_orderpriority
+    """,
+)
+def hash_split_counts(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment as a pure
+    function of the key (operators/sampling.hash_split) — the oracle
+    recomputes the identical multiplicative hash in plain BIGINT
+    arithmetic, proving the split is engine- and run-independent (task
+    retries can't resample; same key can never leak across splits)."""
+    from dataframe_kotlin_spark.operators import sampling
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        sampling.hash_split(o, "o_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -1,0 +1,97 @@
+"""Sampling/splitting operators: determinism, disjointness, proportions
+(operators/sampling.py). The cross-engine determinism of hash_split is
+proven by the duckdb oracle on query hash_split_counts; these tests pin
+the distributional properties."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.operators import sampling
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(os.path.join(SF, "orders.parquet"))
+
+
+def test_hash_split_proportions_and_exhaustive(orders):
+    split = sampling.hash_split(orders, "o_orderkey", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = orders.count()
+    assert sum(counts.values()) == n  # exhaustive, no dropped rows
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+
+
+def test_hash_split_stable_per_key(orders):
+    """Same key -> same split, across independent invocations and
+    repartitionings (the no-leakage property)."""
+    a = sampling.hash_split(orders, "o_orderkey", {"train": 0.9, "test": 0.1})
+    b = sampling.hash_split(
+        orders.repartition(7, "o_orderpriority"), "o_orderkey", {"train": 0.9, "test": 0.1}
+    )
+    joined = a.select("o_orderkey", "split").join(
+        b.select(F.col("o_orderkey").alias("k"), F.col("split").alias("split_b")),
+        F.col("o_orderkey") == F.col("k"),
+    )
+    assert joined.filter("split <> split_b").count() == 0
+
+
+def test_hash_split_salt_decorrelates(orders):
+    a = sampling.hash_split(orders, "o_orderkey", {"train": 0.5, "test": 0.5})
+    b = sampling.hash_split(orders, "o_orderkey", {"train": 0.5, "test": 0.5}, salt=7)
+    both = a.select("o_orderkey", "split").join(
+        b.select(F.col("o_orderkey").alias("k"), F.col("split").alias("split_b")),
+        F.col("o_orderkey") == F.col("k"),
+    )
+    same = both.filter("split = split_b").count() / both.count()
+    assert 0.4 < same < 0.6  # independent coin flips agree ~50%
+
+
+def test_hash_split_bad_weights(orders):
+    with pytest.raises(ValueError):
+        sampling.hash_split(orders, "o_orderkey", {"train": 0.8, "test": 0.1})
+
+
+def test_stratified_sample_fractions(orders):
+    fr = {"1-URGENT": 0.5, "5-LOW": 0.1}
+    got = sampling.stratified_sample(orders, "o_orderpriority", fr, seed=1)
+    assert set(r["o_orderpriority"] for r in got.select("o_orderpriority").distinct().collect()) <= set(fr)
+    per = {r["o_orderpriority"]: r["n"] for r in got.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    base = {r["o_orderpriority"]: r["n"] for r in orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    assert abs(per["1-URGENT"] / base["1-URGENT"] - 0.5) < 0.1
+    assert abs(per["5-LOW"] / base["5-LOW"] - 0.1) < 0.05
+
+
+def test_mix_weighted_rates_and_tags(orders):
+    urgent = orders.filter("o_orderpriority = '1-URGENT'")
+    low = orders.filter("o_orderpriority = '5-LOW'")
+    mixed = sampling.mix_weighted([(urgent, 1.0), (low, 0.25)], key="o_orderkey")
+    per = {r["source_id"]: r["n"] for r in mixed.groupBy("source_id").agg(F.count("*").alias("n")).collect()}
+    assert per[0] == urgent.count()  # rate 1.0 keeps everything
+    assert abs(per[1] / low.count() - 0.25) < 0.05
+    # deterministic: re-running yields the identical mixture
+    again = sampling.mix_weighted([(urgent, 1.0), (low, 0.25)], key="o_orderkey")
+    assert mixed.exceptAll(again).count() == 0 and again.exceptAll(mixed).count() == 0
+
+
+def test_reservoir_per_group(orders):
+    k = 3
+    got = sampling.reservoir_per_group(orders, ["o_orderpriority"], k=k, order_salt="o_orderkey")
+    per = got.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] == k for r in per)
+    # reproducible with the same seed
+    again = sampling.reservoir_per_group(orders, ["o_orderpriority"], k=k, order_salt="o_orderkey")
+    assert got.exceptAll(again).count() == 0
+    # different seed -> (almost surely) different sample
+    other = sampling.reservoir_per_group(
+        orders, ["o_orderpriority"], k=k, seed=99, order_salt="o_orderkey"
+    )
+    assert got.exceptAll(other).count() > 0
