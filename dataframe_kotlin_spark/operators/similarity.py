@@ -231,3 +231,116 @@ def cosine_topk_blas(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# -- learned IVF: distributed k-means + nprobe probing ---------------------
+
+
+def _centroid_array(centroids: list[list[float]]) -> Column:
+    """Centroid list as a nested array literal (k x dim doubles — model
+    parameters, broadcast inside the plan, not data)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, d: s + d)
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Indices of the nprobe nearest centroids, by squared distance
+    (ties break on cell index via lexicographic struct sort)."""
+    scored = F.transform(
+        _centroid_array(centroids),
+        lambda c, i: F.struct(_sq_dist(vec, c).alias("d"), i.alias("idx")),
+    )
+    return F.slice(F.transform(F.array_sort(scored), lambda s: s["idx"]), 1, nprobe)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for IVF coarse cells.
+
+    Each iteration is one Spark job: assignment is a broadcast argmin
+    EXPRESSION (no UDF), the update is posexplode -> (cell, pos) average
+    -> k x dim rows collected to the driver. Only model parameters ever
+    reach the driver (k*dim floats); the data never does. Init is the k
+    vectors with the smallest xxhash64(id) — deterministic, no
+    driver-side RNG, stable across retries. Empty cells keep their
+    previous centroid.
+    """
+    base = df.select(F.col(id_col).alias("__id__"), as_double(F.col(vec_col)).alias("__v__"))
+    init = (
+        base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
+        .limit(k)
+        .select("__v__")
+        .collect()
+    )
+    centroids = [list(r["__v__"]) for r in init]
+    for _ in range(iters):
+        assigned = base.withColumn("__cell__", _nearest_cells(F.col("__v__"), centroids, 1)[0])
+        means = (
+            assigned.select("__cell__", F.posexplode("__v__").alias("__pos__", "__x__"))
+            .groupBy("__cell__", "__pos__")
+            .agg(F.avg("__x__").alias("__m__"))
+            .groupBy("__cell__")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos__", "__m__"))).alias("__s__"))
+            .select("__cell__", F.transform("__s__", lambda s: s["__m__"]).alias("__c__"))
+            .collect()
+        )
+        for r in means:
+            centroids[r["__cell__"]] = list(r["__c__"])
+    return centroids
+
+
+def assign_cells(
+    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding", out: str = "cell"
+) -> DataFrame:
+    """Tag each vector with its nearest learned centroid (the write-time
+    step: at scale, partition/bucket the table by this column so probes
+    read one partition per cell)."""
+    return df.withColumn(out, _nearest_cells(as_double(F.col(vec_col)), centroids, 1)[0])
+
+
+def ivf_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN over learned IVF cells with multi-cell probing.
+
+    Each query expands to its nprobe nearest cells (recall knob), then
+    candidates come from an equi-join on the cell id — the cross join
+    never exists. Cells are disjoint, so no candidate dedup is needed;
+    the final per-query top-k spans all probed cells.
+    """
+    c = assign_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv__")),
+        centroids,
+        "__cv__",
+        out="__cell__",
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv__"))
+        .withColumn("__cells__", _nearest_cells(F.col("__qv__"), centroids, nprobe))
+        .select("query_id", "__qv__", F.explode("__cells__").alias("__cell__"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell__")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("__cv__"), F.col("__qv__")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

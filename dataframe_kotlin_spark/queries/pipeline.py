@@ -396,3 +396,17 @@ def hash_split_counts(spark, sf_dir):
         .groupBy("split", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@query("ann_ivf_trained")
+def ann_ivf_trained(spark, sf_dir):
+    """Learned-IVF ANN end-to-end: k-means coarse centroids (distributed
+    Lloyd's, deterministic init), nprobe=2 probing, per-query top-5.
+    Rows-only check (k-means has no SQL oracle); recall vs brute force
+    is pinned in tests/test_ann_ivf.py."""
+    from dataframe_kotlin_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.orderBy("vec_id").limit(20)
+    cents = sim.train_ivf_centroids(emb, k=8, iters=3)
+    return sim.ivf_topk_trained(emb, queries_df, cents, k=5, nprobe=2)

@@ -1,0 +1,75 @@
+"""Learned-IVF ANN: k-means convergence, nprobe recall vs brute force,
+deterministic training (operators/similarity.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.operators import similarity as sim
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.orderBy("vec_id").limit(20)
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return sim.train_ivf_centroids(emb, k=8, iters=4)
+
+
+def _inertia(emb, centroids):
+    a = sim.assign_cells(emb, centroids, out="cell")
+    cents = sim._centroid_array(centroids)
+    return a.select(
+        F.sum(sim._sq_dist(sim.as_double(F.col("embedding")), cents[F.col("cell")])).alias("i")
+    ).collect()[0]["i"]
+
+
+def test_kmeans_inertia_decreases(emb):
+    i1 = _inertia(emb, sim.train_ivf_centroids(emb, k=8, iters=1))
+    i4 = _inertia(emb, sim.train_ivf_centroids(emb, k=8, iters=4))
+    assert i4 <= i1 * 1.0001  # Lloyd's never increases inertia
+
+
+def test_kmeans_deterministic(emb, centroids):
+    again = sim.train_ivf_centroids(emb, k=8, iters=4)
+    flat = [x for c in centroids for x in c]
+    flat2 = [x for c in again for x in c]
+    assert all(abs(a - b) < 1e-9 for a, b in zip(flat, flat2))
+
+
+def test_ivf_recall_vs_bruteforce(emb, queries, centroids):
+    k = 5
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, queries, k=k).collect()
+    }
+    got2 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk_trained(emb, queries, centroids, k=k, nprobe=2).collect()
+    }
+    got_all = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk_trained(emb, queries, centroids, k=k, nprobe=8).collect()
+    }
+    assert len(got_all & exact) / len(exact) > 0.99  # nprobe=all cells == exact
+    assert len(got2 & exact) / len(exact) > 0.5  # partial probing trades recall
+    assert len(got2 & exact) <= len(got_all & exact)
+
+
+def test_assign_cells_covers_all_cells(emb, centroids):
+    cells = sim.assign_cells(emb, centroids, out="cell")
+    per = cells.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in per) == emb.count()
+    assert len(per) >= 6  # k=8 minus (rare) empty cells
