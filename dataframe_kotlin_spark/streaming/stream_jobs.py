@@ -330,3 +330,21 @@ def join_event_streams(
         & (F.col("ts" + suffix) <= F.col("ts") + F.expr(f"INTERVAL {within_seconds} SECOND"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires
+    a key's state once the watermark passes its event time — so state
+    holds only the active horizon, not the whole stream's key set
+    (plain ``dropDuplicates`` on a stream would grow forever). Batch
+    parity: equivalent to first-seen-per-key within any window shorter
+    than the watermark horizon.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -250,3 +250,23 @@ def test_stream_stream_join_matches_batch(spark, stream_src, ckpt, batch_events)
     ).select("event_id", "event_id_r", "user_id", "ts", "ts_r")
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_stream_dedup_matches_batch(spark, ckpt, batch_events, tmp_path_factory):
+    """Streaming dedup on (user_id, event_type) keeps exactly one row per
+    key — same key set as batch distinct, state bounded by watermark."""
+    src = tmp_path_factory.mktemp("dedup_src")
+    dup = batch_events.unionByName(batch_events)  # every event twice
+    dup.write.mode("overwrite").parquet(str(src / "data"))
+
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .parquet(str(src / "data"))
+    )
+    got_q = sj.dedup_stream(stream, ["user_id", "event_type"], watermark="10 seconds")
+    sj.run_to_memory(got_q, "t_dedup", os.path.join(ckpt, "dedup"))
+    got = spark.table("t_dedup")
+
+    exp_keys = batch_events.select("user_id", "event_type").distinct()
+    assert got.count() == exp_keys.count()
+    assert got.select("user_id", "event_type").exceptAll(exp_keys).count() == 0
