@@ -410,3 +410,99 @@ def ann_ivf_trained(spark, sf_dir):
     queries_df = emb.orderBy("vec_id").limit(20)
     cents = sim.train_ivf_centroids(emb, k=8, iters=3)
     return sim.ivf_topk_trained(emb, queries_df, cents, k=5, nprobe=2)
+
+
+@query(
+    "term_frequency_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT lang,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT lang, term, COUNT(*) AS n FROM tok WHERE term <> '' GROUP BY lang, term)
+    SELECT lang, term, n, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+          FROM cnt)
+    WHERE rank <= 10
+    """,
+)
+def term_frequency_topk(spark, sf_dir):
+    """Corpus term statistics: top-10 terms per language. The classic
+    vocabulary-building pass — explode is map-side, the count shuffles
+    on (lang, term) with partial aggregation, and the top-k is a window
+    over the already-tiny (lang, term, n) aggregate. Tokenization is the
+    same whitespace-normalization recipe as dedup_exact, recomputed
+    identically by the oracle."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    cnt = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return cnt.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok WHERE term <> '' GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank
+    FROM (SELECT tf.doc_id, tf.term,
+                 ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df) + 1e-9, 6) AS tfidf,
+                 ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df) + 1e-9, 6) DESC,
+                                             tf.term) AS rank
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+          WHERE tf.doc_id < 50)
+    WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF signature terms per document (top-3, first 50 docs).
+
+    Plan shape for 100 TB: tf shuffles on (doc_id, term); df is a
+    second aggregate on term alone (vocabulary-sized — can be large, so
+    the tf-df join is NOT hint-broadcast: AQE broadcasts whichever side
+    is actually small, here the doc-filtered tf); n_docs is a 1-row
+    broadcast. Ranking uses the ROUNDED score so the order is
+    reproducible across engines (raw doubles can differ in the last ulp
+    of ln)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")) + 1e-9, 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
