@@ -591,3 +591,282 @@ def q22_idle_balance(spark, sf_dir):
         )
         .df
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH pc AS (SELECT l_partkey, l_suppkey,
+                       MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+                FROM lineitem GROUP BY l_partkey, l_suppkey),
+    pm AS (SELECT l_partkey AS m_partkey, MIN(cost) AS min_cost
+           FROM pc GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST(cost AS DOUBLE) AS supply_cost
+    FROM pc
+    JOIN pm ON l_partkey = m_partkey AND cost = min_cost
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE p_size < 10 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (supply cost = cheapest observed shipment price,
+    since the star schema has no partsupp): for each European STANDARD
+    small part, the supplier(s) matching the per-part minimum cost.
+
+    The correlated `cost = (SELECT MIN ...)` is decorrelated into two
+    stacked aggregates: the pair-level agg shuffles lineitem ONCE on
+    (partkey, suppkey); the per-part MIN is a re-agg of that already
+    tiny result, reused — not a second lineitem scan. The min is kept
+    DECIMAL so the re-join equality is exact on both engines, and all
+    dimension joins broadcast. reference: api/join.kt:66-69 composed
+    with api/groupBy.kt:19-56 (nested aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pc = li.group_by("l_partkey", "l_suppkey").aggregate(
+        F.min(_dec("l_extendedprice")).alias("cost")
+    )
+    pm = pc.group_by(F.col("l_partkey").alias("m_partkey")).aggregate(
+        F.min("cost").alias("min_cost")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") < 10) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        pc.inner_join(
+            pm,
+            on=[F.col("l_partkey") == F.col("m_partkey"), F.col("cost") == F.col("min_cost")],
+        )
+        .inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .inner_join(n, on=[F.col("s_nationkey") == F.col("n_nationkey")], broadcast_right=True)
+        .inner_join(r, on=[F.col("n_regionkey") == F.col("r_regionkey")], broadcast_right=True)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("cost").cast("double").alias("supply_cost"),
+        )
+        .take_ordered(100, [F.col("s_acctbal").desc(), F.col("s_name"), F.col("p_partkey")])
+        .df
+    )
+
+
+@query(
+    "q9_profit_nation_year",
+    oracle="""
+    SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(12,2))) -
+                    CAST(p_retailprice AS DECIMAL(12,2)) *
+                    CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.6 AS DECIMAL(3,2)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY n_name, YEAR(o_orderdate)
+    """,
+)
+def q9_profit_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (supply cost proxied as 60% of p_retailprice —
+    no partsupp): profit on 'bolt' parts by supplier nation and order
+    year. The 5-table join keeps lineitem as the probe side throughout:
+    part (name-filtered), supplier, and nation all broadcast; only the
+    orders join shuffles on orderkey, and the final agg is tiny
+    (nation x year). Profit arithmetic stays DECIMAL end-to-end so the
+    engines sum identical exact values in any order."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity") * F.lit(0.6).cast("decimal(3,2)")
+    return (
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .inner_join(n, on=[F.col("s_nationkey") == F.col("n_nationkey")], broadcast_right=True)
+        .inner_join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .group_by(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .aggregate(F.sum(profit).cast("double").alias("sum_profit"))
+        .df
+    )
+
+
+@query(
+    "q11_important_value",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(12,2)))) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(SUM(value) AS DOUBLE) * 0.001 FROM val)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q11_important_value(spark, sf_dir):
+    """TPC-H Q11 shape (stock value = discounted revenue shipped by
+    Asian suppliers): parts worth more than 0.1% of the total. The
+    HAVING-against-global-total is a 1-row broadcast cross join onto
+    the per-part aggregate — the lineitem scan and its shuffle on
+    partkey happen ONCE, with the scalar total re-aggregated from the
+    per-part result. Both sides of the > compare doubles derived from
+    the same exact DECIMAL sums, so the cut is identical on both
+    engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    val = (
+        li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .inner_join(n, on=[F.col("s_nationkey") == F.col("n_nationkey")], broadcast_right=True)
+        .inner_join(r, on=[F.col("n_regionkey") == F.col("r_regionkey")], broadcast_right=True)
+        .group_by("l_partkey")
+        .aggregate(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("value")
+        )
+    )
+    total = val.df.agg((F.sum("value").cast("double") * F.lit(0.001)).alias("__thr__"))
+    return (
+        KDataFrame(val.df.crossJoin(F.broadcast(total)))
+        .filter(F.col("value").cast("double") > F.col("__thr__"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("part_value"),
+        )
+        .sort_by(F.col("part_value").desc(), F.col("p_partkey"))
+        .df
+    )
+
+
+@query(
+    "q16_supplier_relation",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#17'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (2, 5, 11, 28, 29, 37, 42, 50)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_relation(spark, sf_dir):
+    """TPC-H Q16 shape (part-supplier pairs derived from shipments;
+    negative account balance stands in for the complaints filter):
+    supplier counts per (brand, type, size) bucket, excluding
+    blacklisted suppliers. The DISTINCT pair projection is the shuffle
+    on (partkey, suppkey); the NOT IN becomes an anti join against the
+    tiny filtered supplier list (broadcastable — keys are never null,
+    so anti join = NOT IN here); part filters broadcast. The
+    count_distinct then reshuffles only the deduped pairs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#17")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(2, 5, 11, 28, 29, 37, 42, 50)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.exclude_join(bad, on=[F.col("l_suppkey") == F.col("s_suppkey")])
+        .inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .group_by("p_brand", "p_type", "p_size")
+        .aggregate(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .sort_by(
+            F.col("supplier_cnt").desc(), F.col("p_brand"), F.col("p_type"), F.col("p_size")
+        )
+        .df
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (SELECT l_suppkey FROM shipped
+                        JOIN part ON p_partkey = l_partkey
+                        WHERE p_name LIKE 'red%' AND qty > 30)
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          JOIN region ON r_regionkey = n_regionkey
+                          WHERE r_name = 'ASIA')
+    ORDER BY s_name
+    """,
+)
+def q20_promotion_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (availqty threshold becomes 'shipped more than
+    30 units of a red part in 1996'): Asian suppliers with heavy
+    shipments of promoted parts. Both IN subqueries become left-semi
+    joins — the per-(supplier, part) agg shuffles the date-filtered
+    lineitem once, the part name filter broadcasts into it, and the
+    nation-region semi join is a two-row broadcast. Quantity sums in
+    DECIMAL so the > 30 cut is exact on both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    shipped = li.group_by("l_suppkey", "l_partkey").aggregate(
+        F.sum(_dec("l_quantity")).alias("qty")
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
+    heavy = (
+        shipped.filter(F.col("qty") > 30)
+        .inner_join(red, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .select("l_suppkey")
+    )
+    asian = (
+        _t(spark, sf_dir, "nation")
+        .inner_join(
+            _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+            on=[F.col("n_regionkey") == F.col("r_regionkey")],
+            broadcast_right=True,
+        )
+        .select("n_nationkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .filter_join(heavy, on=[F.col("s_suppkey") == F.col("l_suppkey")])
+        .filter_join(asian, on=[F.col("s_nationkey") == F.col("n_nationkey")])
+        .select("s_name", "s_acctbal")
+        .sort_by("s_name")
+        .df
+    )
