@@ -1,6 +1,15 @@
 from dataframe_kotlin_spark.sources.csv import read_csv, read_tsv, write_csv
 from dataframe_kotlin_spark.sources.json import read_json, write_json
 from dataframe_kotlin_spark.sources.guess import read
+from dataframe_kotlin_spark.sources.robust import (
+    read_orc,
+    write_orc,
+    read_csv_robust,
+    read_json_robust,
+    read_csv_split,
+    read_json_split,
+    split_good_bad,
+)
 from dataframe_kotlin_spark.sources.build import (
     dataframe_of,
     from_map,
@@ -21,4 +30,11 @@ __all__ = [
     "from_rows",
     "append_rows",
     "to_map",
+    "read_orc",
+    "write_orc",
+    "read_csv_robust",
+    "read_json_robust",
+    "read_csv_split",
+    "read_json_split",
+    "split_good_bad",
 ]

@@ -24,6 +24,8 @@ def read(spark: SparkSession, path: str, **kw) -> DataFrame:
         return read_json(spark, path, **kw)
     if ext == "parquet":
         return spark.read.parquet(path)
+    if ext == "orc":
+        return spark.read.orc(path)
     # fallback: try JSON then CSV (reference tries CSV then JSON; JSON-first
     # here because Spark's CSV parser accepts nearly anything)
     try:
