@@ -256,31 +256,120 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], nprobe: int) -> Co
     return F.slice(F.transform(F.array_sort(scored), lambda s: s["idx"]), 1, nprobe)
 
 
+def _py_sq_dist(a: list[float], b: list[float]) -> float:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def kmeanspp_init_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    rounds: int = 3,
+    oversample: int | None = None,
+) -> list[list[float]]:
+    """Deterministic k-means|| (scalable k-means++, Bahmani et al.
+    VLDB'12) initialization.
+
+    Each round samples points with probability proportional to their
+    squared distance from the current center set — but the coin flip is
+    xxhash64(id, round) mapped to [0,1), so the sample is a pure
+    function of the data: stable across retries and stages, no RNG
+    state on executors. Per round: one argmin expression over the
+    broadcast center literals (no UDF, no shuffle) + a scalar sum.
+    Only ~rounds * oversample candidate vectors ever reach the driver;
+    the final reduction to k centers is a weighted farthest-point
+    sweep over that tiny candidate set (weights = how many points each
+    candidate attracts, one groupBy).
+    """
+    l = oversample or 2 * k
+    base = df.select(F.col(id_col).alias("__id__"), as_double(F.col(vec_col)).alias("__v__"))
+    first = base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__")).limit(1).collect()
+    centers: list[list[float]] = [list(first[0]["__v__"])]
+    for r in range(rounds):
+        cents = _centroid_array(centers)
+        d2 = F.array_min(F.transform(cents, lambda c: _sq_dist(F.col("__v__"), c)))
+        tagged = base.withColumn("__d2__", d2)
+        phi = tagged.agg(F.sum("__d2__").alias("s")).collect()[0]["s"]
+        if not phi or phi <= 0:
+            break
+        u = (
+            F.pmod(F.xxhash64(F.col("__id__"), F.lit(r + 101)), F.lit(1_000_000_000)).cast(
+                "double"
+            )
+            / 1e9
+        )
+        picked = (
+            tagged.filter(u < F.lit(float(l)) * F.col("__d2__") / F.lit(float(phi)))
+            .orderBy("__id__")
+            .select("__v__")
+            .collect()
+        )
+        centers.extend(list(row["__v__"]) for row in picked)
+    # weight candidates by attraction, then reduce to k on the driver
+    assigned = base.withColumn("__c__", _nearest_cells(F.col("__v__"), centers, 1)[0])
+    counts = {
+        row["__c__"]: row["n"]
+        for row in assigned.groupBy("__c__").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    w = [counts.get(i, 0) for i in range(len(centers))]
+    chosen = [max(range(len(centers)), key=lambda i: (w[i], -i))]
+    while len(chosen) < min(k, len(centers)):
+        best, best_score = None, (-1.0, 0)
+        for i in range(len(centers)):
+            if i in chosen:
+                continue
+            score = (w[i] * min(_py_sq_dist(centers[i], centers[j]) for j in chosen), -i)
+            if score > best_score:
+                best, best_score = i, score
+        if best is None:
+            break
+        chosen.append(best)
+    out = [centers[i] for i in chosen]
+    if len(out) < k:  # degenerate corpus: top up by hash order
+        extra = (
+            base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
+            .limit(k)
+            .select("__v__")
+            .collect()
+        )
+        for row in extra:
+            if len(out) >= k:
+                break
+            out.append(list(row["__v__"]))
+    return out[:k]
+
+
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 16,
     iters: int = 5,
+    init: str = "hash",
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for IVF coarse cells.
 
     Each iteration is one Spark job: assignment is a broadcast argmin
     EXPRESSION (no UDF), the update is posexplode -> (cell, pos) average
     -> k x dim rows collected to the driver. Only model parameters ever
-    reach the driver (k*dim floats); the data never does. Init is the k
-    vectors with the smallest xxhash64(id) — deterministic, no
-    driver-side RNG, stable across retries. Empty cells keep their
-    previous centroid.
+    reach the driver (k*dim floats); the data never does. init='hash'
+    seeds with the k smallest-xxhash64(id) vectors; init='kmeans||'
+    runs the distributed scalable-k-means++ sweep (better spread, ~4
+    extra jobs). Both are deterministic — no driver-side RNG, stable
+    across retries. Empty cells keep their previous centroid.
     """
     base = df.select(F.col(id_col).alias("__id__"), as_double(F.col(vec_col)).alias("__v__"))
-    init = (
-        base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
-        .limit(k)
-        .select("__v__")
-        .collect()
-    )
-    centroids = [list(r["__v__"]) for r in init]
+    if init == "kmeans||":
+        centroids = kmeanspp_init_centroids(df, vec_col, id_col, k)
+    else:
+        seed = (
+            base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
+            .limit(k)
+            .select("__v__")
+            .collect()
+        )
+        centroids = [list(r["__v__"]) for r in seed]
     for _ in range(iters):
         assigned = base.withColumn("__cell__", _nearest_cells(F.col("__v__"), centroids, 1)[0])
         means = (

@@ -73,3 +73,25 @@ def test_assign_cells_covers_all_cells(emb, centroids):
     per = cells.groupBy("cell").count().collect()
     assert sum(r["count"] for r in per) == emb.count()
     assert len(per) >= 6  # k=8 minus (rare) empty cells
+
+
+def test_kmeanspp_init_deterministic_and_k(emb):
+    pp = sim.kmeanspp_init_centroids(emb, k=8)
+    pp2 = sim.kmeanspp_init_centroids(emb, k=8)
+    assert len(pp) == 8
+    assert pp == pp2  # hash-driven sampling: pure function of the data
+
+
+def test_kmeanspp_init_beats_hash_init(emb):
+    # deterministic on the fixed sf0.01 corpus, so the comparison is stable
+    pp = sim.kmeanspp_init_centroids(emb, k=8)
+    hash_init = sim.train_ivf_centroids(emb, k=8, iters=0)
+    assert _inertia(emb, pp) < _inertia(emb, hash_init)
+
+
+def test_train_with_kmeanspp_converges(emb):
+    trained = sim.train_ivf_centroids(emb, k=8, iters=4, init="kmeans||")
+    baseline = sim.train_ivf_centroids(emb, k=8, iters=4)
+    assert len(trained) == 8
+    # both inits settle to comparable quality on this corpus
+    assert _inertia(emb, trained) <= _inertia(emb, baseline) * 1.1
