@@ -348,3 +348,31 @@ def dedup_stream(
     than the watermark horizon.
     """
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def rocksdb_state_conf(changelog: bool = True) -> dict[str, str]:
+    """Session conf for production-scale streaming state.
+
+    The default HDFS-backed state store keeps every key in executor
+    heap — fine for tests, fatal for a 100 TB stream whose key space
+    (sessions, dedup horizon, join buffers) exceeds memory. RocksDB
+    keeps state off-heap on local SSD with incremental checkpointing;
+    changelog checkpointing uploads only the delta per batch instead of
+    re-snapshotting the full store.
+
+    Apply at session build time (the provider cannot change on a
+    running query's checkpoint):
+
+        builder.config(map=rocksdb_state_conf())
+    """
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        # bound memory: block cache + memtables capped per executor
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage": "true",
+        "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB": "512",
+    }
+    if changelog:
+        conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"] = "true"
+    return conf

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from dataframe_kotlin_spark.session import load_events
 from dataframe_kotlin_spark.streaming import stream_jobs as sj
 
+pytestmark = pytest.mark.streaming
+
 SF_DIR = "/root/testdata/sf0.001"
 
 
@@ -270,3 +272,26 @@ def test_stream_dedup_matches_batch(spark, ckpt, batch_events, tmp_path_factory)
     exp_keys = batch_events.select("user_id", "event_type").distinct()
     assert got.count() == exp_keys.count()
     assert got.select("user_id", "event_type").exceptAll(exp_keys).count() == 0
+
+
+def test_rocksdb_state_store_dedup(spark, batch_events, tmp_path_factory):
+    """The production state-store conf actually runs in this Spark build:
+    streaming dedup under RocksDBStateStoreProvider (off-heap state +
+    changelog checkpointing) produces the same result as the default
+    HDFS-backed provider."""
+    conf = sj.rocksdb_state_conf()
+    src = tmp_path_factory.mktemp("rocks_src")
+    ck = tmp_path_factory.mktemp("rocks_ckpt")
+    batch_events.limit(500).coalesce(1).write.mode("overwrite").parquet(str(src))
+    written = spark.read.parquet(str(src))
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        stream = spark.readStream.schema(written.schema).parquet(str(src))
+        out = sj.dedup_stream(stream, ["user_id"])
+        sj.run_to_memory(out, "t_rocks", str(ck))
+        got = spark.table("t_rocks")
+        assert got.count() == written.select("user_id").distinct().count() > 0
+    finally:
+        for k in conf:
+            spark.conf.unset(k)
