@@ -506,3 +506,52 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+            len(list_distinct(a.toks || b.toks)) >= 0.5
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> clusters: the step after LSH/jaccard that a
+    training pipeline actually consumes (one representative per cluster
+    of mutually-similar documents). Spark runs iterative min-label
+    propagation (operators/graph.py — one shuffle per round, rounds =
+    cluster diameter); the oracle resolves the same components via a
+    recursive transitive-closure CTE, which is exact but only feasible
+    at oracle scale. cluster_id = smallest doc_id in the component on
+    both engines."""
+    from dataframe_kotlin_spark.operators import graph
+
+    pairs = dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        block_cols=["lang", "source"],
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    return graph.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
