@@ -188,3 +188,46 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_dist: int,
+    length_band: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-dup pairs within blocks.
+
+    Levenshtein is O(len^2) per comparison and can't be inverted into a
+    hash, so the scale story is all in candidate PRUNING before the
+    expensive compare:
+
+    - blocking on block_cols (at scale: LSH buckets or simhash bands);
+    - a length band — |len(a) - len(b)| > max_dist already implies
+      distance > max_dist, so those pairs are discarded by a cheap
+      integer predicate BEFORE the quadratic compare runs;
+    - Spark's built-in F.levenshtein(l, r, threshold) short-circuits
+      the DP once the running distance exceeds the threshold (returns
+      -1), keeping the per-pair cost ~O(len * max_dist).
+
+    Output mirrors jaccard_pairs: (id_a, id_b, edit_distance).
+    """
+    band = max_dist if length_band is None else length_band
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col).alias("__s__")
+    )
+    a = base.select(F.col(id_col).alias("id_a"), *block_cols, F.col("__s__").alias("__sa__"))
+    b = base.select(F.col(id_col).alias("id_b"), *block_cols, F.col("__s__").alias("__sb__"))
+    dist = F.levenshtein(F.col("__sa__"), F.col("__sb__"), max_dist)
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.abs(F.length("__sa__") - F.length("__sb__")) <= F.lit(band)
+        )
+        .withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") >= 0)
+        .select("id_a", "id_b", "edit_distance")
+    )

@@ -214,3 +214,39 @@ def test_decode_stub_gate(spark, docs):
     media = mm.text_as_media(docs, "doc_id", "text")
     with pytest.raises(Exception, match="NotImplementedError|decode_stub"):
         mm.extract_features(media, decode_stub=False).collect()
+
+
+def test_levenshtein_pairs_band_prune_is_lossless(spark):
+    """The length-band prune discards only pairs that cannot be within
+    max_dist: with the band at max_dist, results equal a full
+    brute-force edit-distance pass."""
+    from dataframe_kotlin_spark.operators import dedup
+
+    rows = [
+        (1, "b", "kitten"),
+        (2, "b", "sitten"),          # dist 1 to kitten
+        (3, "b", "sittings"),        # dist 3 to sitten
+        (4, "b", "completely other"),
+        (5, "b", "kitten plus a very long tail making the length gap huge"),
+    ]
+    df = spark.createDataFrame(rows, "id long, blk string, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in dedup.levenshtein_pairs(df, "id", "s", ["blk"], max_dist=3).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[-1]
+
+    exp = {
+        (x[0], y[0]): lev(x[2], y[2])
+        for x, y in itertools.combinations(rows, 2)
+        if lev(x[2], y[2]) <= 3
+    }
+    assert got == exp and (1, 2) in got
