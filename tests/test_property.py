@@ -113,3 +113,82 @@ def test_union_widening_never_loses_values(spark, lt, rt):
     vals = sorted(float(r["x"]) for r in out.collect())
     assert vals == [0.0, 1.0, 2.0, 100.0, 101.0, 102.0]
     assert out.nrow() == 6
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=0, max_size=12
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_connected_components_matches_union_find(spark, edges):
+    """Iterative min-label propagation equals a driver-side union-find on
+    arbitrary small graphs (self-loops and duplicates included)."""
+    from dataframe_kotlin_spark.operators.graph import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iter=25).collect()
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3) | st.none(), st.integers(0, 3) | st.none()),
+        min_size=1,
+        max_size=8,
+    ),
+    desc_first=st.booleans(),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_sort_null_placement_matches_reference_semantics(spark, rows, desc_first):
+    """Multi-key sort: asc = nulls first (reference default), desc =
+    nulls last (reversed asc comparator) — checked against a python sort
+    with the same comparator chain (SURVEY §2.7)."""
+    indexed = [(i, a, b) for i, (a, b) in enumerate(rows)]
+    df = KDataFrame(spark.createDataFrame(indexed, "id long, a long, b long"))
+    k1 = F.col("a").desc_nulls_last() if desc_first else F.col("a").asc_nulls_first()
+    got = [r["id"] for r in df.sort_by(k1, F.col("b").asc_nulls_first(), F.col("id")).collect()]
+
+    def key(t):
+        i, a, b = t
+        if desc_first:  # desc_nulls_last: nulls sort AFTER all values
+            a_key = (a is None, -a if a is not None else 0)
+        else:  # asc_nulls_first: nulls sort BEFORE all values
+            a_key = (a is not None, a if a is not None else 0)
+        return (*a_key, b is not None, b if b is not None else 0, i)
+
+    want = [t[0] for t in sorted(indexed, key=key)]
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.tuples(st.integers(0, 2), st.integers(-5, 5)), min_size=1, max_size=10)
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_merge_rows_explode_roundtrip(spark, vals):
+    """mergeRows (collapse to lists) then explode returns the original
+    multiset of rows (SURVEY §2.6 — explode is mergeRows' inverse)."""
+    df = KDataFrame(spark.createDataFrame(vals, "k int, v int"))
+    back = df.merge_rows(["v"]).explode("v")
+    got = sorted((r["k"], r["v"]) for r in back.collect())
+    assert got == sorted(vals)
