@@ -31,14 +31,25 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: columns of the latest right row with
-    right_ts <= left_ts (per key). Left rows with no prior right row get
-    nulls (left-outer as-of). `tolerance_seconds` drops matches older
-    than the tolerance (pandas merge_asof semantics).
+    """pandas-merge_asof-style as-of join, distributed.
 
-    One shuffle (on keys), one sort within partitions — no join node.
+    direction='backward' (default): latest right row with
+    right_ts <= left_ts per key. 'forward': earliest right row with
+    right_ts >= left_ts. 'nearest': whichever of the two is closer in
+    time (ties -> backward, matching pandas). Left rows with no match
+    get nulls (left-outer as-of). `tolerance_seconds` drops matches
+    further than the tolerance in the match direction.
+
+    One shuffle (on keys) regardless of direction — backward/forward
+    are one within-partition sort + running last/first(ignorenulls)
+    window; 'nearest' evaluates both window frames over the same
+    shuffle (a second sort order, not a second exchange). No join node
+    in any variant.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("__ts__"),
@@ -55,41 +66,74 @@ def asof_join(
         F.col(right_ts).alias("__rts__"),
         F.lit(None).cast(l_tag.schema["__row__"].dataType).alias("__row__"),
     )
-    # right rows sort before left rows at equal ts => ties match (<=)
-    w = (
+    # backward: right rows sort BEFORE left at equal ts => <= ties match
+    w_b = (
         Window.partitionBy(*keys)
         .orderBy("__ts__", "__side__")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward: left rows sort BEFORE right at equal ts => >= ties match
+    w_f = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts__"), F.col("__side__").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     unioned = l_tag.unionByName(r_tag)
-    filled = unioned.select(
+
+    def picks(w, agg):
+        return [agg("__rts__", w).alias("__mts__")] + [
+            agg(f"__r_{c}__", w).alias(f"__r_{c}__") for c in right_cols
+        ]
+
+    last_ = lambda c, w: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    first_ = lambda c, w: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    tol_us = None if tolerance_seconds is None else tolerance_seconds * 1_000_000
+
+    if direction in ("backward", "forward"):
+        cols = picks(w_b, last_) if direction == "backward" else picks(w_f, first_)
+        filled = unioned.select("__side__", "__row__", "__ts__", *cols).filter(
+            F.col("__side__") == 1
+        )
+        if tol_us is not None:
+            gap = (
+                us(F.col("__ts__")) - us(F.col("__mts__"))
+                if direction == "backward"
+                else us(F.col("__mts__")) - us(F.col("__ts__"))
+            )
+            within = F.col("__mts__").isNotNull() & (gap <= tol_us)
+            filled = filled.select(
+                "__row__",
+                *[F.when(within, F.col(f"__r_{c}__")).alias(f"__r_{c}__") for c in right_cols],
+            )
+        return filled.select(
+            "__row__.*", *[F.col(f"__r_{c}__").alias(f"r_{c}") for c in right_cols]
+        )
+
+    # nearest: materialize both candidates, choose per row
+    both = unioned.select(
         "__side__",
         "__row__",
         "__ts__",
-        F.last("__rts__", ignorenulls=True).over(w).alias("__mts__"),
+        F.last("__rts__", ignorenulls=True).over(w_b).alias("__bts__"),
+        F.first("__rts__", ignorenulls=True).over(w_f).alias("__fts__"),
+        *[F.last(f"__r_{c}__", ignorenulls=True).over(w_b).alias(f"__b_{c}__") for c in right_cols],
+        *[F.first(f"__r_{c}__", ignorenulls=True).over(w_f).alias(f"__f_{c}__") for c in right_cols],
+    ).filter(F.col("__side__") == 1)
+    gap_b = us(F.col("__ts__")) - us(F.col("__bts__"))
+    gap_f = us(F.col("__fts__")) - us(F.col("__ts__"))
+    ok_b = F.col("__bts__").isNotNull() & (F.lit(True) if tol_us is None else gap_b <= tol_us)
+    ok_f = F.col("__fts__").isNotNull() & (F.lit(True) if tol_us is None else gap_f <= tol_us)
+    use_b = ok_b & (~ok_f | (gap_b <= gap_f))  # tie -> backward (pandas)
+    return both.select(
+        "__row__.*",
         *[
-            F.last(f"__r_{c}__", ignorenulls=True).over(w).alias(f"__r_{c}__")
+            F.when(use_b, F.col(f"__b_{c}__"))
+            .when(ok_f, F.col(f"__f_{c}__"))
+            .alias(f"r_{c}")
             for c in right_cols
         ],
-    ).filter(F.col("__side__") == 1)
-    if tolerance_seconds is not None:
-        within = (
-            F.col("__mts__").isNotNull()
-            & (
-                F.unix_micros(F.col("__ts__").cast("timestamp"))
-                - F.unix_micros(F.col("__mts__").cast("timestamp"))
-                <= tolerance_seconds * 1_000_000
-            )
-        )
-        filled = filled.select(
-            "__row__",
-            *[
-                F.when(within, F.col(f"__r_{c}__")).alias(f"__r_{c}__")
-                for c in right_cols
-            ],
-        )
-    return filled.select(
-        "__row__.*", *[F.col(f"__r_{c}__").alias(f"r_{c}") for c in right_cols]
     )
 
 

@@ -382,3 +382,39 @@ def percent_rank_dist(spark, sf_dir):
         F.round(F.percent_rank().over(w) + 1e-9, 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w) + 1e-9, 6).alias("cume"),
     )
+
+
+@query(
+    "asof_next_purchase",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+           CAST(FLOOR(EPOCH(l.ts)) AS BIGINT) AS ts_epoch,
+           r.value AS next_purchase_value,
+           CAST(FLOOR(EPOCH(r.ts)) AS BIGINT) AS next_purchase_epoch
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+)
+def asof_next_purchase(spark, sf_dir):
+    """Forward as-of join (direction='forward'): for every click, the
+    user's next at-or-after purchase — the attribution-window question.
+    Same single-shuffle windowed-union plan as the backward variant,
+    with the running first(ignorenulls) over the FOLLOWING frame; the
+    duckdb oracle flips its native ASOF inequality."""
+    from dataframe_kotlin_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").df
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks, purchases, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value", "ts"], direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("bigint").alias("ts_epoch"),
+        F.col("r_value").alias("next_purchase_value"),
+        (F.unix_micros(F.col("r_ts").cast("timestamp")) / 1_000_000).cast("bigint").alias("next_purchase_epoch"),
+    )

@@ -109,3 +109,76 @@ def test_interval_join_no_duplicates_across_buckets(spark):
     )
     out = temporal.interval_join(events, iv, "t", "s", "e", bucket_seconds=60)
     assert out.count() == 1
+
+
+def test_asof_forward(trades, quotes):
+    out = temporal.asof_join(
+        trades, quotes, keys=["sym"], left_ts="t", right_ts="t",
+        right_cols=["bid"], direction="forward",
+    )
+    got = {r["trade_id"]: r["r_bid"] for r in out.collect()}
+    # trade1@10:00:05: quote at same instant matches (>= tie);
+    # trade2@10:00:30: no later A quote; trade4@09:59: earliest B quote 10:00
+    assert got == {1: 99.9, 2: None, 3: None, 4: 49.5}
+
+
+def test_asof_forward_tolerance(trades, quotes):
+    out = temporal.asof_join(
+        trades, quotes, keys=["sym"], left_ts="t", right_ts="t",
+        right_cols=["bid"], direction="forward", tolerance_seconds=30,
+    )
+    got = {r["trade_id"]: r["r_bid"] for r in out.collect()}
+    # trade4@09:59 -> next B quote at 10:00 is 60s ahead: outside tolerance
+    assert got == {1: 99.9, 2: None, 3: None, 4: None}
+
+
+def test_asof_nearest(trades, quotes):
+    out = temporal.asof_join(
+        trades, quotes, keys=["sym"], left_ts="t", right_ts="t",
+        right_cols=["bid"], direction="nearest",
+    )
+    got = {r["trade_id"]: r["r_bid"] for r in out.collect()}
+    # trade2@10:00:30: backward 10:00:20 (10s) is the only candidate;
+    # trade3@10:00:10: backward 10:00 (10s) vs no forward -> 49.5;
+    # trade4@09:59: only forward 10:00 -> 49.5
+    assert got == {1: 99.9, 2: 100.5, 3: 49.5, 4: 49.5}
+
+
+def test_asof_directions_match_pandas(spark):
+    """All three directions agree with pandas merge_asof on a bigger
+    deterministic fixture."""
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {
+            "k": ["x", "x", "x", "y", "y", "z"] * 3,
+            "lt": pd.to_datetime(
+                [f"2024-01-01 10:{m:02d}:00" for m in range(18)]
+            ),
+            "lid": range(18),
+        }
+    ).sort_values("lt")
+    right = pd.DataFrame(
+        {
+            "k": ["x", "y", "x", "y", "z", "x"] * 2,
+            "rt": pd.to_datetime(
+                [f"2024-01-01 10:{m:02d}:30" for m in range(0, 24, 2)]
+            ),
+            "rv": [float(i) for i in range(12)],
+        }
+    ).sort_values("rt")
+    sl = spark.createDataFrame(left.rename(columns={"lt": "t"}))
+    sr = spark.createDataFrame(right.rename(columns={"rt": "t"}))
+    for direction in ("backward", "forward", "nearest"):
+        want = pd.merge_asof(
+            left, right, left_on="lt", right_on="rt", by="k", direction=direction
+        ).set_index("lid")["rv"]
+        out = temporal.asof_join(
+            sl, sr, keys=["k"], left_ts="t", right_ts="t",
+            right_cols=["rv"], direction=direction,
+        )
+        got = {r["lid"]: r["r_rv"] for r in out.collect()}
+        for lid in range(18):
+            w = want.loc[lid]
+            g = got[lid]
+            assert (pd.isna(w) and g is None) or g == w, (direction, lid, w, g)
