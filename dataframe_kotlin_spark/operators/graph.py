@@ -72,6 +72,89 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_out: str = "node",
+    comp_out: str = "component",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Converges in O(log^2 n) rounds regardless of graph diameter — the
+    variant to use when clusters can be long chains (e.g. transitive
+    URL-redirect graphs) rather than the near-cliques that near-dup
+    produces. Each round is two groupBy-min + join passes; like the
+    propagation variant, lineage is cut per round and convergence is a
+    fixpoint on the edge-set signature (count + order-independent hash
+    sum — one tiny agg, no edge-set comparison join).
+
+    large-star: every node's larger neighbors re-point to its minimum;
+    small-star: every node's smaller neighbors collapse onto its
+    minimum. Fixpoint = disjoint stars; each node's sole neighbor is
+    its component's smallest id.
+    """
+    e0 = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    nodes = (
+        edges.select(F.col(src).alias("n"))
+        .union(edges.select(F.col(dst).alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical: edges directed larger -> smaller
+    e = (
+        e0.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        if e.isEmpty():
+            break
+        # large-star over symmetric neighborhoods
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        lmin = lmin.select("u", F.least("mv", F.col("u")).alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over larger->smaller edges
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        e = small
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    else:
+        raise RuntimeError(f"connected_components_star did not converge in {max_iter} rounds")
+    # fixpoint stars: each non-root node points to its root
+    labels = e.groupBy("u").agg(F.min("v").alias("c"))
+    return nodes.join(labels, nodes["n"] == labels["u"], "left").select(
+        F.col("n").alias(node_out),
+        F.coalesce(F.col("c"), F.col("n")).alias(comp_out),
+    )
+
+
 def cluster_representatives(
     df: DataFrame,
     components: DataFrame,

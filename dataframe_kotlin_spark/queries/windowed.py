@@ -418,3 +418,40 @@ def asof_next_purchase(spark, sf_dir):
         F.col("r_value").alias("next_purchase_value"),
         (F.unix_micros(F.col("r_ts").cast("timestamp")) / 1_000_000).cast("bigint").alias("next_purchase_epoch"),
     )
+
+
+@query(
+    "nth_order_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           NTH_VALUE(o_totalprice, 1) OVER w AS first_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def nth_order_value(spark, sf_dir):
+    """nth_value over the full partition frame (SURVEY §2.7 ranking
+    extras): each customer's 1st and 2nd order by date. The frame must
+    be pinned to the whole partition explicitly — both engines default
+    nth_value to the running frame, where row N can't see order N+1.
+    One shuffle on custkey; DISTINCT collapses the per-row window
+    output to one row per customer without a second aggregation pass
+    of the base table."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.df.select(
+            "o_custkey",
+            F.nth_value("o_totalprice", 1).over(w).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+        )
+        .distinct()
+    )

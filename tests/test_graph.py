@@ -48,3 +48,45 @@ def test_cluster_representatives(spark):
     kept = graph.cluster_representatives(df, cc, "id")
     # 0 and 3 untouched; clusters {1,2} and {4,5} keep their min id
     assert sorted(r["id"] for r in kept.collect()) == [0, 1, 3, 4]
+
+
+def _comps_star(df):
+    from dataframe_kotlin_spark.operators.graph import connected_components_star
+
+    return {r["node"]: r["component"] for r in connected_components_star(df).collect()}
+
+
+def test_star_two_components(spark):
+    got = _comps_star(_edges(spark, [(1, 2), (2, 3), (10, 11)]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_star_long_chain_few_rounds(spark):
+    """A 30-edge path converges well under the diameter bound (the whole
+    point of large-star/small-star: O(log^2 n) rounds, not O(n))."""
+    from dataframe_kotlin_spark.operators.graph import connected_components_star
+
+    df = _edges(spark, [(i, i + 1) for i in range(30)])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(31)}
+
+
+def test_star_self_loops_and_isolates(spark):
+    # a self-loop node is its own (singleton) component
+    got = _comps_star(_edges(spark, [(5, 5), (1, 2)]))
+    assert got == {5: 5, 1: 1, 2: 1}
+
+
+def test_star_matches_propagation_on_random_graphs(spark):
+    import random
+
+    random.seed(11)
+    for _ in range(3):
+        pairs = [(random.randint(0, 25), random.randint(0, 25)) for _ in range(18)]
+        df = _edges(spark, pairs)
+        assert _comps_star(df) == _comps(
+            graph.connected_components(df, max_iter=30)
+        )
