@@ -455,3 +455,86 @@ def nth_order_value(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'click' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_clicked,
+           (SELECT COUNT(*) FROM s2) AS n_then_viewed,
+           (SELECT COUNT(*) FROM s3) AS n_then_purchased
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (click -> later view -> later purchase): how many
+    users complete each prefix. Each stage is a tiny per-user aggregate
+    (one row per qualifying user) joined into the next stage's event
+    filter — the events table streams past three filters; the stage
+    frames are user-count sized and broadcast. The sequential ts > prev
+    constraint is what makes this a FUNNEL rather than three independent
+    counts (a user who purchases before clicking doesn't convert)."""
+    ev = _t(spark, sf_dir, "events").df
+    s1 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_clicked"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_then_viewed")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_then_purchased")))
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    )
+    SELECT STRFTIME(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(CAST(e.ts AS DATE) - f.cohort_day AS INT) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    distinct on each later activity day-offset. The first-touch frame is
+    one row per user (broadcastable); the main aggregate shuffles on
+    (cohort_day, day_offset) with a distinct-expand — the standard
+    retention-curve input. The events span is small so cohorts are by
+    DAY; at production scale the same plan truncates to week/month."""
+    ev = _t(spark, sf_dir, "events").df
+    first_day = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(first_day), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"), F.col("day_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
