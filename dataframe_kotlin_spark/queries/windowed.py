@@ -538,3 +538,55 @@ def cohort_retention(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "scd2_status_timeline",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey, o_orderstatus, MIN(o_orderdate) AS o_orderdate
+      FROM orders GROUP BY o_custkey, o_orderstatus
+    ),
+    dedup AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderdate, o_orderstatus,
+               LAG(o_orderstatus) OVER w AS prev_status
+        FROM log
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus)
+      ) WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey, o_orderstatus,
+           STRFTIME(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS valid_from,
+           STRFTIME(CAST(LEAD(o_orderdate) OVER w2 AS DATE), '%Y-%m-%d') AS valid_to,
+           LEAD(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM dedup
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderstatus)
+    """,
+)
+def scd2_status_timeline(spark, sf_dir):
+    """SCD2 rebuild (operators/scd.scd2_from_history) over each
+    customer's order-status change log: one versioned row per status
+    run, valid until the next change, latest open. One shuffle on the
+    key; consecutive repeats collapse before the lead window. The
+    change log dedups (custkey, status, first date) to make the
+    fixture deterministic (orders share dates)."""
+    from dataframe_kotlin_spark.operators import scd
+
+    o = _t(spark, sf_dir, "orders").df
+    log = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.min("o_orderdate").alias("o_orderdate")
+    )
+    out = scd.scd2_from_history(
+        log,
+        keys=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus"],
+        tie_cols=["o_orderstatus"],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
