@@ -398,6 +398,65 @@ def hash_split_counts(spark, sf_dir):
     )
 
 
+@query(
+    "mix_weighted_counts",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority,
+             ((((((o_orderkey % 2147483648) + 2147483648) % 2147483648)
+                 * 2654435761) % 2147483648 + 2147483648) % 2147483648)
+               * 2246822519 % 1000 AS b0,
+             ((((((o_orderkey % 2147483648) + 2147483648) % 2147483648)
+                 * 2654435761 + 2246822519) % 2147483648 + 2147483648) % 2147483648)
+               * 2246822519 % 1000 AS b1
+      FROM orders)
+    SELECT source_id, o_orderstatus, COUNT(*) AS n_rows FROM (
+      SELECT 0 AS source_id, o_orderstatus FROM h
+      WHERE o_orderpriority = '1-URGENT' AND b0 < 500
+      UNION ALL
+      SELECT 1 AS source_id, o_orderstatus FROM h
+      WHERE o_orderpriority <> '1-URGENT' AND b1 < 200
+    ) GROUP BY source_id, o_orderstatus
+    """,
+)
+def mix_weighted_counts(spark, sf_dir):
+    """Weighted corpus mixing (operators/sampling.mix_weighted): urgent
+    orders kept at 50%, the rest at 20%, tagged by source. The oracle
+    recomputes the per-source multiplicative hash (salt = source index)
+    in plain BIGINT SQL — the mixture is a pure function of the key, so
+    re-running the pipeline (or another engine) rebuilds the identical
+    training mix."""
+    from dataframe_kotlin_spark.operators import sampling
+
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    rest = o.filter(F.col("o_orderpriority") != "1-URGENT")
+    mixed = sampling.mix_weighted([(urgent, 0.5), (rest, 0.2)], "o_orderkey")
+    return mixed.groupBy("source_id", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "reservoir_counts",
+    oracle="""
+    SELECT o_custkey, LEAST(5, COUNT(*)) AS n_sampled
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def reservoir_counts(spark, sf_dir):
+    """Per-group reservoir sampling (operators/sampling.reservoir_per_group,
+    k=5 per customer): the oracle pins the contract the sampler must hit
+    exactly — min(k, group size) rows per group, both branches exercised
+    (customers with <5 and >5 orders). Uniformity and determinism of
+    WHICH rows are kept is pinned in tests/test_sampling.py."""
+    from dataframe_kotlin_spark.operators import sampling
+
+    o = _t(spark, sf_dir, "orders")
+    r = sampling.reservoir_per_group(o, ["o_custkey"], k=5)
+    return r.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 @query("ann_ivf_trained")
 def ann_ivf_trained(spark, sf_dir):
     """Learned-IVF ANN end-to-end: k-means coarse centroids (distributed

@@ -60,29 +60,35 @@ def read_csv(
     null_strings: Sequence[str] = NULL_STRINGS,
     infer_types: bool = True,
     col_types: dict[str, str] | None = None,
+    quote: str = '"',
+    escape: str = '"',
 ) -> DataFrame:
     """Reference readCSV/readDelim (io/csv.kt:31-274).
 
     col_types overrides inference per column (reference per-column ColType).
+    escape defaults to the quote char (RFC 4180 doubled quotes), matching
+    the reference's Commons-CSV parser — Spark's own default is backslash.
     """
     # header (+ skipped lines) live in the file head only
     head = _read_head_lines(spark, path, skip_lines + (1 if header else 0))
     if header:
         raw_names = head[-1].split(sep) if head else []
-        names = _dedupe([n.strip() or f"c{i}" for i, n in enumerate(raw_names)])
+        names = _dedupe(
+            [n.strip().strip(quote).strip() or f"c{i}" for i, n in enumerate(raw_names)]
+        )
     else:
         names = None
 
-    reader = (
-        spark.read.option("sep", sep)
-        .option("header", False)
-        .option("mode", "PERMISSIVE")
-    )
-    df = reader.csv(path)
-    # drop the header/skipped head rows by matching raw lines is fragile;
-    # instead re-read with header handled by spark when possible
+    def reader():
+        return (
+            spark.read.option("sep", sep)
+            .option("quote", quote)
+            .option("escape", escape)
+            .option("mode", "PERMISSIVE")
+        )
+
     if skip_lines == 0:
-        df = spark.read.option("sep", sep).option("header", header).csv(path)
+        df = reader().option("header", header).csv(path)
         if header and names and len(names) == len(df.columns):
             # reference naming: second `x` -> `x_1` (Spark's own dedup is x2)
             df = df.toDF(*names)
@@ -93,7 +99,7 @@ def read_csv(
         rdd = spark.sparkContext.textFile(path).zipWithIndex()
         start = skip_lines + (1 if header else 0)
         lines = rdd.filter(lambda t: t[1] >= start).map(lambda t: t[0])
-        df = spark.read.option("sep", sep).csv(lines)
+        df = reader().csv(lines)
         if names:
             df = df.toDF(*names)
 
@@ -191,6 +197,41 @@ def infer_column_types(df: DataFrame, skip: set[str] = frozenset()) -> DataFrame
     return out
 
 
-def write_csv(df: DataFrame, path: str, mode: str = "overwrite", sep: str = ",") -> None:
-    """Reference writeCSV (io/csv.kt:283-295)."""
-    df.write.mode(mode).option("header", True).option("sep", sep).csv(path)
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    sep: str = ",",
+    header: bool = True,
+    quote: str = '"',
+    escape: str | None = None,
+    quote_all: bool = False,
+    null_value: str = "",
+    line_sep: str = "\n",
+    compression: str | None = None,
+) -> None:
+    """Reference writeCSV (io/csv.kt:283-295), which takes a Commons-CSV
+    ``CSVFormat`` — the knobs here mirror that surface: delimiter, quote
+    char, escape, ALL-vs-MINIMAL quote mode, null string, record
+    separator, header toggle.
+
+    Escape defaults to the QUOTE char (doubled quotes, ``a""b``) to match
+    Commons CSV DEFAULT — Spark's own default is backslash-escape, which
+    the reference's reader would mis-parse. Distributed write: one file
+    per partition, no driver collect; ``compression`` (gzip/snappy/...)
+    applies per-file so parallel readers still split by file.
+    """
+    w = (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("sep", sep)
+        .option("quote", quote)
+        .option("escape", escape if escape is not None else quote)
+        .option("quoteAll", quote_all)
+        .option("nullValue", null_value)
+        .option("emptyValue", '""')
+        .option("lineSep", line_sep)
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(path)

@@ -89,6 +89,42 @@ def test_csv_roundtrip(spark, tmp_path, person):
     assert dict(back.dtypes)["age"] == "int"
 
 
+def test_csv_write_quote_options(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 'say "hi", ok', None), (2, "plain", "x")],
+        ["id", "text", "opt"],
+    )
+    out = str(tmp_path / "quoted_csv")
+    write_csv(df, out, null_value="NULL")
+    raw = ""
+    for f in os.listdir(out):
+        if f.endswith(".csv"):
+            raw += open(os.path.join(out, f)).read()
+    # Commons-CSV DEFAULT escaping: embedded quotes doubled, not backslashed
+    assert '"say ""hi"", ok"' in raw
+    assert "\\" not in raw
+    assert "NULL" in raw
+    back = read_csv(spark, out + "/*.csv", null_strings=["NULL"])
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["text"] == 'say "hi", ok'
+    assert rows[2]["opt"] == "x"
+    assert rows[1]["opt"] is None
+
+
+def test_csv_write_quote_all_and_sep(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    out = str(tmp_path / "qall_csv")
+    write_csv(df, out, sep=";", quote_all=True)
+    raw = ""
+    for f in os.listdir(out):
+        if f.endswith(".csv"):
+            raw += open(os.path.join(out, f)).read()
+    assert '"1";"a"' in raw
+    back = read_csv(spark, out + "/*.csv", sep=";")
+    assert back.count() == 2
+    assert dict(back.dtypes)["id"] == "int"
+
+
 def test_json_nested_structs(spark, tmp_path):
     p = tmp_path / "nested.json"
     p.write_text(
