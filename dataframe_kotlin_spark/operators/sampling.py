@@ -125,3 +125,46 @@ def reservoir_per_group(
         .filter(F.col("__rs_rank__") <= k)
         .drop("__rs_rank__")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    token_col: str,
+    budget: int,
+    shards: int = 256,
+    salt: int = 0,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    The standard concat-then-chop packing: documents are laid out in a
+    deterministic order and each one is assigned the sequence whose
+    window its START offset falls in (``seq_in_shard = offset //
+    budget``). Long documents spill past their window boundary —
+    the downstream tokenizer truncates or wraps; what matters here is a
+    deterministic, reproducible doc→sequence assignment.
+
+    Scale: a single global running sum would serialize 100 TB through
+    one partition, so docs are first hash-sharded (pure function of the
+    key — same determinism story as hash_split) and the running offset
+    is computed per shard: one shuffle on ``__shard__``, each window
+    sized data/shards. Output adds __shard__, seq_id (globally unique:
+    shard * 2^32 + seq_in_shard), and offset_in_seq.
+    """
+    from pyspark.sql import Window
+
+    shard = hash_bucket(F.col(key), buckets=shards, salt=salt)
+    w = (
+        Window.partitionBy("__shard__")
+        .orderBy(F.col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("__shard__", shard)
+    offset = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("bigint")
+    seq_in_shard = F.floor(offset / budget)
+    return (
+        out.withColumn("__offset__", offset)
+        .withColumn("seq_id", (F.col("__shard__") * F.lit(2**32) + seq_in_shard).cast("bigint"))
+        .withColumn("offset_in_seq", (F.col("__offset__") % budget).cast("bigint"))
+        .drop("__offset__")
+    )

@@ -5,6 +5,8 @@ map-only stages that fuse into the scan at 100 TB.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -65,3 +67,34 @@ def fingerprint(df: DataFrame, text_col: str, out_col: str = "fingerprint") -> D
 def score_quality(df: DataFrame, text_col: str, out_col: str = "quality") -> DataFrame:
     # +1e-9: see text_stats — keeps exact-quarter scores off round boundaries
     return df.withColumn(out_col, F.round(quality_score(F.col(text_col)) + 1e-9, 4))
+
+
+def repetition_stats(df: DataFrame, text_col: str, ns: Sequence[int] = (2, 3)) -> DataFrame:
+    """Gopher-style within-document repetition metrics (Rae et al. 2021,
+    table A1): for each n in ``ns``, the fraction of duplicate n-grams
+    (1 - distinct/total). Pure Column expressions over the token array —
+    map-only, fuses into the scan, no shuffle, no UDF. High values flag
+    boilerplate/spam documents that a quality gate should drop before
+    training. Reference has no equivalent (pipeline extension, SURVEY §7 P6).
+    """
+    toks = tokens(F.col(text_col))
+    out = df
+    for n in ns:
+        # n-grams as joined strings: slide a window of n over the array.
+        # Guarded: sequence(1, 0) DESCENDS in Spark, so short docs must
+        # short-circuit to an empty array, not an inverted range.
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        total = F.size(grams)
+        dup_frac = F.when(total <= 0, F.lit(0.0)).otherwise(
+            # +1e-9: keep exact .xxxx5 ratios off the Spark/duckdb
+            # rounding-boundary divergence (see text_stats)
+            F.round((total - F.size(F.array_distinct(grams))) / total + 1e-9, 4)
+        )
+        out = out.withColumn(f"dup_{n}gram_frac", dup_frac)
+    return out

@@ -260,6 +260,82 @@ def text_stats(spark, sf_dir):
 
 
 @query(
+    "repetition_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [] END AS g2,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+             ELSE [] END AS g3
+      FROM tok
+    )
+    SELECT doc_id,
+           CASE WHEN len(g2) <= 0 THEN 0.0
+                ELSE ROUND((len(g2) - len(list_distinct(g2))) * 1.0 / len(g2) + 1e-9, 4)
+           END AS dup_2gram_frac,
+           CASE WHEN len(g3) <= 0 THEN 0.0
+                ELSE ROUND((len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) + 1e-9, 4)
+           END AS dup_3gram_frac
+    FROM grams
+    """,
+)
+def repetition_filter(spark, sf_dir):
+    """Gopher-style repetition quality gate (operators/textpipe.
+    repetition_stats): duplicate 2-/3-gram fraction per document, the
+    signal used to drop boilerplate/spam before training. Map-only pure
+    Column expressions — fuses into the scan at 100 TB."""
+    out = textpipe.repetition_stats(_t(spark, sf_dir, "documents"), "text", ns=(2, 3))
+    return out.select("doc_id", "dup_2gram_frac", "dup_3gram_frac")
+
+
+@query(
+    "pack_sequences_stats",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             ((((doc_id % 2147483648) * 2654435761) % 2147483648)
+               * 2246822519) % 8 AS shard
+      FROM documents
+    ), packed AS (
+      SELECT shard,
+             (SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_chars) AS off,
+             n_chars
+      FROM sharded
+    )
+    SELECT CAST(shard * 4294967296 + (off // 2000) AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS seq_chars
+    FROM packed
+    GROUP BY 1
+    """,
+)
+def pack_sequences_stats(spark, sf_dir):
+    """Training-sequence packing (operators/sampling.pack_sequences):
+    concat-then-chop docs into 2000-char budget windows, hash-sharded
+    (8 shards) so the running offset never serializes through one
+    partition. The oracle recomputes shard + offset + seq assignment in
+    plain SQL — packing is a pure function of (doc_id, n_chars)."""
+    from dataframe_kotlin_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    packed = sampling.pack_sequences(d, "doc_id", "n_chars", budget=2000, shards=8)
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("seq_chars"),
+    )
+
+
+@query(
     "doc_fingerprints",
     oracle="""
     SELECT doc_id,

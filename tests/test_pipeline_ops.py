@@ -250,3 +250,20 @@ def test_levenshtein_pairs_band_prune_is_lossless(spark):
         if lev(x[2], y[2]) <= 3
     }
     assert got == exp and (1, 2) in got
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),          # 2-grams: ab ba ab ba ab -> 3 dups of 5
+            (1, "all words are unique"), # no repeats
+            (2, "x"),                    # shorter than n: no grams, frac 0
+            (3, ""),                     # empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textpipe.repetition_stats(df, "text", ns=(2,)).collect()}
+    assert out[0]["dup_2gram_frac"] == 0.6
+    assert out[1]["dup_2gram_frac"] == 0.0
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["dup_2gram_frac"] == 0.0

@@ -95,3 +95,36 @@ def test_reservoir_per_group(orders):
         orders, ["o_orderpriority"], k=k, seed=99, order_salt="o_orderkey"
     )
     assert got.exceptAll(other).count() > 0
+
+
+def test_pack_sequences_layout(spark):
+    # one shard so layout is easy to reason about
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([300, 300, 500, 900, 100, 2500])],
+        ["doc_id", "n_tok"],
+    )
+    packed = sampling.pack_sequences(df, "doc_id", "n_tok", budget=1000, shards=1)
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    # offsets are the running sum of predecessors (doc_id order)
+    assert [rows[i]["offset_in_seq"] for i in range(3)] == [0, 300, 600]
+    # doc 3 starts at offset 1100 -> second window of shard 0
+    assert rows[3]["seq_id"] == rows[0]["seq_id"] + 1
+    assert rows[3]["offset_in_seq"] == 100
+    # a doc longer than the budget still gets exactly one assignment
+    assert rows[5]["seq_id"] is not None
+    # determinism
+    again = sampling.pack_sequences(df, "doc_id", "n_tok", budget=1000, shards=1)
+    assert packed.exceptAll(again).count() == 0
+
+
+def test_pack_sequences_sharding(orders):
+    o = orders.select("o_orderkey", "o_totalprice")
+    packed = sampling.pack_sequences(
+        o.withColumn("w", F.lit(10)), "o_orderkey", "w", budget=100, shards=16
+    )
+    # every row assigned, shards within range, seq ids globally disjoint
+    assert packed.count() == o.count()
+    assert packed.filter((F.col("__shard__") < 0) | (F.col("__shard__") >= 16)).count() == 0
+    # 10 tokens * budget 100 -> exactly 10 docs per full sequence
+    per_seq = packed.groupBy("seq_id").count()
+    assert per_seq.filter(F.col("count") > 10).count() == 0
