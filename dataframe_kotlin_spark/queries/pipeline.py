@@ -148,6 +148,62 @@ def jaccard_pairs(spark, sf_dir):
     return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
 
 
+@query(
+    "split_leakage_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                   len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+            len(list_distinct(a.toks || b.toks)) >= 0.5
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN ((((((doc_id % 2147483648) + 2147483648) % 2147483648)
+                          * 2654435761) % 2147483648 + 2147483648) % 2147483648)
+                       * 2246822519 % 1000 < 900
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+    FROM pairs p
+      JOIN sp sa ON p.id_a = sa.doc_id
+      JOIN sp sb ON p.id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """,
+)
+def split_leakage_pairs(spark, sf_dir):
+    """Train/val contamination audit: near-duplicate pairs (word-set
+    Jaccard >= 0.5, blocked on lang+source) whose two sides land in
+    DIFFERENT hash splits — exactly the documents that leak eval data
+    into training. Composes sampling.hash_split with dedup.jaccard_pairs;
+    the split side is a broadcast-able 2-column projection, so at 100 TB
+    the only heavy stage is the blocked pair join itself."""
+    from dataframe_kotlin_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    splits = sampling.hash_split(
+        d.select("doc_id"), "doc_id", {"train": 0.9, "val": 0.1}
+    )
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", block_cols=["lang", "source"], threshold=0.5
+    ).withColumn("jaccard", F.round(F.col("jaccard"), 6))
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+    )
+
+
 # -- similarity search -----------------------------------------------------
 @query(
     "ann_bruteforce_topk",
