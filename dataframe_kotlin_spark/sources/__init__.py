@@ -1,6 +1,7 @@
 from dataframe_kotlin_spark.sources.csv import read_csv, read_tsv, write_csv
 from dataframe_kotlin_spark.sources.json import read_json, write_json
 from dataframe_kotlin_spark.sources.guess import read
+from dataframe_kotlin_spark.sources.layout import write_sorted, write_hive_partitioned
 from dataframe_kotlin_spark.sources.robust import (
     read_orc,
     write_orc,
@@ -37,4 +38,6 @@ __all__ = [
     "read_csv_split",
     "read_json_split",
     "split_good_bad",
+    "write_sorted",
+    "write_hive_partitioned",
 ]

@@ -157,3 +157,33 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path_factory):
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
     )
     assert q.collect() == exp.collect()
+
+
+def test_write_sorted_disjoint_file_ranges(spark, tmp_path_factory):
+    """write_sorted: files carry disjoint key ranges, each internally
+    sorted — the file sequence IS the global order (no 1-partition sort)."""
+    import glob
+    import os
+
+    from dataframe_kotlin_spark.sources import write_sorted
+
+    sf = "/root/testdata/sf0.01"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    target = str(tmp_path_factory.mktemp("sorted") / "orders_sorted")
+    write_sorted(o, target, by=["o_totalprice"], num_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(target, "*.parquet"))):
+        pf = spark.read.parquet(f)
+        r = pf.agg(F.min("o_totalprice"), F.max("o_totalprice"), F.count("*")).collect()[0]
+        if r[2]:
+            ranges.append((r[0], r[1]))
+        # internally sorted: monotone non-decreasing within the file
+        vals = [x[0] for x in pf.select("o_totalprice").collect()]
+        assert vals == sorted(vals)
+    assert len(ranges) > 1  # actually split across files
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint, ordered ranges
+    # nothing lost
+    assert spark.read.parquet(target).count() == o.count()
