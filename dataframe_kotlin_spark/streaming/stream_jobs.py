@@ -376,3 +376,35 @@ def rocksdb_state_conf(changelog: bool = True) -> dict[str, str]:
     if changelog:
         conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"] = "true"
     return conf
+
+
+def curate_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_dup_2gram: float = 0.5,
+    min_quality: float = 0.2,
+    langs: list | None = None,
+) -> DataFrame:
+    """Streaming corpus-curation gate: language ID + quality score +
+    Gopher repetition filter applied to a document stream.
+
+    Every signal is a pure Column expression (operators/textpipe), so the
+    stage is STATELESS — no watermark, no state store; each micro-batch
+    is independently filtered at scan throughput, and the op composes
+    freely with downstream stateful stages (dedup_stream on fingerprint,
+    windowed counts). This is the continuous-ingestion twin of the batch
+    repetition_filter / quality_filter / language_id queries: identical
+    expressions, so batch backfill and the live stream agree row-for-row
+    (pinned by test_streaming batch-parity).
+    """
+    from dataframe_kotlin_spark.operators import textpipe
+
+    out = textpipe.repetition_stats(docs, text_col, ns=(2,))
+    out = textpipe.score_quality(out, text_col)
+    out = out.withColumn("lang_pred", textpipe.detect_language(F.col(text_col)))
+    cond = (F.col("dup_2gram_frac") <= max_dup_2gram) & (
+        F.col("quality") >= min_quality
+    )
+    if langs:
+        cond = cond & F.col("lang_pred").isin(langs)
+    return out.filter(cond)

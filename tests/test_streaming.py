@@ -295,3 +295,22 @@ def test_rocksdb_state_store_dedup(spark, batch_events, tmp_path_factory):
     finally:
         for k in conf:
             spark.conf.unset(k)
+
+
+def test_curate_stream_matches_batch(spark, ckpt, tmp_path_factory):
+    """Streaming curation gate emits exactly the rows the identical batch
+    expressions keep — stateless map-only stage, no watermark needed."""
+    src = tmp_path_factory.mktemp("curate_src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").parquet(str(src / "docs"))
+    written = spark.read.parquet(str(src / "docs"))
+
+    stream = spark.readStream.schema(written.schema).parquet(str(src / "docs"))
+    got_q = sj.curate_stream(stream, max_dup_2gram=0.5, min_quality=0.2, langs=["en"])
+    sj.run_to_memory(got_q, "t_curate", os.path.join(ckpt, "curate"))
+    got = spark.table("t_curate")
+
+    exp = sj.curate_stream(written, max_dup_2gram=0.5, min_quality=0.2, langs=["en"])
+    assert 0 < got.count() < written.count()  # gate actually filters
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
