@@ -126,6 +126,43 @@ def cumulative_sum(spark, sf_dir):
 
 
 @query(
+    "rolling_range_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER w AS n_orders_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             AS revenue_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_range_revenue(spark, sf_dir):
+    """VALUE-range window frame (RANGE BETWEEN INTERVAL): per customer,
+    order count and revenue over the trailing 30 days relative to each
+    order's date — the frame is bounded by timestamp distance, not row
+    count, so ties and gaps are handled by value. Spark expresses it as
+    rangeBetween over the epoch DAY number (timezone-free; orderdates
+    are midnight-aligned, so a 30-day-number distance is exactly the
+    oracle's INTERVAL 30 DAYS). Decimal-sum per the money-parity rule."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")))
+        .rangeBetween(-30, 0)
+    )
+    return o.df.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("revenue_30d"),
+    )
+
+
+@query(
     "tumbling_window",
     oracle="""
     SELECT user_id,
