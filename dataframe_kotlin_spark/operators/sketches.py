@@ -50,3 +50,62 @@ def hll_merge(
     return sketches.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(name)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    capacity: int = 1000,
+    min_share: float = 0.0,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Misra-Gries / Space-Saving heavy hitters over ``col``.
+
+    Each partition builds a bounded summary of at most ``capacity``
+    counters (mergeable-summaries batch form, Agarwal et al. 2013: add
+    the batch's exact counts, then subtract the (capacity+1)-largest
+    count and drop non-positives). Partition summaries are tiny —
+    capacity rows each — so the merge groupBy shuffles KB per partition,
+    never the raw column. Guarantees, with n = total rows:
+
+    - every item with true frequency > n/capacity IS present (no false
+      negatives above the error bound);
+    - reported count_lower underestimates the true count by at most
+      n/capacity.
+
+    ``min_share`` filters the merged result to items whose LOWER bound
+    exceeds that share of n, making the output robust to partitioning
+    noise. ``deterministic=True`` first repartitions rows by item hash
+    so each summary sees a fixed item subset (stable output for
+    correctness gates; skip at 100 TB — the whole point of the sketch
+    is map-side operation under whatever partitioning the scan gives).
+    """
+    import pandas as pd
+
+    src = df.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+    if deterministic:
+        src = src.repartition(32, "item")
+
+    def summarize(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["item"].value_counts()
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > capacity:
+                cut = sorted(counts.values(), reverse=True)[capacity]
+                counts = {i: c - cut for i, c in counts.items() if c - cut > 0}
+        yield pd.DataFrame(
+            {"item": list(counts.keys()), "count_lower": list(counts.values())}
+        )
+
+    summaries = src.mapInPandas(summarize, "item string, count_lower long")
+    merged = summaries.groupBy("item").agg(
+        F.sum("count_lower").cast("bigint").alias("count_lower")
+    )
+    if min_share > 0:
+        n = src.count()
+        merged = merged.filter(F.col("count_lower") >= int(min_share * n))
+    return merged

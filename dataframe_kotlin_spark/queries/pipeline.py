@@ -9,6 +9,7 @@ import os
 from pyspark.sql import functions as F
 
 from dataframe_kotlin_spark.core.frame import KDataFrame
+from dataframe_kotlin_spark.functions.text import tokens
 from dataframe_kotlin_spark.operators import dedup, multimodal, similarity, textpipe
 from dataframe_kotlin_spark.queries import query
 
@@ -146,6 +147,36 @@ def jaccard_pairs(spark, sf_dir):
         threshold=0.5,
     )
     return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+
+
+@query(
+    "heavy_hitter_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS item
+      FROM documents
+    ), counts AS (
+      SELECT item, COUNT(*) AS count_lower FROM tok GROUP BY item
+    )
+    SELECT item, count_lower FROM counts
+    WHERE count_lower >= 0.01 * (SELECT SUM(count_lower) FROM counts)
+    """,
+)
+def heavy_hitter_terms(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketches.heavy_hitters) over
+    the exploded token stream: terms above 1% corpus share. Partition
+    summaries are bounded at `capacity` counters, so the merge shuffles
+    KB per partition instead of the raw token column. At capacity=100
+    (>= this corpus's vocabulary) the summary is lossless, which lets
+    the oracle pin EXACT counts; the lossy-compression regime and its
+    n/capacity error guarantee are pinned in tests/test_approx.py."""
+    from dataframe_kotlin_spark.operators import sketches
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    return sketches.heavy_hitters(
+        toks, "term", capacity=100, min_share=0.01, deterministic=True
+    )
 
 
 @query(

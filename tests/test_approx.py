@@ -73,3 +73,39 @@ def test_hll_estimate_error_bound(spark, orders):
     for r in est:
         e, x = r["approx_nd"], exact[r["o_orderpriority"]]
         assert abs(e - x) / x < 0.05, (r["o_orderpriority"], e, x)
+
+
+def test_heavy_hitters_guarantees(spark):
+    """Misra-Gries: every item above the n/capacity error bound is
+    reported, and reported counts are lower bounds within the bound."""
+    from dataframe_kotlin_spark.operators import sketches
+
+    # zipf-ish: item i appears ~ N/i times
+    rows = [(f"w{i}",) for i in range(1, 200) for _ in range(2000 // i)]
+    df = spark.createDataFrame(rows, ["w"]).repartition(8)
+    n = len(rows)
+    cap = 50
+    exact = {r["w"]: r["c"] for r in df.groupBy("w").agg(F.count("*").alias("c")).collect()}
+
+    got = {r["item"]: r["count_lower"] for r in sketches.heavy_hitters(df, "w", capacity=cap).collect()}
+    bound = n / cap
+    for item, true_c in exact.items():
+        if true_c > bound:
+            assert item in got, f"{item} (count {true_c}) missing, bound {bound}"
+    for item, lo in got.items():
+        assert lo <= exact[item]
+        assert exact[item] - lo <= bound
+
+    # deterministic mode: same result set across repeated runs
+    a = sketches.heavy_hitters(df, "w", capacity=cap, deterministic=True).collect()
+    b = sketches.heavy_hitters(df, "w", capacity=cap, deterministic=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_heavy_hitters_min_share(spark):
+    from dataframe_kotlin_spark.operators import sketches
+
+    df = spark.createDataFrame([("a",)] * 500 + [("b",)] * 10, ["w"])
+    out = sketches.heavy_hitters(df, "w", capacity=100, min_share=0.5)
+    items = [r["item"] for r in out.collect()]
+    assert items == ["a"]
