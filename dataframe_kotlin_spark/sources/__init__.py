@@ -1,7 +1,12 @@
 from dataframe_kotlin_spark.sources.csv import read_csv, read_tsv, write_csv
 from dataframe_kotlin_spark.sources.json import read_json, write_json
 from dataframe_kotlin_spark.sources.guess import read
-from dataframe_kotlin_spark.sources.layout import write_sorted, write_hive_partitioned
+from dataframe_kotlin_spark.sources.layout import (
+    morton_code,
+    write_hive_partitioned,
+    write_sorted,
+    write_zordered,
+)
 from dataframe_kotlin_spark.sources.robust import (
     read_orc,
     write_orc,
@@ -40,4 +45,6 @@ __all__ = [
     "split_good_bad",
     "write_sorted",
     "write_hive_partitioned",
+    "write_zordered",
+    "morton_code",
 ]

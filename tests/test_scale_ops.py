@@ -187,3 +187,52 @@ def test_write_sorted_disjoint_file_ranges(spark, tmp_path_factory):
         assert hi1 <= lo2  # disjoint, ordered ranges
     # nothing lost
     assert spark.read.parquet(target).count() == o.count()
+
+
+def test_zorder_skips_files_on_both_dims(spark, tmp_path_factory):
+    """Z-order layout: a predicate on the NON-sorted dimension of a
+    linear layout touches every file, but intersects only the few files
+    whose Morton envelope covers it."""
+    import glob
+    import os
+
+    from dataframe_kotlin_spark.sources.layout import write_zordered
+
+    sf = "/root/testdata/sf0.01"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    zdir = str(tmp_path_factory.mktemp("zord") / "z")
+    ldir = str(tmp_path_factory.mktemp("zord") / "linear")
+    write_zordered(o, zdir, "o_custkey", "o_totalprice", num_files=16)
+    # linear layout: sorted by the OTHER dimension only
+    (
+        o.repartitionByRange(16, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def files_hit(d, lo, hi):
+        hit, total = 0, 0
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            r = (
+                spark.read.parquet(f)
+                .agg(F.min("o_custkey"), F.max("o_custkey"), F.count("*"))
+                .collect()[0]
+            )
+            if r[2] == 0:
+                continue
+            total += 1
+            if r[0] <= hi and r[1] >= lo:  # envelope intersects predicate
+                hit += 1
+        return hit, total
+
+    zhit, ztot = files_hit(zdir, 100, 190)  # ~6% of the custkey domain
+    lhit, ltot = files_hit(ldir, 100, 190)
+    assert ztot > 8 and ltot > 8
+    assert lhit == ltot  # linear-by-price scatters custkey everywhere
+    assert zhit <= ztot // 2  # z-order keeps custkey clustered too
+    # layout changes bytes on disk, never rows
+    assert spark.read.parquet(zdir).count() == o.count()
