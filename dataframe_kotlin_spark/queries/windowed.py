@@ -163,6 +163,41 @@ def rolling_range_revenue(spark, sf_dir):
 
 
 @query(
+    "interarrival_quantiles",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           ROUND(quantile_cont(gap_us, 0.5) / 1000 + 1e-9, 0) AS median_gap_ms,
+           ROUND(quantile_cont(gap_us, 0.9) / 1000 + 1e-9, 0) AS p90_gap_ms
+    FROM gaps GROUP BY user_id
+    """,
+)
+def interarrival_quantiles(spark, sf_dir):
+    """Per-user inter-event gap distribution: lag over the user timeline,
+    then exact interpolated quantiles of the microsecond deltas. One
+    shuffle on user_id shared by the window and the aggregate. Deltas in
+    integer microseconds (tz-invariant even through the ntz cast);
+    rounded to whole ms per the quantile-parity rule."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = e.df.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 1000 + 1e-9, 0).alias("median_gap_ms"),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 1000 + 1e-9, 0).alias("p90_gap_ms"),
+    )
+
+
+@query(
     "tumbling_window",
     oracle="""
     SELECT user_id,
