@@ -1,0 +1,68 @@
+"""Structural plan assertions for the headline (benchmarked) queries.
+
+These pin the PHYSICAL properties that make the queries fast, so a
+refactor that silently degrades the plan (lost broadcast, lost pushdown,
+accidental cartesian product, codegen fallback) fails CI rather than
+only showing up as a bench regression. Complements test_scale_ops'
+per-technique checks.
+"""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from dataframe_kotlin_spark.queries import spark_queries
+
+SF = "/root/testdata/sf0.001"
+
+HEADLINE = [
+    "filter_predicates",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "pivot_sum_segments",
+    "sessionize",
+    "minhash_signatures",
+    "ann_bruteforce_topk",
+]
+
+
+def _plan(spark, name):
+    df = spark_queries()[name](spark, SF)
+    df.collect()  # finalize the AQE plan — pre-execution toString hides codegen spans
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_no_cartesian_product(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_whole_stage_codegen(spark, name):
+    # every headline query should keep its hot path inside codegen —
+    # the `*(n)` prefix marks a WholeStageCodegen span in toString()
+    assert "*(" in _plan(spark, name)
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier"])
+def test_dim_joins_are_broadcast(spark, name):
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    # Q3/Q5 must not fall back to shuffled sort-merge for the dim sides
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [" in plan
+    # the shipdate predicate reaches the parquet reader
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q3_takeordered_not_global_sort(spark):
+    # top-10 must be TakeOrderedAndProject (per-partition heaps),
+    # never a full global Sort of the aggregate output
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
