@@ -783,9 +783,26 @@ class KDataFrame:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
 
-    def write_csv(self, path: str, mode: str = "overwrite") -> None:
-        """Reference: io/csv.kt:283-295."""
-        self.df.write.mode(mode).option("header", True).csv(path)
+    def write_csv(self, path: str, mode: str = "overwrite", **kw) -> None:
+        """Reference: io/csv.kt:283-295. Extra kwargs forward to
+        sources.csv.write_csv (quote/escape/quoteAll/nullValue/...)."""
+        from dataframe_kotlin_spark.sources.csv import write_csv as _w
+
+        _w(self.df, path, mode=mode, **kw)
+
+    def write_sorted(self, path: str, by: Sequence[str], **kw) -> None:
+        """Globally-sorted parquet via range repartitioning
+        (sources.layout.write_sorted) — no single-partition sort."""
+        from dataframe_kotlin_spark.sources.layout import write_sorted as _w
+
+        _w(self.df, path, by, **kw)
+
+    def write_zordered(self, path: str, col_a: str, col_b: str, **kw) -> None:
+        """Morton-curve layout for 2-d file skipping
+        (sources.layout.write_zordered)."""
+        from dataframe_kotlin_spark.sources.layout import write_zordered as _w
+
+        _w(self.df, path, col_a, col_b, **kw)
 
     def cache(self) -> "KDataFrame":
         return self._wrap(self.df.cache())

@@ -192,3 +192,54 @@ def test_merge_rows_explode_roundtrip(spark, vals):
     back = df.merge_rows(["v"]).explode("v")
     got = sorted((r["k"], r["v"]) for r in back.collect())
     assert got == sorted(vals)
+
+
+@given(
+    w=st.lists(st.floats(0.05, 1.0), min_size=2, max_size=5),
+    salt=st.integers(0, 10_000),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_hash_split_partitions_exhaustively(spark, w, salt):
+    """hash_split: any weight vector (normalized) assigns EVERY key to
+    EXACTLY one split, deterministically in the salt."""
+    from dataframe_kotlin_spark.operators import sampling
+
+    total = sum(w)
+    weights = {f"s{i}": x / total for i, x in enumerate(w)}
+    df = spark.range(500).withColumnRenamed("id", "k")
+    out = sampling.hash_split(df, "k", weights, salt=salt)
+    assert out.filter(F.col("split").isNull()).count() == 0
+    assert out.count() == 500
+    again = sampling.hash_split(df, "k", weights, salt=salt)
+    assert out.exceptAll(again).count() == 0
+
+
+@given(
+    budget=st.integers(5, 200),
+    sizes=st.lists(st.integers(1, 300), min_size=1, max_size=40),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_pack_sequences_offsets_consistent(spark, budget, sizes):
+    """pack_sequences: within every shard, offsets are the exact prefix
+    sums in key order, every doc gets exactly one sequence, and a
+    sequence's docs are contiguous in key order."""
+    from dataframe_kotlin_spark.operators import sampling
+
+    df = spark.createDataFrame(list(enumerate(sizes)), ["k", "n"])
+    out = sampling.pack_sequences(df, "k", "n", budget=budget, shards=4)
+    rows = sorted(out.collect(), key=lambda r: (r["__shard__"], r["k"]))
+    assert len(rows) == len(sizes)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["__shard__"], []).append(r)
+    for shard_rows in by_shard.values():
+        run = 0
+        prev_seq = None
+        for r in shard_rows:
+            assert r["offset_in_seq"] == run % budget
+            expected_seq = (r["__shard__"] << 32) + run // budget
+            assert r["seq_id"] == expected_seq
+            if prev_seq is not None:
+                assert r["seq_id"] >= prev_seq  # sequences advance with key order
+            prev_seq = r["seq_id"]
+            run += r["n"]
