@@ -671,6 +671,97 @@ def term_frequency_topk(spark, sf_dir):
 
 
 @query(
+    "collocations_pmi",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), bi AS (
+      SELECT t.g AS bigram,
+             string_split(t.g, ' ')[1] AS w1,
+             string_split(t.g, ' ')[2] AS w2
+      FROM tok, LATERAL (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS g
+      ) t
+      WHERE len(toks) >= 2
+    ), bc AS (SELECT bigram, w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2, 3),
+       uc AS (
+      SELECT w, COUNT(*) AS n_w FROM (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents) GROUP BY w
+    ), tot AS (
+      SELECT (SELECT SUM(n_ab) FROM bc) AS n_bi, (SELECT SUM(n_w) FROM uc) AS n_uni
+    )
+    SELECT bigram, n_ab,
+           ROUND(LN(n_ab * n_uni * n_uni / (n_bi * ua.n_w * ub.n_w)) + 1e-9, 4) AS pmi
+    FROM bc, tot
+      JOIN uc ua ON bc.w1 = ua.w
+      JOIN uc ub ON bc.w2 = ub.w
+    WHERE n_ab >= 20
+    QUALIFY ROW_NUMBER() OVER (
+      ORDER BY ROUND(LN(n_ab * n_uni * n_uni / (n_bi * ua.n_w * ub.n_w)) + 1e-9, 4) DESC,
+               bigram) <= 25
+    """,
+)
+def collocations_pmi(spark, sf_dir):
+    """Bigram collocations by pointwise mutual information — the corpus
+    signal for multiword expressions (and for spotting templated spam):
+    PMI = ln(p(ab) / (p(a)p(b))) over sliding bigrams. One explode pass
+    for bigrams, one for unigrams (both map-side), counts shuffle on the
+    gram key, and the PMI join runs on the tiny aggregate with broadcast
+    unigram counts. Ranked top-25 with the bigram string as tiebreak;
+    rounded to 4 dp (+1e-9) for cross-engine log parity."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = docs.filter(F.size(toks) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        ).alias("bigram")
+    )
+    bc = grams.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))) \
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))) \
+        .groupBy("bigram", "w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    uc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_bi = bc.agg(F.sum("n_ab")).collect()[0][0]
+    n_uni = uc.agg(F.sum("n_w")).collect()[0][0]
+    ua = uc.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    ub = uc.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    scored = (
+        bc.filter(F.col("n_ab") >= 20)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.lit(float(n_uni)) * F.lit(float(n_uni))
+                    / (F.lit(float(n_bi)) * F.col("n_a") * F.col("n_b"))
+                )
+                + 1e-9,
+                4,
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select("bigram", "n_ab", "pmi")
+    )
+
+
+@query(
     "tfidf_top_terms",
     oracle="""
     WITH tok AS (
