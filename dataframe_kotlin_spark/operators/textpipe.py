@@ -80,21 +80,30 @@ def repetition_stats(df: DataFrame, text_col: str, ns: Sequence[int] = (2, 3)) -
     toks = tokens(F.col(text_col))
     out = df
     for n in ns:
+        # Total n-gram count is size(toks)-(n-1) — no array needed, so the
+        # transform (a CODEGEN-FALLBACK higher-order function, interpreted
+        # per row) is evaluated exactly ONCE, inside array_distinct. An
+        # earlier draft referenced the gram array three times and paid the
+        # interpreted transform 3x per row.
+        total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
         # n-grams as joined strings: slide a window of n over the array.
         # Guarded: sequence(1, 0) DESCENDS in Spark, so short docs must
-        # short-circuit to an empty array, not an inverted range.
-        grams = F.when(
+        # short-circuit rather than build an inverted range.
+        n_distinct = F.when(
             F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                    )
+                )
             ),
-        ).otherwise(F.array().cast("array<string>"))
-        total = F.size(grams)
+        ).otherwise(F.lit(0))
         dup_frac = F.when(total <= 0, F.lit(0.0)).otherwise(
             # +1e-9: keep exact .xxxx5 ratios off the Spark/duckdb
             # rounding-boundary divergence (see text_stats)
-            F.round((total - F.size(F.array_distinct(grams))) / total + 1e-9, 4)
+            F.round((total - n_distinct) / total + 1e-9, 4)
         )
         out = out.withColumn(f"dup_{n}gram_frac", dup_frac)
     return out
