@@ -86,7 +86,7 @@ def heavy_hitters(
         F.col("item").isNotNull()
     )
     if deterministic:
-        src = src.repartition(32, "item")
+        src = src.repartition(8, "item")
 
     def summarize(batches):
         counts: dict[str, int] = {}
@@ -106,6 +106,13 @@ def heavy_hitters(
         F.sum("count_lower").cast("bigint").alias("count_lower")
     )
     if min_share > 0:
-        n = src.count()
+        # Threshold against the summaries' own mass instead of a second
+        # full scan: sum(count_lower) == n in the lossless regime and
+        # undercounts n in the lossy one, so the threshold only gets more
+        # permissive — the no-false-negative guarantee is preserved and
+        # the extra job runs over capacity-sized summaries, not raw rows.
+        merged = merged.cache()  # ≤ capacity·partitions rows — the total
+        # and the filtered result must not re-run the sketch pass
+        n = merged.agg(F.sum("count_lower")).collect()[0][0] or 0
         merged = merged.filter(F.col("count_lower") >= int(min_share * n))
     return merged
