@@ -125,17 +125,21 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhas
     """SimHash over the word set: bit j of the signature is the sign of
     sum over words of (+1 if bit j of h(word) else -1). Map-only."""
     words = F.array_distinct(tokens(F.col(text_col)))
-    out = df.withColumn("__w__", words)
+    # Hash every word ONCE into an int array. The per-bit aggregates below
+    # reference __h__ `bits` times, which blocks CollapseProject from
+    # inlining the expensive md5 transform into each use — without this
+    # boundary the hash would be recomputed per bit (HOFs are interpreted,
+    # no subexpression elimination).
+    out = df.withColumn("__h__", F.transform(words, lambda w: hash20(w)))
     acc = F.lit(0).cast("bigint")
     for j in range(bits):
         contrib = F.aggregate(
-            F.col("__w__"),
+            F.col("__h__"),
             F.lit(0).cast("bigint"),
-            lambda s, w: s
-            + F.when((F.floor(hash20(w) / (2**j)) % 2) == 1, 1).otherwise(-1),
+            lambda s, h: s + F.when((F.floor(h / (2**j)) % 2) == 1, 1).otherwise(-1),
         )
         acc = acc + F.when(contrib > 0, F.lit(2**j)).otherwise(0)
-    return out.withColumn(out_col, acc).drop("__w__")
+    return out.withColumn(out_col, acc).drop("__h__")
 
 
 def hamming_pairs(df: DataFrame, id_col: str, sim_col: str, max_dist: int, block_bits: int = 8) -> DataFrame:

@@ -120,6 +120,34 @@ def simhash_values(spark, sf_dir):
 
 
 @query(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, CAST({_SIMHASH_ORACLE} AS BIGINT) AS simhash
+      FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b
+      ON a.simhash % 256 = b.simhash % 256 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup pairs by Hamming distance (operators/dedup.
+    hamming_pairs): XOR + popcount over signatures, blocked on the low
+    signature byte (pigeonhole) so the join shuffles per-block buckets
+    instead of forming an all-pairs product."""
+    sigs = dedup.simhash(_t(spark, sf_dir, "documents"), "text", bits=_SIMHASH_BITS)
+    out = dedup.hamming_pairs(sigs, "doc_id", "simhash", max_dist=2, block_bits=8)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+@query(
     "jaccard_pairs",
     oracle="""
     WITH tok AS (

@@ -23,8 +23,23 @@ def read_json(spark: SparkSession, path: str, multi_line: bool = True) -> DataFr
 
 
 def read_json_str(spark: SparkSession, content: str) -> DataFrame:
-    """Reference readJsonStr: parse a JSON string literal."""
-    return spark.read.json(spark.sparkContext.parallelize([content]))
+    """Reference readJsonStr: parse a JSON string literal.
+
+    A whole-string parse (Jackson-style, like the reference) accepts a
+    single object, a top-level array (one row per element), or —
+    falling back when the whole string is not one document — NDJSON
+    lines. The literal lives on the driver by definition, so the
+    driver-side json.loads is on a handful of bytes, not data.
+    """
+    import json as _json
+
+    try:
+        doc = _json.loads(content)
+        records = doc if isinstance(doc, list) else [doc]
+        payload = [_json.dumps(r) for r in records]
+    except ValueError:
+        payload = [ln for ln in content.splitlines() if ln.strip()]
+    return spark.read.json(spark.sparkContext.parallelize(payload or [content]))
 
 
 def normalize_heterogeneous(df: DataFrame) -> DataFrame:

@@ -239,3 +239,20 @@ def test_guess_dispatch_orc(spark, tmp_path, person):
 
     part = glob.glob(out + "/*.orc")[0]
     assert read(spark, part).count() == person.df.count()
+
+
+def test_read_json_str(spark):
+    from dataframe_kotlin_spark.sources.json import read_json_str
+
+    df = read_json_str(spark, '{"name": "A", "age": 1}\n{"name": "B", "age": 2}')
+    rows = {r["name"]: r["age"] for r in df.collect()}
+    assert rows == {"A": 1, "B": 2}
+
+
+def test_read_json_str_array_and_object(spark):
+    from dataframe_kotlin_spark.sources.json import read_json_str
+
+    arr = read_json_str(spark, '[{"a": 1}, {"a": 2}, {"a": 3}]')
+    assert sorted(r["a"] for r in arr.collect()) == [1, 2, 3]
+    one = read_json_str(spark, '{"x": {"y": 5}}')
+    assert one.collect()[0]["x"]["y"] == 5

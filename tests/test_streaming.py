@@ -314,3 +314,26 @@ def test_curate_stream_matches_batch(spark, ckpt, tmp_path_factory):
     assert 0 < got.count() < written.count()  # gate actually filters
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_sliding_stream_matches_batch(spark, stream_src, ckpt, batch_events):
+    """Sliding windows: each event fans out to width/slide overlapping
+    windows; append mode emits the watermark-closed ones, matching the
+    identical batch F.window aggregation."""
+    stream = sj.sliding_stream(
+        sj.read_event_stream(spark, stream_src), 3600, 1800, watermark="0 seconds"
+    )
+    sj.run_to_memory(stream, "t_sliding", os.path.join(ckpt, "sliding"))
+    got = spark.table("t_sliding")
+
+    maxts = batch_events.agg(F.max("ts")).first()[0]
+    exp = (
+        batch_events.groupBy(
+            F.window("ts", "3600 seconds", "1800 seconds"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("window.end") <= F.lit(maxts))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n_events")
+    )
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
