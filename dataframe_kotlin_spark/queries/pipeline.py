@@ -741,7 +741,6 @@ def collocations_pmi(spark, sf_dir):
     gram key, and the PMI join runs on the tiny aggregate with broadcast
     unigram counts. Ranked top-25 with the bigram string as tiebreak;
     rounded to 4 dp (+1e-9) for cross-engine log parity."""
-    from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
@@ -781,10 +780,11 @@ def collocations_pmi(spark, sf_dir):
             ),
         )
     )
-    w = Window.orderBy(F.col("pmi").desc(), F.col("bigram"))
+    # orderBy+limit -> TakeOrderedAndProject (per-partition heaps), never
+    # a single-partition global window for the top-k
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 25)
+        scored.orderBy(F.col("pmi").desc(), F.col("bigram"))
+        .limit(25)
         .select("bigram", "n_ab", "pmi")
     )
 
