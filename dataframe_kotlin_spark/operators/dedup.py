@@ -142,25 +142,54 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhas
     return out.withColumn(out_col, acc).drop("__h__")
 
 
-def hamming_pairs(df: DataFrame, id_col: str, sim_col: str, max_dist: int, block_bits: int = 8) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance <= max_dist, blocked on
-    the low bits of the signature (pigeonhole: identical low byte) to
-    avoid the cross join. For a full multi-probe scheme increase blocks."""
-    blocked = df.select(
-        F.col(id_col), F.col(sim_col), (F.col(sim_col) % (2**block_bits)).alias("__blk__")
+def hamming_pairs(
+    df: DataFrame, id_col: str, sim_col: str, max_dist: int, bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_dist, with FULL
+    recall: the signature's `bits` are split into max_dist+1 disjoint
+    blocks, so any pair within distance max_dist has at least one block
+    where the two signatures agree exactly (pigeonhole). Each row is
+    exploded into its (block_id, block_key) probes and pairs meet in a
+    single equi-join on the probe — one shuffle keyed on small buckets
+    instead of an all-pairs product; distinct() collapses pairs caught by
+    more than one block. Same blocked-join shape the reference would need
+    for its near-dup pass; signature semantics per simhash() above."""
+    nblocks = max_dist + 1
+    assert bits >= nblocks, "need at least one bit per block"
+    blocks = []
+    lo = 0
+    base, rem = divmod(bits, nblocks)
+    for i in range(nblocks):
+        w = base + (1 if i < rem else 0)
+        blocks.append((i, lo, w))
+        lo += w
+    probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    (F.shiftright(F.col(sim_col), lo) % (2**w)).alias("block_key"),
+                )
+                for i, lo, w in blocks
+            ]
+        )
+    ).alias("p")
+    stacked = df.select(F.col(id_col), F.col(sim_col), probe).select(
+        id_col, sim_col, "p.block_id", "p.block_key"
     )
-    a = blocked.select(
-        F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"), "__blk__"
+    a = stacked.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"), "block_id", "block_key"
     )
-    b = blocked.select(
-        F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"), "__blk__"
+    b = stacked.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"), "block_id", "block_key"
     )
     pairs = (
-        a.join(b, "__blk__")
+        a.join(b, ["block_id", "block_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
     return pairs
 

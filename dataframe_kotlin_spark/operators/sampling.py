@@ -114,12 +114,18 @@ def reservoir_per_group(
     distributed reservoir because the random order is exchangeable.
     ``order_salt`` names a unique column mixed into the randomness so
     ties are impossible; defaults to all non-key columns' hash.
+
+    Determinism: the sort key is (hash, full tuple), so two rows can tie
+    only if they are identical in every non-key column — in which case
+    they are interchangeable and the output multiset is the same
+    whichever wins. Distinct rows that collide in xxhash64 are broken by
+    the tuple itself, never by partition order.
     """
     from pyspark.sql import Window
 
     salt_col = F.col(order_salt) if order_salt else F.struct(*[c for c in df.columns if c not in keys])
     rnd = F.xxhash64(salt_col, F.lit(seed))
-    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(rnd)
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(rnd, salt_col)
     return (
         df.withColumn("__rs_rank__", F.row_number().over(w))
         .filter(F.col("__rs_rank__") <= k)

@@ -225,8 +225,8 @@ def agg_minmax_count(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           COALESCE(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END), 0) AS n_discounted,
-           COALESCE(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END), 0) AS n_bulk
+           CAST(COALESCE(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_discounted,
+           CAST(COALESCE(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bulk
     FROM lineitem GROUP BY l_returnflag
     """,
 )

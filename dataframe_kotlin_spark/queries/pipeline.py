@@ -132,18 +132,18 @@ def simhash_values(spark, sf_dir):
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sig a JOIN sig b
-      ON a.simhash % 256 = b.simhash % 256 AND a.doc_id < b.doc_id
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """,
 )
 def simhash_hamming_pairs(spark, sf_dir):
     """SimHash near-dup pairs by Hamming distance (operators/dedup.
-    hamming_pairs): XOR + popcount over signatures, blocked on the low
-    signature byte (pigeonhole) so the join shuffles per-block buckets
-    instead of forming an all-pairs product."""
+    hamming_pairs): XOR + popcount over signatures, blocked on max_dist+1
+    disjoint bit blocks (pigeonhole => full recall), so the Spark side's
+    blocked equi-join must exactly reproduce the oracle's brute-force
+    cross join."""
     sigs = dedup.simhash(_t(spark, sf_dir, "documents"), "text", bits=_SIMHASH_BITS)
-    out = dedup.hamming_pairs(sigs, "doc_id", "simhash", max_dist=2, block_bits=8)
+    out = dedup.hamming_pairs(sigs, "doc_id", "simhash", max_dist=2, bits=_SIMHASH_BITS)
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 

@@ -22,8 +22,8 @@ def _t(spark, sf_dir: str, name: str) -> KDataFrame:
     "pivot_counts",
     oracle="""
     SELECT l_returnflag,
-           COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS F,
-           COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS O
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS F,
+           CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS O
     FROM lineitem GROUP BY l_returnflag
     """,
 )

@@ -28,8 +28,9 @@ from pyspark.sql import functions as F
 
 NULL_STRINGS = ("NA", "N/A", "null", "")
 
-_BOOL_TRUE = ("true", "t", "yes", "y", "1")
-_BOOL_FALSE = ("false", "f", "no", "n", "0")
+# exactly the reference's toBooleanOrNull accept set (api/convert.kt:230-239)
+_BOOL_TRUE = ("true", "t", "yes")
+_BOOL_FALSE = ("false", "f", "no")
 
 
 def _dedupe(names: list[str]) -> list[str]:
@@ -62,20 +63,34 @@ def read_csv(
     col_types: dict[str, str] | None = None,
     quote: str = '"',
     escape: str = '"',
+    headers: Sequence[str] | None = None,
 ) -> DataFrame:
     """Reference readCSV/readDelim (io/csv.kt:31-274).
 
     col_types overrides inference per column (reference per-column ColType).
     escape defaults to the quote char (RFC 4180 doubled quotes), matching
     the reference's Commons-CSV parser — Spark's own default is backslash.
+    ``headers`` assigns explicit column names (reference io/csv.kt:41
+    `headers` arg): no header line is consumed from the data, and a list
+    SHORTER than the file's arity keeps only the first len(headers)
+    columns (CsvTests.kt `read with custom header`).
     """
-    # header (+ skipped lines) live in the file head only
-    head = _read_head_lines(spark, path, skip_lines + (1 if header else 0))
-    if header:
-        raw_names = head[-1].split(sep) if head else []
-        names = _dedupe(
-            [n.strip().strip(quote).strip() or f"c{i}" for i, n in enumerate(raw_names)]
-        )
+    if headers:
+        header = False
+        names = _dedupe([str(n) for n in headers])
+    elif header:
+        # header (+ skipped lines) live in the file head only; parse the
+        # line with csv.reader so quoted cells containing `sep` survive
+        head = _read_head_lines(spark, path, skip_lines + 1)
+        if head:
+            import csv as _csv
+
+            raw_names = next(
+                _csv.reader([head[-1]], delimiter=sep, quotechar=quote), []
+            )
+        else:
+            raw_names = []
+        names = _dedupe([n.strip() or f"c{i}" for i, n in enumerate(raw_names)])
     else:
         names = None
 
@@ -89,9 +104,6 @@ def read_csv(
 
     if skip_lines == 0:
         df = reader().option("header", header).csv(path)
-        if header and names and len(names) == len(df.columns):
-            # reference naming: second `x` -> `x_1` (Spark's own dedup is x2)
-            df = df.toDF(*names)
     else:
         # skip N physical lines: filter on a per-file line index. At scale
         # skip_lines is a file-head concern (metadata), so the index join
@@ -100,7 +112,12 @@ def read_csv(
         start = skip_lines + (1 if header else 0)
         lines = rdd.filter(lambda t: t[1] >= start).map(lambda t: t[0])
         df = reader().csv(lines)
-        if names:
+    if names:
+        if headers and len(names) < len(df.columns):
+            # explicit short header list keeps the first N columns
+            df = df.select(*df.columns[: len(names)])
+        if len(names) == len(df.columns):
+            # reference naming: second `x` -> `x_1` (Spark's own dedup is x2)
             df = df.toDF(*names)
 
     if read_lines is not None:
@@ -135,13 +152,18 @@ def _acceptance_exprs(c: str) -> dict[str, Column]:
     as_long = col.try_cast("long")
     as_double = col.try_cast("double")
     lower = F.lower(col)
-    # leading-zero numbers ("01.01") are NOT numeric in the reference's
-    # parser cascade (FIXTURES.md §5: mixed "1203"/"01.01" stays string)
-    no_leading_zero = ~col.rlike(r"^-?0\d")
+    # Leading-zero numerics ("01.01" -> 1.01, "00" -> 0) ARE numeric, same
+    # as Kotlin's toIntOrNull/toDoubleOrNull (reference testCSV.csv `number`
+    # column parses to Double). Spark's try_cast also accepts inf/INF/NaN,
+    # matching the reference's parseDouble special cases
+    # (api/convert.kt:254-262). The cascade's BigDecimal stage
+    # (api/convert.kt:272) is unreachable in the reference itself — Kotlin's
+    # Double parser accepts a superset of BigDecimal literals (overflow
+    # becomes Infinity, never null) — so it is deliberately not mirrored.
     return {
-        f"{c}__int": all_ok(col.try_cast("int").isNotNull() & ~col.contains(".") & no_leading_zero),
-        f"{c}__long": all_ok(as_long.isNotNull() & no_leading_zero),
-        f"{c}__double": all_ok(as_double.isNotNull() & no_leading_zero),
+        f"{c}__int": all_ok(col.try_cast("int").isNotNull() & ~col.contains(".")),
+        f"{c}__long": all_ok(as_long.isNotNull()),
+        f"{c}__double": all_ok(as_double.isNotNull()),
         f"{c}__bool": all_ok(lower.isin(*_BOOL_TRUE, *_BOOL_FALSE)),
         f"{c}__date": all_ok(col.try_cast("date").isNotNull() & col.rlike(r"^\d{4}-\d{2}-\d{2}$")),
         f"{c}__time": all_ok(col.rlike(r"^\d{2}:\d{2}(:\d{2})?$")),

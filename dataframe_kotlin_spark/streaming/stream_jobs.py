@@ -28,18 +28,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Explicit source schema — matches the driver's events.parquet with
-# spark.sql.legacy.parquet.nanosAsLong=true (TIMESTAMP(NANOS) → bigint).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos since epoch
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Resolve the source schema from ONE batch metadata read of the path.
+
+    Explicit schemas are mandatory on file streams (inference would stall
+    the driver at 100 TB), but hardcoding one breaks when the producer
+    changes the physical timestamp encoding — the driver's events table
+    has shipped both TIMESTAMP(NANOS) (bigint with nanosAsLong) and plain
+    TIMESTAMP(MICROS). A footer-only batch read costs O(files) metadata,
+    no data scan.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
 
 
 def read_event_stream(
@@ -51,13 +51,17 @@ def read_event_stream(
     ``max_files_per_trigger`` to bound micro-batch size; the source tracks
     processed files in the checkpoint, so reprocessing is exactly-once.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = _events_schema(spark, path)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(path)
-    # integer div: double math loses precision on ~1.7e18 ns values
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        # nanos-as-long encoding; integer div: double math loses precision
+        # on ~1.7e18 ns values
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_stream(

@@ -87,9 +87,12 @@ def sessionize(
         prev_epoch.isNull() | ((epoch - prev_epoch) > gap_seconds), 1
     ).otherwise(0)
     flagged = df.withColumn("__new__", new_session)
+    # Same order list as w: with tied timestamps the running sum must see
+    # rows in the exact order the flags were computed, or session ids are
+    # nondeterministic precisely when order_tiebreak exists to fix that.
     w2 = (
         Window.partitionBy(*keys)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     with_sid = flagged.withColumn("session_id", F.sum("__new__").over(w2).cast("bigint"))

@@ -57,8 +57,9 @@ def test_csv_type_inference_cascade(spark, messy_path):
     assert t["user_id"] == "int"
     assert t["number"] == "double"
     assert t["time"] == "timestamp_ntz"
-    # mixed "1203"/"01.01" after null-strip -> stays string (reference §5)
-    assert t["double"] == "string"
+    # mixed "1203"/"01.01" after null-strip -> Double, leading zeros
+    # accepted like Kotlin toDoubleOrNull (reference testCSV `number` col)
+    assert t["double"] == "double"
     # all-null column stays string
     assert t["empty"] == "string"
 
@@ -79,6 +80,54 @@ def test_csv_skip_lines(spark, tmp_path):
 def test_csv_explicit_col_types(spark, messy_path):
     df = read_csv(spark, messy_path, col_types={"user_id": "string"})
     assert dict(df.dtypes)["user_id"] == "string"
+
+
+def test_csv_quoted_header_with_separator(spark, tmp_path):
+    p = tmp_path / "q.csv"
+    p.write_text('"a,b",c\n1,2\n3,4\n')
+    df = read_csv(spark, str(p))
+    assert df.columns == ["a,b", "c"]
+    assert df.count() == 2
+
+
+def test_csv_explicit_headers(spark, tmp_path):
+    # reference CsvTests `read with custom header`: headers + skipLines
+    # consume no header line; a short list keeps the first N columns
+    p = tmp_path / "h.csv"
+    p.write_text("x,y,z\n1,foo,2.5\n3,bar,4.5\n")
+    df = read_csv(spark, str(p), headers=["A", "B", "C"], skip_lines=1)
+    assert df.columns == ["A", "B", "C"]
+    assert dict(df.dtypes)["A"] == "int"
+    short = read_csv(spark, str(p), headers=["A", "B"], skip_lines=1)
+    assert short.columns == ["A", "B"]
+    assert short.count() == 2
+
+
+def test_csv_inf_and_leading_zero_doubles(spark, tmp_path):
+    # reference testCSV: {1203, N/A, inf} -> Double (parseDouble INF),
+    # {599.213, 01.01, 00} -> Double (toDoubleOrNull leading zeros)
+    p = tmp_path / "d.csv"
+    p.write_text("double,number\n1203,599.213\nN/A,01.01\ninf,00\n")
+    df = read_csv(spark, str(p))
+    t = dict(df.dtypes)
+    assert t["double"] == "double"
+    assert t["number"] == "double"
+    vals = {r["number"] for r in df.collect()}
+    assert vals == {599.213, 1.01, 0.0}
+    assert any(r["double"] == float("inf") for r in df.collect())
+
+
+def test_csv_bool_accept_set_matches_reference(spark, tmp_path):
+    # toBooleanOrNull accepts only T/TRUE/YES/F/FALSE/NO — "y"/"1" don't
+    # qualify a column as Boolean (api/convert.kt:230-239)
+    p = tmp_path / "b.csv"
+    p.write_text("ok,notbool\nyes,y\nNO,1\nT,0\n")
+    df = read_csv(spark, str(p))
+    t = dict(df.dtypes)
+    assert t["ok"] == "boolean"
+    assert t["notbool"] != "boolean"
+    rows = [r["ok"] for r in df.collect()]
+    assert rows.count(True) == 2 and rows.count(False) == 1
 
 
 def test_csv_roundtrip(spark, tmp_path, person):
