@@ -1,4 +1,4 @@
-from dataframe_kotlin_spark.sources.csv import read_csv, read_tsv, write_csv
+from dataframe_kotlin_spark.sources.csv import read_csv, read_delim_str, read_tsv, write_csv
 from dataframe_kotlin_spark.sources.json import read_json, write_json
 from dataframe_kotlin_spark.sources.guess import read
 from dataframe_kotlin_spark.sources.layout import (
@@ -18,20 +18,28 @@ from dataframe_kotlin_spark.sources.robust import (
 )
 from dataframe_kotlin_spark.sources.build import (
     dataframe_of,
+    dataframe_of_fill,
     from_map,
+    from_objects,
     from_rows,
     append_rows,
     to_map,
 )
+from dataframe_kotlin_spark.sources.render import to_html, to_string
 
 __all__ = [
     "read_csv",
+    "read_delim_str",
     "read_tsv",
     "write_csv",
     "read_json",
     "write_json",
     "read",
     "dataframe_of",
+    "dataframe_of_fill",
+    "from_objects",
+    "to_html",
+    "to_string",
     "from_map",
     "from_rows",
     "append_rows",

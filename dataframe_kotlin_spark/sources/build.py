@@ -34,6 +34,37 @@ def from_rows(spark: SparkSession, rows: Sequence[Any], schema=None) -> DataFram
     return spark.createDataFrame(rows, schema)
 
 
+def from_objects(spark: SparkSession, objects: Sequence[Any]) -> DataFrame:
+    """Reference Iterable<T>.toDataFrameByProperties() (Build.kt:42-60):
+    reflect over each object's public properties. Dataclasses use their
+    declared field order; plain objects use sorted(vars()) for a
+    deterministic column order. None elements contribute all-null rows
+    (the reference widens nullability the same way)."""
+    import dataclasses
+
+    sample = next((o for o in objects if o is not None), None)
+    if sample is None:
+        raise ValueError("cannot infer columns from an all-None sequence")
+    if dataclasses.is_dataclass(sample):
+        names = [f.name for f in dataclasses.fields(sample)]
+    else:
+        names = sorted(vars(sample))
+    rows = [
+        tuple(None if o is None else getattr(o, n) for n in names) for o in objects
+    ]
+    return spark.createDataFrame(rows, names)
+
+
+def dataframe_of_fill(
+    spark: SparkSession, columns: Sequence[str], fill: Any
+) -> DataFrame:
+    """Reference dataFrameOf(header){ fill(it) } (Build.kt:82-86): build a
+    frame from a per-column generator ``fill(name) -> values`` (or a plain
+    value replicated ``nrow`` times via (name, nrow))."""
+    data = {str(c): list(fill(c)) for c in columns}
+    return from_map(spark, data)
+
+
 def append_rows(df: DataFrame, *rows: tuple) -> DataFrame:
     """Reference append(vararg values) (api/append.kt:6-22)."""
     extra = df.sparkSession.createDataFrame(list(rows), df.schema)

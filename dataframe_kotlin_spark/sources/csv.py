@@ -122,7 +122,15 @@ def read_csv(
 
     if read_lines is not None:
         df = df.limit(read_lines)
+    return _finalize(df, null_strings, infer_types, col_types)
 
+
+def _finalize(
+    df: DataFrame,
+    null_strings: Sequence[str],
+    infer_types: bool,
+    col_types: dict[str, str] | None,
+) -> DataFrame:
     # null normalization (reference io/csv.kt:261,276-281)
     nulls = [s for s in null_strings]
     for c in df.columns:
@@ -134,6 +142,50 @@ def read_csv(
     for c, t in explicit.items():
         df = df.withColumn(c, F.col(c).cast(t))
     return df
+
+
+def read_delim_str(
+    spark: SparkSession,
+    text: str,
+    sep: str = ",",
+    header: bool = True,
+    null_strings: Sequence[str] = NULL_STRINGS,
+    infer_types: bool = True,
+    col_types: dict[str, str] | None = None,
+    quote: str = '"',
+    escape: str = '"',
+) -> DataFrame:
+    """Reference readDelimStr (io/csv.kt readDelimStr; CsvTests.readNulls):
+    parse a CSV literal held in memory. The literal is parallelized to an
+    RDD so parsing still runs executor-side — driver memory holds only the
+    original string, which is by definition small (a literal).
+    """
+    import csv as _csv
+
+    lines = [ln for ln in text.splitlines() if ln.strip() != ""]
+    if header and lines:
+        raw_names = next(_csv.reader([lines[0]], delimiter=sep, quotechar=quote), [])
+        names = _dedupe([n.strip() or f"c{i}" for i, n in enumerate(raw_names)])
+        lines = lines[1:]
+    else:
+        names = None
+    rdd = spark.sparkContext.parallelize(lines)
+    df = (
+        spark.read.option("sep", sep)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("mode", "PERMISSIVE")
+        .csv(rdd)
+    )
+    if names:
+        # the header defines the arity (commons-csv withHeader): trailing
+        # unnamed cells are dropped (CsvTests.readNulls: "2,," under two
+        # headers is a 2-column row)
+        if len(names) < len(df.columns):
+            df = df.select(*df.columns[: len(names)])
+        if len(names) == len(df.columns):
+            df = df.toDF(*names)
+    return _finalize(df, null_strings, infer_types, col_types)
 
 
 def read_tsv(spark: SparkSession, path: str, **kw) -> DataFrame:

@@ -10,11 +10,16 @@ import pytest
 from dataframe_kotlin_spark.sources import (
     append_rows,
     dataframe_of,
+    dataframe_of_fill,
     from_map,
+    from_objects,
     read,
     read_csv,
+    read_delim_str,
     read_json,
+    to_html,
     to_map,
+    to_string,
     write_csv,
 )
 
@@ -128,6 +133,74 @@ def test_csv_bool_accept_set_matches_reference(spark, tmp_path):
     assert t["notbool"] != "boolean"
     rows = [r["ok"] for r in df.collect()]
     assert rows.count(True) == 2 and rows.count(False) == 1
+
+
+def test_read_delim_str_nulls(spark):
+    # reference CsvTests.readNulls: trailing cells beyond the header are
+    # dropped; an all-empty column is all-null and stays string
+    df = read_delim_str(spark, "first,second\n2,,\n3,,\n")
+    assert df.columns == ["first", "second"]
+    assert df.count() == 2
+    t = dict(df.dtypes)
+    assert t["first"] == "int"
+    assert t["second"] == "string"
+    assert all(r["second"] is None for r in df.collect())
+
+
+def test_read_delim_str_types(spark):
+    df = read_delim_str(spark, "a,b,c\n1,x,2020-01-01\n2,y,2020-06-15\n")
+    t = dict(df.dtypes)
+    assert t == {"a": "int", "b": "string", "c": "date"}
+
+
+def test_csv_gzip_transparent(spark, tmp_path):
+    import gzip
+
+    p = tmp_path / "z.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a,b\n1,x\n2,y\n")
+    df = read_csv(spark, str(p))
+    assert df.columns == ["a", "b"] and df.count() == 2
+    assert dict(df.dtypes)["a"] == "int"
+
+
+def test_from_objects_dataclass_and_plain(spark):
+    import dataclasses
+
+    @dataclasses.dataclass
+    class P:
+        name: str
+        age: int
+
+    df = from_objects(spark, [P("a", 1), P("b", 2)])
+    assert df.columns == ["name", "age"]
+    assert df.count() == 2
+
+    class Q:
+        def __init__(self, x, y):
+            self.x = x
+            self.y = y
+
+    df2 = from_objects(spark, [Q(1, "u"), Q(2, "v")])
+    assert df2.columns == ["x", "y"]
+    assert [r["y"] for r in df2.orderBy("x").collect()] == ["u", "v"]
+
+
+def test_dataframe_of_fill(spark):
+    df = dataframe_of_fill(spark, ["a", "b"], lambda c: [f"{c}{i}" for i in range(3)])
+    assert df.columns == ["a", "b"] and df.count() == 3
+    assert {r["a"] for r in df.collect()} == {"a0", "a1", "a2"}
+
+
+def test_render_string_and_html(spark, person):
+    s = to_string(person.df, n=3)
+    assert "name" in s
+    h = to_html(person.df, n=3)
+    assert h.lstrip().startswith("<table")
+    styled = to_html(
+        person.df, n=3, styles={"age": lambda v: "color: red" if v and v > 30 else ""}
+    )
+    assert "color: red" in styled or "<table" in styled
 
 
 def test_csv_roundtrip(spark, tmp_path, person):
