@@ -66,14 +66,23 @@ def main():
 
     spark.range(64).repartition(8).mapInPandas(_ident, "id long").count()
 
+    # Median of 3 reps per query: the reference's own perf harness runs 11
+    # reps and reports steady state (PerformanceTests.kt:58-70, FilterTests
+    # 101 iterations); median-of-3 is the cheap version of the same
+    # protocol and removes one-off JIT/GC noise from the recorded number.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            times.append(time.time() - t0)
+            assert n >= 0
+        times.sort()
+        timings[name] = round(times[len(times) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(

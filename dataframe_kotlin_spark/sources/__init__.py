@@ -3,6 +3,7 @@ from dataframe_kotlin_spark.sources.json import read_json, write_json
 from dataframe_kotlin_spark.sources.guess import read
 from dataframe_kotlin_spark.sources.layout import (
     morton_code,
+    write_bucketed,
     write_hive_partitioned,
     write_sorted,
     write_zordered,
@@ -51,6 +52,7 @@ __all__ = [
     "read_csv_split",
     "read_json_split",
     "split_good_bad",
+    "write_bucketed",
     "write_sorted",
     "write_hive_partitioned",
     "write_zordered",

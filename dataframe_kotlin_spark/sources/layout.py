@@ -59,6 +59,34 @@ def write_hive_partitioned(
     w.partitionBy(*list(partition_cols)).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write a bucketed (hash-clustered) table: rows are hash-assigned to
+    ``num_buckets`` files by ``bucket_cols``, optionally sorted inside
+    each bucket.
+
+    This is the precomputed half of a shuffle: two tables bucketed the
+    same way join with ZERO Exchange — at 100 TB that turns the nightly
+    fact⋈fact join from a full two-sided shuffle into a per-bucket merge
+    read. Bucketing requires the table catalog (``saveAsTable``) because
+    the bucket spec lives in table metadata, not the parquet files.
+    Pick num_buckets so one bucket of the bigger table fits an executor
+    (≈ table_size / desired_task_size), and bucket both tables with the
+    SAME count — mismatched counts re-shuffle one side.
+    """
+    w = df.write.mode(mode).format(format).bucketBy(num_buckets, *list(bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*list(sort_cols))
+    w.saveAsTable(table)
+
+
 def _spread_bits16(x):
     """Interleave-ready bit spread: 16 significant bits -> even positions
     of a 32-bit lane. Classic mask ladder, pure Column bit ops."""

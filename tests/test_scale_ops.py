@@ -236,3 +236,37 @@ def test_zorder_skips_files_on_both_dims(spark, tmp_path_factory):
     assert zhit <= ztot // 2  # z-order keeps custkey clustered too
     # layout changes bytes on disk, never rows
     assert spark.read.parquet(zdir).count() == o.count()
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Two tables bucketed on the join key with the same bucket count
+    join with ZERO shuffle Exchange — the precomputed-shuffle property
+    that makes repeated fact⋈fact joins viable at 100 TB."""
+    from dataframe_kotlin_spark.sources import write_bucketed
+
+    sf = "/root/testdata/sf0.01"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li, "t_lineitem_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the non-broadcast path: the point is shuffle avoidance
+        # when BOTH sides are too big to broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        expected = o.join(li, "o_orderkey").count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
