@@ -427,17 +427,28 @@ class KDataFrame:
         out = out.select(*others, *[F.col(f"__z__.{c}").alias(c) for c in cols])
         return self._wrap(out)
 
-    def split_col(self, col: str, sep: str, into: Sequence[str] | None = None) -> "KDataFrame":
+    def split_col(
+        self,
+        col: str,
+        sep: str,
+        into: Sequence[str] | None = None,
+        inward: bool = False,
+    ) -> "KDataFrame":
         """String -> several columns. Reference: api/split.kt:11-114.
 
         With ``into=None`` the reference's name generator kicks in:
         output width = max split count across the data ({col}_1..{col}_n).
         That width needs one extra aggregate job (max(size)) before the
-        plan is built — explicit `into` avoids it."""
+        plan is built — explicit `into` avoids it. ``inward=True`` nests
+        the result columns under the original name as a struct
+        (reference split.inward())."""
         parts = F.split(F.col(col), sep)
         if into is None:
             n = self.df.select(F.max(F.size(parts)).alias("n")).first()["n"] or 0
             into = [f"{col}_{i + 1}" for i in range(n)]
+        if inward:
+            nested = F.struct(*[parts.getItem(i).alias(name) for i, name in enumerate(into)])
+            return self._wrap(self.df.withColumn(col, nested))
         out = self.df
         for i, name in enumerate(into):
             out = out.withColumn(name, parts.getItem(i))
@@ -769,6 +780,77 @@ class KDataFrame:
             .rowsBetween(-(k - 1), 0)
         )
         return self._wrap(self.df.withColumn(f"{col}_ma{k}", F.avg(col).over(w)))
+
+    def neighbours(
+        self,
+        col: str,
+        rel: Sequence[int],
+        order_by: Sequence[Column | str],
+        partition_by: Sequence[str] = (),
+        out_col: str | None = None,
+    ) -> "KDataFrame":
+        """Relative-index row set (reference DataRow.neighbours(-1..1),
+        DataRow.kt:40): the values of ``col`` at the given row offsets,
+        as an array in offset order. Offsets outside the partition yield
+        null. One window pass — each offset is a lag/lead over the SAME
+        (partition, order) spec, so Catalyst plans a single Sort+Window."""
+        w = Window.partitionBy(*_cols(partition_by)).orderBy(*_cols(order_by))
+
+        def at(off: int) -> Column:
+            if off == 0:
+                return F.col(col)
+            return (F.lag(col, -off) if off < 0 else F.lead(col, off)).over(w)
+
+        name = out_col or f"{col}_neighbours"
+        return self._wrap(self.df.withColumn(name, F.array(*[at(o) for o in rel])))
+
+    def add_scan(
+        self,
+        name: str,
+        col: Column | str,
+        op: str,
+        order_by: Sequence[Column | str],
+        partition_by: Sequence[str] = (),
+    ) -> "KDataFrame":
+        """Self-referencing add (reference AddDataRow.added(), api/add.kt:
+        33-79: a row expression reading the just-computed values of earlier
+        rows). Sequential recurrences don't distribute in general, but
+        every associative form does — as a running aggregate over a window.
+        ``op``: sum | product | min | max | concat | last_non_null.
+        These cover the reference tests' uses of added() (running totals /
+        carry-forward). A non-associative recurrence would serialize 100 TB
+        through one task; raising here is the designed behavior.
+        """
+        w = (
+            Window.partitionBy(*_cols(partition_by))
+            .orderBy(*_cols(order_by))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        c = F.col(col) if isinstance(col, str) else col
+        if op == "sum":
+            expr = F.sum(c).over(w)
+        elif op == "product":
+            # exp(sum(log)) breaks on zeros/negatives; use sign+abs split
+            sign = F.when(
+                F.sum(F.when(c < 0, 1).otherwise(0)).over(w) % 2 == 1, -1
+            ).otherwise(1)
+            any_zero = F.max(F.when(c == 0, 1).otherwise(0)).over(w) == 1
+            mag = F.exp(F.sum(F.log(F.abs(F.nullif(c, F.lit(0))))).over(w))
+            expr = F.when(any_zero, F.lit(0.0)).otherwise(sign * mag)
+        elif op == "min":
+            expr = F.min(c).over(w)
+        elif op == "max":
+            expr = F.max(c).over(w)
+        elif op == "concat":
+            expr = F.array_join(F.collect_list(c).over(w), "")
+        elif op == "last_non_null":
+            expr = F.last(c, ignorenulls=True).over(w)
+        else:
+            raise ValueError(
+                f"non-associative scan op {op!r} does not distribute; "
+                "use sum/product/min/max/concat/last_non_null"
+            )
+        return self._wrap(self.df.withColumn(name, expr))
 
     # -- sinks ------------------------------------------------------------
     def to_pandas(self):

@@ -144,10 +144,10 @@ class KPivotClause:
     def __init__(self, grouped: KGroupedFrame, pivot_col: str, values: Sequence | None):
         self.grouped = grouped
         self.pivot_col = pivot_col
-        self.values = values
+        self.pivot_values = values
 
     def _pivoted(self):
-        vals = self.values
+        vals = self.pivot_values
         if vals is None:
             vals = [
                 r[0]
@@ -170,14 +170,40 @@ class KPivotClause:
     def sum(self, col: str, default=None) -> "KDataFrame":
         return self.aggregate(F.sum(col), default=default)
 
-    def matches(self) -> "KDataFrame":
-        """Boolean presence matrix. Reference: GroupedPivotAggregations.kt:36-37."""
+    def matches(self, yes=None, no=None) -> "KDataFrame":
+        """Presence matrix. Reference: GroupedPivotAggregations.kt:36-37.
+        Default boolean; ``matches(yes, no)`` substitutes custom marker
+        values (reference `matches("V", "-")` form)."""
         out = self._pivoted().agg(F.count(F.lit(1)))
         from dataframe_kotlin_spark.core.frame import KDataFrame
 
         keys = [c._jc.toString() if hasattr(c, "_jc") else str(c) for c in self.grouped.keys]
-        fixed = [
-            F.col(c) if c in keys else (F.coalesce(F.col(f"`{c}`"), F.lit(0)) > 0).alias(c)
-            for c in out.columns
-        ]
+
+        def cell(c):
+            hit = F.coalesce(F.col(f"`{c}`"), F.lit(0)) > 0
+            if yes is None and no is None:
+                return hit.alias(c)
+            return F.when(hit, F.lit(yes)).otherwise(F.lit(no)).alias(c)
+        fixed = [F.col(c) if c in keys else cell(c) for c in out.columns]
         return KDataFrame(out.select(*fixed))
+
+    def values(self, col: str) -> "KDataFrame":
+        """Per-cell value lists (reference PivotAggregations.values —
+        multi-match cells hold all matched values). Deterministic list
+        order via sort_array, since collect_list order is partition-
+        dependent."""
+        return self.aggregate(F.sort_array(F.collect_list(col)))
+
+    def frames(self) -> "KDataFrame":
+        """Per-cell nested frames (reference pivot .frames(): each cell is
+        the sub-frame of rows landing there) as arrays of structs over the
+        non-key, non-pivot columns — Spark's relational encoding of the
+        reference's FrameColumn cells."""
+        keys = [c._jc.toString() if hasattr(c, "_jc") else str(c) for c in self.grouped.keys]
+        rest = [
+            c
+            for c in self.grouped.df.columns
+            if c not in keys and c != self.pivot_col
+        ]
+        cell = F.sort_array(F.collect_list(F.struct(*[F.col(c) for c in rest])))
+        return self.aggregate(cell)

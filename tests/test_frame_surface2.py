@@ -188,3 +188,44 @@ def test_merge_upsert(spark):
     out = {r["k"]: (r["s"], r["v"]) for r in base.merge_upsert(updates, ["k"]).collect()}
     # update row wins wholesale (including its explicit null), new key inserts
     assert out == {1: ("a", 10), 2: ("B", None), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_split_col_inward_nests(spark):
+    df = KDataFrame(spark.createDataFrame([("a-b", 1), ("c-d", 2)], "s string, n int"))
+    out = df.split_col("s", "-", into=["l", "r"], inward=True)
+    assert dict(out.df.dtypes)["s"].startswith("struct")
+    rows = {r["n"]: (r["s"]["l"], r["s"]["r"]) for r in out.collect()}
+    assert rows == {1: ("a", "b"), 2: ("c", "d")}
+
+
+def test_neighbours_relative_rows(spark):
+    df = KDataFrame(spark.createDataFrame([(i, i * 10) for i in range(1, 5)], "i int, v int"))
+    out = df.neighbours("v", [-1, 0, 1], order_by=["i"]).collect()
+    d = {r["i"]: r["v_neighbours"] for r in out}
+    assert d[1] == [None, 10, 20]
+    assert d[2] == [10, 20, 30]
+    assert d[4] == [30, 40, None]
+
+
+def test_add_scan_running_ops(spark):
+    df = KDataFrame(
+        spark.createDataFrame(
+            [(1, 2.0, "a"), (2, -3.0, None), (3, 0.0, "c"), (4, 4.0, None)],
+            "i int, x double, s string",
+        )
+    )
+    out = (
+        df.add_scan("rsum", "x", "sum", order_by=["i"])
+        .add_scan("rprod", "x", "product", order_by=["i"])
+        .add_scan("carry", "s", "last_non_null", order_by=["i"])
+        .add_scan("cat", F.coalesce(F.col("s"), F.lit("_")), "concat", order_by=["i"])
+    )
+    d = {r["i"]: r for r in out.collect()}
+    assert [d[i]["rsum"] for i in range(1, 5)] == [2.0, -1.0, -1.0, 3.0]
+    assert [round(d[i]["rprod"], 9) for i in range(1, 5)] == [2.0, -6.0, 0.0, 0.0]
+    assert [d[i]["carry"] for i in range(1, 5)] == ["a", "a", "c", "c"]
+    assert d[4]["cat"] == "a_c_"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        df.add_scan("bad", "x", "fibonacci", order_by=["i"])

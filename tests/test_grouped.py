@@ -97,6 +97,28 @@ def test_pivot_matches(person):
     assert d["Alice"]["Moscow"] is False
 
 
+def test_pivot_matches_custom_markers(person):
+    # reference matches(yes, no) custom marker form
+    out = person.group_by("name").pivot("city").matches("V", "-")
+    d = {r["name"]: r for r in out.collect()}
+    assert d["Mark"]["Moscow"] == "V" and d["Alice"]["Moscow"] == "-"
+
+
+def test_pivot_values_lists(person):
+    out = person.group_by("name").pivot("city", ["Moscow"]).values("age")
+    d = {r["name"]: r for r in out.collect()}
+    assert d["Mark"]["Moscow"] == [20, 30]
+    assert d["Alice"]["Moscow"] == []  # collect_list over zero rows
+
+
+def test_pivot_frames_nested(person):
+    out = person.group_by("name").pivot("city", ["Moscow", "Tokyo"]).frames()
+    d = {r["name"]: r for r in out.collect()}
+    marks = [(r["age"], r["weight"]) for r in d["Mark"]["Moscow"]]
+    assert sorted(marks) == [(20, None), (30, 90)]
+    assert [(r["age"], r["weight"]) for r in d["Bob"]["Tokyo"]] == [(30, 68)]
+
+
 def test_pivot_sum(person):
     out = person.group_by("name").pivot("city", ["Moscow", "London"]).sum("age", default=0)
     d = {r["name"]: r for r in out.collect()}
