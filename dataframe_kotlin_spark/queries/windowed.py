@@ -662,3 +662,59 @@ def scd2_status_timeline(spark, sf_dir):
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
         "is_current",
     )
+
+
+@query(
+    "running_total_scan",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def running_total_scan(spark, sf_dir):
+    """Self-referencing add (reference AddDataRow.added(), api/add.kt:33-79)
+    as a distributed associative scan: running per-customer order revenue
+    via core.frame.add_scan — one shuffle on the partition key, the window
+    running-sum replaces the reference's sequential row walk."""
+    o = _t(spark, sf_dir, "orders")
+    out = o.add_scan(
+        "running_total",
+        "o_totalprice",
+        "sum",
+        order_by=["o_orderdate", "o_orderkey"],
+        partition_by=["o_custkey"],
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round(F.col("running_total"), 2).alias("running_total")
+    ).df
+
+
+@query(
+    "neighbour_values",
+    oracle="""
+    SELECT event_id, user_id,
+           [COALESCE(ROUND(LAG(value)  OVER w, 4), 0),
+            ROUND(value, 4),
+            COALESCE(ROUND(LEAD(value) OVER w, 4), 0)] AS value_neighbours
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def neighbour_values(spark, sf_dir):
+    """Relative-row set (reference DataRow.neighbours(-1..1), DataRow.kt:40)
+    per user over event time: one Sort+Window pass computes every offset.
+    Out-of-partition offsets are null; coalesced to 0 on BOTH sides
+    because float nulls inside arrays round-trip differently through
+    Arrow on the two engines (NaN vs 0) — a representation issue, not a
+    semantic one."""
+    e = _t(spark, sf_dir, "events")
+    rounded = e.df.withColumn("value", F.round(F.col("value"), 4))
+    out = KDataFrame(rounded).neighbours(
+        "value", [-1, 0, 1], order_by=["ts", "event_id"], partition_by=["user_id"]
+    )
+    fixed = F.transform(F.col("value_neighbours"), lambda v: F.coalesce(v, F.lit(0.0)))
+    return out.df.select("event_id", "user_id", fixed.alias("value_neighbours"))

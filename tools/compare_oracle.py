@@ -37,6 +37,8 @@ def canon(df) -> tuple[list[str], list[tuple]]:
             return str(int(v))
         if isinstance(v, decimal.Decimal):
             return f"{float(v):.9g}"
+        if isinstance(v, np.ndarray) and v.ndim == 0:
+            return cv(v.item())
         if isinstance(v, (list, tuple, np.ndarray)):
             return "[" + ",".join(cv(x) for x in v) + "]"
         if isinstance(v, datetime.datetime):
