@@ -73,3 +73,41 @@ def hll_rollup_customers(spark, sf_dir):
     j = o.inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")], broadcast_right=True)
     per_leaf = sketches.hll_sketch(j.df, ["c_nationkey", "o_orderpriority"], "o_custkey")
     return sketches.hll_merge(per_leaf, ["c_nationkey"])
+
+
+_HLL_P = 6
+_HLL_M = 1 << _HLL_P          # 64 registers
+_HLL_WV = 20 - _HLL_P         # 14 value bits
+_HLL_SCALE = _HLL_WV + 1
+_HLL_ALPHA_NUM = 0.709 * _HLL_M * _HLL_M * (1 << _HLL_SCALE)
+_HLL_BITLEN = " + ".join(f"CAST(v >= {2**j} AS INT)" for j in range(_HLL_WV))
+
+
+@query(
+    "hll_deterministic_customers",
+    oracle=f"""
+    WITH hv AS (
+      SELECT o_orderpriority,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 5))::BIGINT AS h
+      FROM orders
+    ), rv AS (
+      SELECT o_orderpriority, h % {_HLL_M} AS b, h // {_HLL_M} AS v FROM hv
+    ), regs AS (
+      SELECT o_orderpriority, b, MAX({_HLL_WV} - ({_HLL_BITLEN}) + 1) AS M
+      FROM rv GROUP BY o_orderpriority, b
+    )
+    SELECT o_orderpriority,
+           ROUND({_HLL_ALPHA_NUM!r} /
+                 (({_HLL_M} - COUNT(*)) * {1 << _HLL_SCALE} +
+                  SUM(CAST(1 AS BIGINT) << ({_HLL_SCALE} - M))), 4) AS hll_nd
+    FROM regs GROUP BY o_orderpriority
+    """,
+)
+def hll_deterministic_customers(spark, sf_dir):
+    """Deterministic HLL (operators/sketches.hll_deterministic): distinct
+    customers per order priority with md5-derived registers and integer
+    harmonic sums, so the DuckDB oracle reproduces the estimate BIT FOR
+    BIT — the sketch family's hash-checkable correctness witness (the
+    native HLL++/DataSketches variants above stay rows-only)."""
+    o = _t(spark, sf_dir, "orders")
+    return sketches.hll_deterministic(o.df, ["o_orderpriority"], "o_custkey", p=_HLL_P)

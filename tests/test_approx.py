@@ -109,3 +109,17 @@ def test_heavy_hitters_min_share(spark):
     out = sketches.heavy_hitters(df, "w", capacity=100, min_share=0.5)
     items = [r["item"] for r in out.collect()]
     assert items == ["a"]
+
+
+def test_hll_deterministic_error_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_kotlin_spark.operators import sketches
+
+    # 2000 distinct keys in one group: p=6 gives ~13% std error; 3 sigma
+    df = spark.range(2000).select(F.lit("g").alias("g"), F.col("id"))
+    est = sketches.hll_deterministic(df, ["g"], "id", p=6).first()["hll_nd"]
+    assert abs(est - 2000) / 2000 < 0.4
+    # deterministic: re-running and re-partitioning yield the identical double
+    est2 = sketches.hll_deterministic(df.repartition(7), ["g"], "id", p=6).first()["hll_nd"]
+    assert est == est2
