@@ -699,10 +699,17 @@ class KDataFrame:
         return self._wrap(left.join(rgt, "__zip__", "inner").drop("__zip__"))
 
     # -- type re-inference (SURVEY §2.8 parse/guessType) ------------------
-    def parse(self, cols: Sequence[str] | None = None) -> "KDataFrame":
+    def parse(
+        self, cols: Sequence[str] | None = None, strict: bool = False
+    ) -> "KDataFrame":
         """parse(): run the reference's string->type inference cascade over
         string columns (api/parse.kt:18-48) — distributed acceptance test
-        per candidate type, then cast. Delegates to sources.csv."""
+        per candidate type, then cast. Delegates to sources.csv.
+        Frame-level parse is lenient (reference parse() maps tryParse per
+        column, api/parse.kt:44-46); ``strict=True`` reproduces the
+        COLUMN-level parse(), which throws when no parser matches
+        (api/parse.kt:48, ParserTests `parse should throw`).
+        Custom formats from sources.csv.add_datetime_format participate."""
         from dataframe_kotlin_spark.sources.csv import infer_column_types
 
         skip = (
@@ -710,11 +717,16 @@ class KDataFrame:
             if cols is None
             else frozenset(c for c in self.df.columns if c not in set(cols))
         )
-        return self._wrap(infer_column_types(self.df, skip=skip))
+        return self._wrap(infer_column_types(self.df, skip=skip, strict=strict))
+
+    def try_parse(self, cols: Sequence[str] | None = None) -> "KDataFrame":
+        """tryParse: like parse() but unparseable columns stay string
+        (reference api/parse.kt tryParse; ParserTests custom-format test)."""
+        return self.parse(cols, strict=False)
 
     def guess_type(self, col: str) -> "KDataFrame":
         """Re-infer one column from its values (Columns.kt:272)."""
-        return self.parse([col])
+        return self.try_parse([col])
 
     # -- stats / introspection (SURVEY §2.5, §2.8) ------------------------
     def describe(self) -> "KDataFrame":

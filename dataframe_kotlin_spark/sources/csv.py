@@ -237,25 +237,58 @@ _CAST = {
     "ts": "timestamp_ntz",
 }
 
+# Reference DataFrame.parser.addDateTimeFormat (ParserTests.kt:20-27):
+# extra datetime patterns appended to the cascade's datetime stage.
+# Spark pattern syntax ('dd.MM.yyyy HH:mm:ss'); Kotlin's uuuu year maps
+# to yyyy here.
+_CUSTOM_DATETIME_FORMATS: list[str] = []
 
-def infer_column_types(df: DataFrame, skip: set[str] = frozenset()) -> DataFrame:
+
+def add_datetime_format(fmt: str) -> None:
+    if fmt not in _CUSTOM_DATETIME_FORMATS:
+        _CUSTOM_DATETIME_FORMATS.append(fmt)
+
+
+def clear_datetime_formats() -> None:
+    _CUSTOM_DATETIME_FORMATS.clear()
+
+
+def infer_column_types(
+    df: DataFrame, skip: set[str] = frozenset(), strict: bool = False
+) -> DataFrame:
     """One distributed aggregate pass decides each string column's type,
     then one projection casts. String columns stay string when no parser
-    accepts all values (reference api/parse.kt:42)."""
+    accepts all values (reference api/parse.kt:42, tryParse behavior);
+    ``strict=True`` raises instead (reference parse() throws
+    IllegalStateException — ParserTests `parse should throw`).
+
+    Custom datetime formats registered via add_datetime_format extend
+    the cascade's datetime stage, tried in registration order after the
+    ISO forms (reference parser.addDateTimeFormat)."""
     str_cols = [c for c, t in df.dtypes if t == "string" and c not in skip]
     if not str_cols:
         return df
+    custom = list(_CUSTOM_DATETIME_FORMATS)
     aggs = {}
     for c in str_cols:
         aggs.update(_acceptance_exprs(c))
+        for i, fmt in enumerate(custom):
+            ok = F.try_to_timestamp(F.col(c), F.lit(fmt)).isNotNull()
+            nn = F.col(c).isNotNull()
+            aggs[f"{c}__tsfmt{i}"] = (
+                F.coalesce(F.min(F.when(nn, ok.cast("int"))), F.lit(1)) == 1
+            )
     row = df.agg(*[v.alias(k) for k, v in aggs.items()]).collect()[0]
 
+    cascade = _CASCADE + [f"tsfmt{i}" for i in range(len(custom))]
     out = df
     for c in str_cols:
         if row[f"{c}__allnull"]:
             continue  # all-null column stays string (reference keeps String?)
-        for parser in _CASCADE:
+        matched = None
+        for parser in cascade:
             if row[f"{c}__{parser}"]:
+                matched = parser
                 if parser == "bool":
                     out = out.withColumn(
                         c,
@@ -265,9 +298,19 @@ def infer_column_types(df: DataFrame, skip: set[str] = frozenset()) -> DataFrame
                     )
                 elif parser == "time":
                     pass  # Spark has no TIME type: keep string HH:mm:ss (SURVEY §1.3)
+                elif parser.startswith("tsfmt"):
+                    fmt = custom[int(parser[5:])]
+                    out = out.withColumn(
+                        c,
+                        F.to_timestamp(F.col(c), fmt).cast("timestamp_ntz"),
+                    )
                 else:
                     out = out.withColumn(c, F.col(c).cast(_CAST[parser]))
                 break
+        if strict and matched is None:
+            raise ValueError(
+                f"parse: column {c!r} matched no parser in the cascade"
+            )
     return out
 
 

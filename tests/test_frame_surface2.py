@@ -229,3 +229,34 @@ def test_add_scan_running_ops(spark):
 
     with _pytest.raises(ValueError):
         df.add_scan("bad", "x", "fibonacci", order_by=["i"])
+
+
+def test_parse_custom_datetime_format(spark):
+    # reference ParserTests `parse datetime with custom format`:
+    # unregistered format stays string; after addDateTimeFormat it parses
+    from dataframe_kotlin_spark.sources.csv import (
+        add_datetime_format,
+        clear_datetime_formats,
+    )
+
+    df = spark.createDataFrame([("04.02.2021 19:44:32",)], "col string")
+    try:
+        out = KDataFrame(df).try_parse()
+        assert dict(out.df.dtypes)["col"] == "string"
+        add_datetime_format("dd.MM.yyyy HH:mm:ss")
+        out2 = KDataFrame(df).parse()
+        assert dict(out2.df.dtypes)["col"].startswith("timestamp")
+        assert out2.collect()[0]["col"].year == 2021
+    finally:
+        clear_datetime_formats()
+
+
+def test_parse_strict_raises_on_unparseable(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a",), ("b",)], "col string")
+    with _pytest.raises(ValueError):
+        KDataFrame(df).parse(strict=True)
+    # tryParse: unchanged
+    out = KDataFrame(df).try_parse()
+    assert dict(out.df.dtypes)["col"] == "string"
