@@ -116,7 +116,14 @@ class KGroupedFrame:
         (Arrow-batched). Reference mapGroups: GroupedDataFrame.kt:23."""
         return self._wrap(self._gdf().applyInPandas(fn, schema))
 
-    def pivot(self, pivot_col: str, values: Sequence | None = None) -> "KPivotClause":
+    def pivot(
+        self, pivot_col: str | Sequence[str], values: Sequence | None = None
+    ) -> "KPivotClause":
+        """Single- or multi-column pivot. The reference's two-column
+        `pivot { name and key }` yields nested column groups
+        (PivotTests.kt:161-184); relationally we flatten the combo to one
+        `first_second` column per distinct pair — the separator-flatten
+        parity documented in SURVEY §2.6."""
         return KPivotClause(self, pivot_col, values)
 
     # grouping-set extensions the reference lacks (SURVEY §2.5 last row)
@@ -141,20 +148,32 @@ class KPivotClause:
     deterministic column order (SURVEY §3.3). Reference: api/pivot.kt:27-56.
     """
 
-    def __init__(self, grouped: KGroupedFrame, pivot_col: str, values: Sequence | None):
+    def __init__(
+        self,
+        grouped: KGroupedFrame,
+        pivot_col: str | Sequence[str],
+        values: Sequence | None,
+    ):
         self.grouped = grouped
-        self.pivot_col = pivot_col
+        self.multi = not isinstance(pivot_col, str)
+        self.pivot_cols = list(pivot_col) if self.multi else [pivot_col]
+        self.pivot_col = "__pivot__" if self.multi else pivot_col
         self.pivot_values = values
 
+    def _src(self):
+        if not self.multi:
+            return self.grouped.df
+        return self.grouped.df.withColumn(
+            "__pivot__", F.concat_ws("_", *[F.col(c) for c in self.pivot_cols])
+        )
+
     def _pivoted(self):
+        src = self._src()
         vals = self.pivot_values
         if vals is None:
-            vals = [
-                r[0]
-                for r in self.grouped.df.select(self.pivot_col).distinct().collect()
-            ]
+            vals = [r[0] for r in src.select(self.pivot_col).distinct().collect()]
             vals = sorted(v for v in vals if v is not None)
-        return self.grouped.df.groupBy(*self.grouped.keys).pivot(self.pivot_col, list(vals))
+        return src.groupBy(*self.grouped.keys).pivot(self.pivot_col, list(vals))
 
     def aggregate(self, *aggs: Column, default=None) -> "KDataFrame":
         out = self._pivoted().agg(*aggs)
@@ -203,7 +222,7 @@ class KPivotClause:
         rest = [
             c
             for c in self.grouped.df.columns
-            if c not in keys and c != self.pivot_col
+            if c not in keys and c not in self.pivot_cols
         ]
         cell = F.sort_array(F.collect_list(F.struct(*[F.col(c) for c in rest])))
         return self.aggregate(cell)

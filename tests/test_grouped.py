@@ -172,3 +172,22 @@ def test_explode_multi_positional_alignment(spark):
     out = df.explode("xs", "ys")
     got = {tuple(r) for r in out.collect()}
     assert got == {(1, 1, "a"), (1, 2, None), (2, 3, "b"), (2, None, "c")}
+
+
+def test_pivot_two_columns_flattened(person2):
+    # reference PivotTests `pivot two columns`: combos flatten to
+    # first_second columns (separator parity, SURVEY §2.6)
+    out = (
+        person2.group_by("name")
+        .pivot(["origin", "age"], ["London_young", "London_old", "Paris_old"])
+        .sum("grade", default=0)
+    )
+    d = {r["name"]: r for r in out.collect()}
+    assert d["Alice"]["London_young"] == 3
+    assert d["Alice"]["London_old"] == 5
+    assert d["Bob"]["Paris_old"] == 5
+    assert d["Mark"]["London_young"] == 0
+    # auto-discovered combos are sorted and complete
+    auto = person2.group_by("name").pivot(["origin", "age"]).count(default=0)
+    assert auto.columns[0] == "name"
+    assert "Moscow_young" in auto.columns and "Tokyo_young" in auto.columns
