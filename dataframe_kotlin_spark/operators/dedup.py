@@ -241,6 +241,13 @@ def levenshtein_pairs(
     - a length band — |len(a) - len(b)| > max_dist already implies
       distance > max_dist, so those pairs are discarded by a cheap
       integer predicate BEFORE the quadratic compare runs;
+    - a character-histogram lower bound — each substitution moves at
+      most 2 units of histogram mass and each insert/delete 1, so
+      levenshtein(a,b) >= sum(|hist_a - hist_b|)/2. The 37-dim histogram
+      is computed once per ROW (map-only), and the pairwise bound is
+      ~100 integer ops vs O(len*max_dist) for the DP — it discards the
+      bulk of length-plausible-but-different pairs before the DP runs.
+      The bound never drops a true pair, so results are unchanged;
     - Spark's built-in F.levenshtein(l, r, threshold) short-circuits
       the DP once the running distance exceeds the threshold (returns
       -1), keeping the per-pair cost ~O(len * max_dist).
@@ -248,11 +255,38 @@ def levenshtein_pairs(
     Output mirrors jaccard_pairs: (id_a, id_b, edit_distance).
     """
     band = max_dist if length_band is None else length_band
+    # Per-char counts as SCALAR columns, not an array: array HOFs
+    # (zip_with/aggregate) run interpreted per pair, which benchmarks
+    # slower than the thresholded DP they're meant to avoid; a 37-term
+    # scalar sum stays inside whole-stage codegen.
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    s = F.lower(F.col(text_col))
+    hist_cols = [
+        (F.length(s) - F.length(F.replace(s, F.lit(ch)))).cast("int").alias(f"__h{i}__")
+        for i in range(len(alphabet))
+        for ch in [alphabet[i]]
+    ]
     base = df.select(
-        F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col).alias("__s__")
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.col(text_col).alias("__s__"),
+        *hist_cols,
     )
-    a = base.select(F.col(id_col).alias("id_a"), *block_cols, F.col("__s__").alias("__sa__"))
-    b = base.select(F.col(id_col).alias("id_b"), *block_cols, F.col("__s__").alias("__sb__"))
+    nh = len(alphabet)
+    a = base.select(
+        F.col(id_col).alias("id_a"), *block_cols,
+        F.col("__s__").alias("__sa__"),
+        *[F.col(f"__h{i}__").alias(f"__ha{i}__") for i in range(nh)],
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), *block_cols,
+        F.col("__s__").alias("__sb__"),
+        *[F.col(f"__h{i}__").alias(f"__hb{i}__") for i in range(nh)],
+    )
+    hist_gap = None
+    for i in range(nh):
+        t = F.abs(F.col(f"__ha{i}__") - F.col(f"__hb{i}__"))
+        hist_gap = t if hist_gap is None else hist_gap + t
     dist = F.levenshtein(F.col("__sa__"), F.col("__sb__"), max_dist)
     return (
         a.join(b, list(block_cols))
@@ -260,6 +294,7 @@ def levenshtein_pairs(
         .filter(
             F.abs(F.length("__sa__") - F.length("__sb__")) <= F.lit(band)
         )
+        .filter(hist_gap <= 2 * max_dist)
         .withColumn("edit_distance", dist)
         .filter(F.col("edit_distance") >= 0)
         .select("id_a", "id_b", "edit_distance")

@@ -905,21 +905,22 @@ def dedup_clusters(spark, sf_dir):
            levenshtein(a.text, b.text) AS edit_distance
     FROM documents a JOIN documents b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE abs(length(a.text) - length(b.text)) <= 120
-      AND levenshtein(a.text, b.text) <= 120
+    WHERE abs(length(a.text) - length(b.text)) <= 80
+      AND levenshtein(a.text, b.text) <= 80
     """,
 )
 def fuzzy_pairs_editdist(spark, sf_dir):
     """Edit-distance near-dup pairs (operators/dedup.levenshtein_pairs):
     the fuzzy-match complement to token-set jaccard — catches dups that
     differ by small character edits rather than word swaps. Blocked on
-    (lang, source) with a length-band prune, and the JVM-side
-    thresholded levenshtein abandons the DP past 120 — the expensive
-    compare only ever runs on length-plausible same-block pairs."""
+    (lang, source) with a length-band prune and a char-histogram lower
+    bound; the JVM-side thresholded levenshtein abandons the DP past 80
+    — the expensive compare only ever runs on length- and
+    histogram-plausible same-block pairs."""
     return dedup.levenshtein_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         block_cols=["lang", "source"],
-        max_dist=120,
+        max_dist=80,
     )
