@@ -23,6 +23,7 @@ from dataframe_kotlin_spark.sources.build import (
     from_map,
     from_objects,
     from_rows,
+    to_objects,
     append_rows,
     to_map,
 )
@@ -39,6 +40,7 @@ __all__ = [
     "dataframe_of",
     "dataframe_of_fill",
     "from_objects",
+    "to_objects",
     "to_html",
     "to_string",
     "from_map",

@@ -55,6 +55,16 @@ def from_objects(spark: SparkSession, objects: Sequence[Any]) -> DataFrame:
     return spark.createDataFrame(rows, names)
 
 
+def to_objects(df: DataFrame, cls: Any, limit: int | None = None) -> list:
+    """Reference toListOf/writeClass (stubs/DataFrameToListTypedStub.kt):
+    materialize rows as typed objects. Driver-side by definition —
+    ``limit`` bounds the collect (CollectLimit short-circuits the scan);
+    omit it only for genuinely small results."""
+    rows = (df.limit(limit) if limit is not None else df).collect()
+    names = df.columns
+    return [cls(**{n: r[n] for n in names}) for r in rows]
+
+
 def dataframe_of_fill(
     spark: SparkSession, columns: Sequence[str], fill: Any
 ) -> DataFrame:

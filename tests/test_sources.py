@@ -378,3 +378,18 @@ def test_read_json_str_array_and_object(spark):
     assert sorted(r["a"] for r in arr.collect()) == [1, 2, 3]
     one = read_json_str(spark, '{"x": {"y": 5}}')
     assert one.collect()[0]["x"]["y"] == 5
+
+
+def test_to_objects_roundtrip(spark):
+    import dataclasses
+
+    from dataframe_kotlin_spark.sources import from_objects, to_objects
+
+    @dataclasses.dataclass
+    class P:
+        name: str
+        age: int
+
+    src = [P("a", 1), P("b", 2)]
+    back = to_objects(from_objects(spark, src).orderBy("age"), P)
+    assert back == src
