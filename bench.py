@@ -84,6 +84,30 @@ def main():
         times.sort()
         timings[name] = round(times[len(times) // 2], 3)
 
+    # BASELINE workload 1: the reference's only concrete perf harness —
+    # filter over 1,000,000 rows x 50 Int columns, predicate
+    # abs(col2+col5) < 0 (always false: measures pure scan+predicate),
+    # 11 reps, single JVM (PerformanceTests.kt:58-70). Data is seeded
+    # deterministic ints, cached so the timed reps measure the filter,
+    # not generation — same protocol as the reference's in-memory frame.
+    from pyspark.sql import functions as F
+
+    micro = spark.range(1_000_000).select(
+        *[
+            F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(10_000)).cast("int").alias(f"c{i}")
+            for i in range(50)
+        ]
+    ).cache()
+    micro.count()
+    mtimes = []
+    for _ in range(11):
+        t0 = time.time()
+        assert micro.filter(F.abs(F.col("c2") + F.col("c5")) < 0).count() == 0
+        mtimes.append(time.time() - t0)
+    mtimes.sort()
+    timings["filter_1m50_micro"] = round(mtimes[len(mtimes) // 2], 3)
+    micro.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

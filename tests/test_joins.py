@@ -83,3 +83,39 @@ def test_default_key_intersection(spark):
     out = a.join(b)  # on inferred: id
     assert out.nrow() == 1
     assert set(out.columns) == {"id", "a", "b"}
+
+
+def test_join_on_struct_column_key(spark):
+    # DataFrameTreeTests: ColumnGroup join keys — struct equality is
+    # field-wise in Spark, so a group key needs no expansion
+    from dataframe_kotlin_spark import KDataFrame
+
+    l = KDataFrame(
+        spark.createDataFrame(
+            [((1, "x"), 10), ((2, "y"), 20)], "g struct<a:int,b:string>, v int"
+        )
+    )
+    r = KDataFrame(
+        spark.createDataFrame(
+            [((1, "x"), "one"), ((3, "z"), "three")], "g struct<a:int,b:string>, s string"
+        )
+    )
+    out = l.join(r, on=["g"]).collect()
+    assert len(out) == 1
+    assert out[0]["v"] == 10 and out[0]["s"] == "one"
+
+
+def test_join_on_nested_leaf_path(spark):
+    from dataframe_kotlin_spark import KDataFrame
+    from pyspark.sql import functions as F
+
+    l = KDataFrame(
+        spark.createDataFrame(
+            [((1, "x"), 10), ((2, "y"), 20)], "g struct<a:int,b:string>, v int"
+        )
+    ).df.alias("l")
+    r = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "a int, s string"
+    ).alias("r")
+    out = l.join(r, F.col("l.g.a") == F.col("r.a")).select("v", "s").collect()
+    assert {(x["v"], x["s"]) for x in out} == {(10, "one"), (20, "two")}
