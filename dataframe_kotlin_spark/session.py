@@ -98,3 +98,55 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
                 load_events(spark, sf_dir) if name == "events" else spark.read.parquet(path)
             )
     return out
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register the star schema as temp views so the full ANSI-SQL surface
+    is available over the same data the DataFrame API sees — an entry
+    point the reference lacks entirely (it has no query language).
+    Views are lazy: registration costs one metadata read per table, and
+    SQL queries get identical Catalyst plans (pushdown, pruning, AQE) to
+    their DataFrame equivalents.
+    """
+    registered = []
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+        registered.append(name)
+    return registered
+
+
+def recommended_conf(
+    total_cores: int,
+    dataset_bytes: int,
+    executor_mem_bytes: int = 8 << 30,
+    skew_factor: float = 2.0,
+) -> dict[str, str]:
+    """Concrete conf for running these plans at cluster scale — the
+    local[32]/sf0.1 settings in get_spark are wrong by construction at
+    100 TB (SCALE.md 'Global posture'); this computes the ones that
+    change with scale:
+
+    - shuffle.partitions: ~2.5x total cores, floored so one shuffle
+      partition holds <= ~256 MB of the LARGEST shuffled dataset under
+      skew_factor imbalance (AQE coalesces excess partitions at runtime,
+      so over-partitioning is cheap and under-partitioning spills).
+    - files.maxPartitionBytes: 128 MB (scan tasks stay memory-bounded
+      regardless of table size; smaller only if rows are very wide).
+    - autoBroadcastJoinThreshold: min(64 MB, 1/16 executor memory) — a
+      broadcast table materializes on every executor, so the ceiling
+      scales with executor memory, not data size.
+    """
+    target_shuffle_block = 256 << 20
+    by_cores = int(total_cores * 2.5)
+    by_size = int(dataset_bytes * skew_factor / target_shuffle_block) + 1
+    shuffle_parts = max(by_cores, min(by_size, 200_000))
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(128 << 20),
+        "spark.sql.autoBroadcastJoinThreshold": str(
+            min(64 << 20, executor_mem_bytes // 16)
+        ),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }

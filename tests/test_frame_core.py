@@ -164,3 +164,39 @@ def test_intersect_except(person):
 def test_is_empty(person):
     assert not person.is_empty()
     assert person.filter(F.lit(False)).is_empty()
+
+
+def test_register_tables_sql_equals_dataframe(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_kotlin_spark.session import register_tables
+
+    names = register_tables(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "events" in names
+    got = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ).collect()
+    exp = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+    # events view carries the normalized timestamp type
+    t = dict(spark.table("events").dtypes)["ts"]
+    assert t.startswith("timestamp")
+
+
+def test_recommended_conf_scales():
+    from dataframe_kotlin_spark.session import recommended_conf
+
+    small = recommended_conf(total_cores=32, dataset_bytes=10 << 30)
+    big = recommended_conf(total_cores=16_000, dataset_bytes=100 << 40)
+    assert int(small["spark.sql.shuffle.partitions"]) >= 80
+    # 100 TB: partition count is size-bound, not core-bound, and capped
+    bp = int(big["spark.sql.shuffle.partitions"])
+    assert 40_000 <= bp <= 200_000
+    assert big["spark.sql.adaptive.enabled"] == "true"
+    # broadcast ceiling never exceeds 64 MB
+    assert int(big["spark.sql.autoBroadcastJoinThreshold"]) <= 64 << 20
