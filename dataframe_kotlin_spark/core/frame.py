@@ -503,17 +503,29 @@ class KDataFrame:
             bool_cols, key_name=key_name, value_name="__v__", where=F.col("__v__")
         ).remove("__v__")
 
-    def merge_rows(self, cols: Sequence[str], sort_lists: bool = True) -> "KDataFrame":
+    def merge_rows(
+        self, cols: Sequence[str], sort_lists: bool = True, drop_nulls: bool = True
+    ) -> "KDataFrame":
         """Group by remaining columns, collapse selected cols to lists
-        (inverse of explode). Reference: api/mergeRows.kt:13-33.
+        (inverse of explode). Reference: api/mergeRows.kt:13-33 with its
+        dropNulls flag (DataFrameTests `merge rows keep nulls`).
         Lists are sorted for deterministic output (reference preserves
-        insertion order, which Spark cannot reproduce distributedly)."""
+        insertion order, which Spark cannot reproduce distributedly).
+        collect_list drops nulls natively; ``drop_nulls=False`` wraps
+        values in a struct through the aggregate so nulls survive, then
+        unwraps — same single shuffle."""
         others = [c for c in self.df.columns if c not in cols]
         aggs = []
         for c in cols:
-            e = F.collect_list(c)
-            if sort_lists:
-                e = F.sort_array(e)
+            if drop_nulls:
+                e = F.collect_list(c)
+                if sort_lists:
+                    e = F.sort_array(e)
+            else:
+                e = F.collect_list(F.struct(F.col(c).alias("v")))
+                if sort_lists:
+                    e = F.sort_array(e)
+                e = F.transform(e, lambda s: s["v"])
             aggs.append(e.alias(c))
         return self._wrap(self.df.groupBy(*others).agg(*aggs))
 

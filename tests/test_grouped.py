@@ -191,3 +191,18 @@ def test_pivot_two_columns_flattened(person2):
     auto = person2.group_by("name").pivot(["origin", "age"]).count(default=0)
     assert auto.columns[0] == "name"
     assert "Moscow_young" in auto.columns and "Tokyo_young" in auto.columns
+
+
+def test_merge_rows_keep_nulls(spark):
+    # reference DataFrameTests `merge rows keep nulls` vs `drop nulls`
+    from dataframe_kotlin_spark import KDataFrame
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [("a", 1), ("a", None), ("b", 2)], "k string, v int"
+        )
+    )
+    dropped = {r["k"]: r["v"] for r in df.merge_rows(["v"]).collect()}
+    assert dropped == {"a": [1], "b": [2]}
+    kept = {r["k"]: r["v"] for r in df.merge_rows(["v"], drop_nulls=False).collect()}
+    assert kept == {"a": [None, 1], "b": [2]}  # sort_array: nulls first
