@@ -66,3 +66,43 @@ def test_q3_takeordered_not_global_sort(spark):
     # never a full global Sort of the aggregate output
     plan = _plan(spark, "q3_shipping_priority")
     assert "TakeOrderedAndProject" in plan
+
+
+def _final_plan(plan: str) -> str:
+    # AQE's toString prints the final plan then repeats the initial plan;
+    # structural counts must only see the final one
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_running_total_single_exchange(spark):
+    # add_scan compiles to ONE shuffle (the window partition), no join
+    plan = _final_plan(_plan(spark, "running_total_scan"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_hamming_pairs_no_cartesian(spark):
+    # pigeonhole blocking must plan an equi-join on (block_id, block_key),
+    # never a cross product
+    plan = _plan(spark, "simhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_deterministic_two_phase_agg(spark):
+    # register maxes partial-aggregate before each shuffle: both
+    # aggregations show a partial HashAggregate before their Exchange
+    plan = _final_plan(_plan(spark, "hll_deterministic_customers"))
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Join" not in plan
+
+
+def test_fuzzy_pairs_filters_before_levenshtein(spark):
+    # the histogram bound and length band must sit in the same filter
+    # that gates the DP — i.e. appear in the plan at all (a lost prune
+    # silently reverts to all-pairs DP)
+    plan = _plan(spark, "fuzzy_pairs_editdist")
+    assert "levenshtein" in plan
+    assert "abs(" in plan  # length band + histogram terms
+    assert "CartesianProduct" not in plan
