@@ -216,10 +216,17 @@ class KDataFrame:
 
     def update(self, col: str, where: Column | None = None, with_expr: Column | None = None) -> "KDataFrame":
         """Conditional cell rewrite: update(col).where(pred).with(expr).
-        Reference: api/update.kt:13-123."""
+        Reference: api/update.kt:13-123. Dotted names update NESTED struct
+        fields in place via withField (DataFrameTreeTests' nested update)
+        — withColumn alone would create a literal "a.b" top-level column."""
         target = F.col(col)
         expr = with_expr if with_expr is not None else F.lit(None)
         new = expr if where is None else F.when(where, expr).otherwise(target)
+        if "." in col and col not in self.df.columns:
+            root, rest = col.split(".", 1)
+            return self._wrap(
+                self.df.withColumn(root, F.col(root).withField(rest, new))
+            )
         return self._wrap(self.df.withColumn(col, new))
 
     def fill_nulls(self, col: str, with_expr: Column) -> "KDataFrame":

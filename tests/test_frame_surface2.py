@@ -260,3 +260,22 @@ def test_parse_strict_raises_on_unparseable(spark):
     # tryParse: unchanged
     out = KDataFrame(df).try_parse()
     assert dict(out.df.dtypes)["col"] == "string"
+
+
+def test_update_nested_struct_field(spark):
+    # DataFrameTreeTests: update a nested leaf in place, tree shape kept
+    df = KDataFrame(
+        spark.createDataFrame(
+            [((1, "x"), "r1"), ((2, "y"), "r2")], "g struct<a:int,b:string>, id string"
+        )
+    )
+    out = df.update("g.a", where=F.col("g.a") > 1, with_expr=F.lit(99))
+    assert dict(out.df.dtypes)["g"] == "struct<a:int,b:string>"
+    got = {r["id"]: r["g"]["a"] for r in out.collect()}
+    assert got == {"r1": 1, "r2": 99}
+    # two-level nesting
+    df2 = KDataFrame(
+        spark.createDataFrame([(((5,),),)], "o struct<i:struct<v:int>>")
+    )
+    out2 = df2.update("o.i.v", with_expr=F.col("o.i.v") * 2)
+    assert out2.collect()[0]["o"]["i"]["v"] == 10
