@@ -211,8 +211,26 @@ class KDataFrame:
         return self._wrap(out)
 
     def rename(self, mapping: dict[str, str]) -> "KDataFrame":
-        """Rename in place. Reference: api/rename.kt:12-30."""
-        return self._wrap(self.df.withColumnsRenamed(mapping))
+        """Rename in place, incl. nested fields via dotted source names
+        ("g.a" -> new leaf name, tree shape kept). Reference:
+        api/rename.kt:12-30; nested variants DataFrameTreeTests."""
+        nested = {k: v for k, v in mapping.items() if "." in k and k not in self.df.columns}
+        flat = {k: v for k, v in mapping.items() if k not in nested}
+        out = self.df
+        for src, new_name in nested.items():
+            root, rest = src.split(".", 1)
+            if "." in rest:
+                raise ValueError("nested rename supports one level deep")
+            renamed = F.struct(
+                *[
+                    F.col(f"{root}.{f.name}").alias(new_name if f.name == rest else f.name)
+                    for f in out.schema[root].dataType.fields
+                ]
+            )
+            out = out.withColumn(root, renamed)
+        if flat:
+            out = out.withColumnsRenamed(flat)
+        return self._wrap(out)
 
     def update(self, col: str, where: Column | None = None, with_expr: Column | None = None) -> "KDataFrame":
         """Conditional cell rewrite: update(col).where(pred).with(expr).
@@ -748,9 +766,13 @@ class KDataFrame:
         return self.try_parse([col])
 
     # -- stats / introspection (SURVEY §2.5, §2.8) ------------------------
-    def describe(self) -> "KDataFrame":
-        """Per-column count/nulls/unique/min/max (+mean for numeric).
-        Reference: api/describe.kt:13-64. One pass, one job."""
+    def describe(self, top_freq: bool = True) -> "KDataFrame":
+        """Per-column count/nulls/unique/top/freq/min/max (+mean for
+        numeric). Reference: api/describe.kt:13-64 (top = most frequent
+        value, freq = its count). Two jobs when top_freq is on: one
+        aggregate for the scalar stats + modes, one counting each mode's
+        occurrences (the second touches only |columns| equality counts,
+        still a full-scan-sized map + tiny reduce)."""
         rows = []
         numeric = set(self.numeric_columns())
         aggs = [F.count(F.lit(1)).alias("__n__")]
@@ -759,9 +781,22 @@ class KDataFrame:
             aggs.append(F.count_distinct(c).alias(f"{c}__nd"))
             aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
             aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+            if top_freq:
+                aggs.append(F.mode(c).cast("string").alias(f"{c}__top"))
             if c in numeric:
                 aggs.append(F.avg(c).alias(f"{c}__mean"))
         r = self.df.agg(*aggs).collect()[0]
+        freqs = {}
+        if top_freq:
+            fa = [
+                F.sum(
+                    F.when(F.col(c).cast("string") == F.lit(r[f"{c}__top"]), 1).otherwise(0)
+                ).alias(c)
+                for c in self.df.columns
+                if r[f"{c}__top"] is not None
+            ]
+            if fa:
+                freqs = self.df.agg(*fa).collect()[0].asDict()
         for c in self.df.columns:
             rows.append(
                 (
@@ -769,13 +804,18 @@ class KDataFrame:
                     r["__n__"],
                     r["__n__"] - r[f"{c}__nn"],
                     r[f"{c}__nd"],
+                    r[f"{c}__top"] if top_freq else None,
+                    int(freqs[c]) if c in freqs else None,
                     r[f"{c}__min"],
                     r[f"{c}__max"],
                     float(r[f"{c}__mean"]) if c in numeric and r[f"{c}__mean"] is not None else None,
                 )
             )
         spark = self.df.sparkSession
-        schema = "column string, count long, nulls long, unique long, min string, max string, mean double"
+        schema = (
+            "column string, count long, nulls long, unique long, "
+            "top string, freq long, min string, max string, mean double"
+        )
         return self._wrap(spark.createDataFrame(rows, schema))
 
     def corr_matrix(self) -> "KDataFrame":

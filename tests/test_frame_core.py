@@ -132,6 +132,8 @@ def test_describe(person):
     assert d["weight"]["nulls"] == 2
     assert d["name"]["unique"] == 3
     assert d["age"]["mean"] == 200 / 7
+    # top/freq (api/describe.kt:40-45): Mark appears 3x of 7
+    assert d["name"]["top"] == "Mark" and d["name"]["freq"] == 3
 
 
 def test_corr_matrix(person):

@@ -279,3 +279,13 @@ def test_update_nested_struct_field(spark):
     )
     out2 = df2.update("o.i.v", with_expr=F.col("o.i.v") * 2)
     assert out2.collect()[0]["o"]["i"]["v"] == 10
+
+
+def test_rename_nested_field(spark):
+    df = KDataFrame(
+        spark.createDataFrame([((1, "x"), 9)], "g struct<a:int,b:string>, v int")
+    )
+    out = df.rename({"g.a": "alpha", "v": "value"})
+    assert dict(out.df.dtypes)["g"] == "struct<alpha:int,b:string>"
+    assert out.columns == ["g", "value"]
+    assert out.collect()[0]["g"]["alpha"] == 1
