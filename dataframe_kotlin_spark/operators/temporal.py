@@ -169,3 +169,65 @@ def interval_join(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
     return joined.drop("__bucket__")
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    bucket_seconds: Sequence[int] = (60, 3600, 86400),
+) -> DataFrame:
+    """Multi-granularity time rollup with coarse-from-fine reuse (the
+    hypertable continuous-aggregate pattern).
+
+    Only the FINEST granularity scans the raw table; every coarser level
+    re-aggregates the previous level's partials — sum-of-sums and
+    sum-of-counts are exact because the stats are decomposable (avg is
+    derived as sum/count at read time, never averaged-of-averages). At
+    100 TB this is the difference between one raw scan per granularity
+    and one raw scan total; the level-N aggregation input is ~|keys| x
+    |buckets_N-1| rows, already tiny.
+
+    Output: granularity_seconds, bucket_start (epoch seconds), *keys,
+    n_events, sum_value — one unioned frame, partitioned consumers
+    filter on granularity_seconds.
+    """
+    grans = sorted(set(int(b) for b in bucket_seconds))
+    assert grans and grans[0] > 0
+    for fine, coarse in zip(grans, grans[1:]):
+        assert coarse % fine == 0, (
+            f"{coarse}s must be a multiple of {fine}s for exact reuse"
+        )
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000.0
+    finest = grans[0]
+    level = (
+        df.withColumn(
+            "bucket_start",
+            (F.floor(epoch / finest) * finest).cast("bigint"),
+        )
+        .groupBy("bucket_start", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+    )
+    out = level.withColumn("granularity_seconds", F.lit(finest).cast("bigint"))
+    for g in grans[1:]:
+        level = (
+            level.withColumn(
+                "bucket_start",
+                (F.floor(F.col("bucket_start") / g) * g).cast("bigint"),
+            )
+            .groupBy("bucket_start", *keys)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+        out = out.unionByName(
+            level.withColumn("granularity_seconds", F.lit(g).cast("bigint"))
+        )
+    return out.select(
+        "granularity_seconds", "bucket_start", *keys, "n_events", "sum_value"
+    )

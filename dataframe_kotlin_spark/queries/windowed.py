@@ -718,3 +718,40 @@ def neighbour_values(spark, sf_dir):
     )
     fixed = F.transform(F.col("value_neighbours"), lambda v: F.coalesce(v, F.lit(0.0)))
     return out.df.select("event_id", "user_id", fixed.alias("value_neighbours"))
+
+
+@query(
+    "hypertable_rollup_events",
+    oracle="""
+    WITH fine AS (
+      SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+             event_type,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), coarse AS (
+      SELECT CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+             event_type,
+             COUNT(*) AS n_events,
+             ROUND(SUM(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(3600 AS BIGINT) AS granularity_seconds, * FROM fine
+    UNION ALL
+    SELECT CAST(86400 AS BIGINT) AS granularity_seconds, * FROM coarse
+    """,
+)
+def hypertable_rollup_events(spark, sf_dir):
+    """Hypertable continuous-aggregate rollup (operators/temporal.
+    hypertable_rollup): hourly buckets scan raw events ONCE; daily
+    buckets re-aggregate the hourly partials (sum-of-sums /
+    sum-of-counts — exact for decomposable stats). The oracle computes
+    BOTH granularities directly from raw, proving coarse-from-fine
+    reuse loses nothing."""
+    from dataframe_kotlin_spark.operators import temporal as temporal_ops
+
+    e = _t(spark, sf_dir, "events")
+    out = temporal_ops.hypertable_rollup(
+        e.df, "ts", ["event_type"], "value", bucket_seconds=(3600, 86400)
+    )
+    return out.withColumn("sum_value", F.round(F.col("sum_value"), 2))

@@ -106,3 +106,12 @@ def test_fuzzy_pairs_filters_before_levenshtein(spark):
     assert "levenshtein" in plan
     assert "abs(" in plan  # length band + histogram terms
     assert "CartesianProduct" not in plan
+
+
+def test_hypertable_rollup_scans_raw_once(spark):
+    # coarse granularities re-aggregate the fine level: the physical plan
+    # must contain ONE parquet scan and a ReusedExchange, not one scan
+    # per granularity
+    plan = _final_plan(_plan(spark, "hypertable_rollup_events"))
+    assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
+    assert "ReusedExchange" in plan

@@ -182,3 +182,32 @@ def test_asof_directions_match_pandas(spark):
             w = want.loc[lid]
             g = got[lid]
             assert (pd.isna(w) and g is None) or g == w, (direction, lid, w, g)
+
+
+def test_hypertable_rollup_coarse_equals_direct(spark):
+    from pyspark.sql import functions as F
+
+    from dataframe_kotlin_spark.operators.temporal import hypertable_rollup
+    from dataframe_kotlin_spark.session import load_events
+
+    e = load_events(spark, "/root/testdata/sf0.001")
+    out = hypertable_rollup(e, "ts", ["event_type"], "value", (3600, 86400))
+    daily = out.filter(F.col("granularity_seconds") == 86400).drop("granularity_seconds")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0
+    direct = (
+        e.withColumn("bucket_start", (F.floor(epoch / 86400) * 86400).cast("bigint"))
+        .groupBy("bucket_start", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    a = {(r["bucket_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6)) for r in daily.collect()}
+    b = {(r["bucket_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6)) for r in direct.collect()}
+    assert a == b
+
+
+def test_hypertable_rollup_rejects_non_multiple():
+    import pytest as _pytest
+
+    from dataframe_kotlin_spark.operators.temporal import hypertable_rollup
+
+    with _pytest.raises(AssertionError):
+        hypertable_rollup(None, "ts", [], "v", (60, 90))
