@@ -199,3 +199,42 @@ def sample_frames(
             )
 
     return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def chunk_pcm_audio(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    sample_rate: int,
+    bytes_per_sample: int,
+    chunk_seconds: float,
+) -> DataFrame:
+    """Split raw-PCM audio payloads into fixed-duration chunks — fully
+    JVM-side, NO stub: for uncompressed PCM the chunk boundary is exact
+    byte arithmetic (chunk_bytes = rate * width * seconds), and binary
+    substring slices without decoding. One input row explodes into
+    ceil(len/chunk_bytes) chunk rows carrying (chunk_idx, start_s,
+    end_s, chunk payload); no shuffle — partitioning follows the input,
+    and Arrow never sees the bytes (everything stays in codegen).
+    Compressed formats (mp3/flac) need a decoder at the extract_features
+    stage; the chunk scheduling layer here is identical either way.
+    """
+    chunk_bytes = int(sample_rate * bytes_per_sample * chunk_seconds)
+    assert chunk_bytes > 0
+    plen = F.length(F.col(payload_col))
+    n_chunks = F.ceil(plen / chunk_bytes).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))))
+    out = df.withColumn("chunk_idx", idx)
+    start_byte = F.col("chunk_idx") * chunk_bytes
+    chunk = F.expr(f"substring({payload_col}, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})")
+    dur = float(chunk_seconds)
+    return out.select(
+        F.col(id_col),
+        "chunk_idx",
+        (F.col("chunk_idx") * dur).alias("start_s"),
+        F.least(
+            (F.col("chunk_idx") + 1) * dur,
+            plen / (sample_rate * bytes_per_sample),
+        ).alias("end_s"),
+        chunk.alias("chunk"),
+    )

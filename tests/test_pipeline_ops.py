@@ -267,3 +267,24 @@ def test_repetition_stats(spark):
     assert out[1]["dup_2gram_frac"] == 0.0
     assert out[2]["dup_2gram_frac"] == 0.0
     assert out[3]["dup_2gram_frac"] == 0.0
+
+
+def test_chunk_pcm_audio_exact_bytes(spark):
+    # 2.5 s of fake 8 kHz 2-byte PCM -> 3 chunks of 1 s (last partial);
+    # chunks reassemble to the original payload byte-for-byte
+    rate, width = 8000, 2
+    payload = bytes(range(256)) * (rate * width * 25 // 10 // 256)
+    pad = rate * width * 25 // 10 - len(payload)
+    payload += b"\x00" * pad
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    out = multimodal.chunk_pcm_audio(df, "media_id", "payload", rate, width, 1.0)
+    rows = sorted(out.collect(), key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    assert [r["start_s"] for r in rows] == [0.0, 1.0, 2.0]
+    assert rows[-1]["end_s"] == 2.5
+    assert len(bytes(rows[0]["chunk"])) == rate * width
+    assert len(bytes(rows[2]["chunk"])) == rate * width // 2  # partial tail
+    assert b"".join(bytes(r["chunk"]) for r in rows) == payload
+    # no shuffle: plan is scan -> generate/project only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
