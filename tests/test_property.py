@@ -243,3 +243,45 @@ def test_pack_sequences_offsets_consistent(spark, budget, sizes):
                 assert r["seq_id"] >= prev_seq  # sequences advance with key order
             prev_seq = r["seq_id"]
             run += r["n"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sigs=st.lists(st.integers(0, 2**16 - 1), min_size=2, max_size=30, unique=True),
+    max_dist=st.integers(1, 4),
+)
+def test_hamming_pairs_full_recall_property(spark, sigs, max_dist):
+    """Pigeonhole blocking must return EXACTLY the brute-force pair set
+    for any signatures and any max_dist — full recall is the operator's
+    contract, not a statistical property."""
+    from dataframe_kotlin_spark.operators.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(sigs)], "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_pairs(df, "id", "sig", max_dist, bits=16).collect()
+    }
+    exp = set()
+    for i, a in enumerate(sigs):
+        for j in range(i + 1, len(sigs)):
+            d = bin(a ^ sigs[j]).count("1")
+            if d <= max_dist:
+                exp.add((i, j, d))
+    assert got == exp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=st.lists(st.integers(-50, 50), min_size=1, max_size=12))
+def test_add_scan_sum_matches_prefix_sums(spark, vals):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    )
+    out = KDataFrame(df).add_scan("rs", "v", "sum", order_by=["i"])
+    got = [r["rs"] for r in out.collect_ordered("i")] if hasattr(out, "collect_ordered") else [
+        r["rs"] for r in sorted(out.collect(), key=lambda r: r["i"])
+    ]
+    acc, exp = 0, []
+    for v in vals:
+        acc += v
+        exp.append(acc)
+    assert got == exp
