@@ -354,3 +354,33 @@ def distinct_suppliers_brand(spark, sf_dir):
         )
         .df
     )
+
+
+@query(
+    "salted_join_agg",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_custs,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def salted_join_agg(spark, sf_dir):
+    """The explicit skew path (operators/skew.salted_join) must preserve
+    plain equi-join semantics bit for bit: the big side is salted across
+    8 buckets, the dim replicated once per salt, and the result
+    aggregates to exactly what the oracle's unsalted JOIN produces.
+    (AQE handles unknown skew at runtime; this is the fixed-plan variant
+    for known-hot keys — SCALE.md joins rules.)"""
+    from dataframe_kotlin_spark.operators.skew import salted_join
+
+    c = _t(spark, sf_dir, "customer").df
+    n = _t(spark, sf_dir, "nation").df.select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    j = salted_join(c, n, on=["c_nationkey"], buckets=8)
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )

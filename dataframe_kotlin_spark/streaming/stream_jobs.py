@@ -412,3 +412,34 @@ def curate_stream(
     if langs:
         cond = cond & F.col("lang_pred").isin(langs)
     return out.filter(cond)
+
+
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str] = (),
+    available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Production file sink: append-mode parquet with exactly-once file
+    commits (the checkpoint's file-sink log records committed files, so
+    restarts never double-write). ``partition_by`` lays out hive-style
+    directories — the same pruning story as write_hive_partitioned, but
+    continuously maintained. availableNow drains-and-stops (backfill /
+    tests); pass processing_time="1 minute" for a long-running job.
+    Returns the StreamingQuery; callers manage awaitTermination.
+    """
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(*list(partition_by))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()

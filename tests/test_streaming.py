@@ -337,3 +337,25 @@ def test_sliding_stream_matches_batch(spark, stream_src, ckpt, batch_events):
     )
     assert got.count() == exp.count() > 0
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_parquet_sink_exactly_once(spark, stream_src, ckpt, batch_events, tmp_path_factory):
+    """File sink: availableNow drain writes hive-partitioned parquet whose
+    contents equal the batch projection; a SECOND drain over the same
+    checkpoint writes nothing new (file-sink log = exactly-once)."""
+    out = str(tmp_path_factory.mktemp("sink") / "events_out")
+    proj = sj.read_event_stream(spark, stream_src).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = sj.run_to_parquet(proj, out, os.path.join(ckpt, "pq_sink"), partition_by=["event_type"])
+    q.awaitTermination(300)
+    back = spark.read.parquet(out)
+    assert back.count() == batch_events.count()
+    assert set(back.columns) == {"event_id", "user_id", "event_type", "value"}
+    # restart over same checkpoint: no new input -> no duplicate rows
+    proj2 = sj.read_event_stream(spark, stream_src).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q2 = sj.run_to_parquet(proj2, out, os.path.join(ckpt, "pq_sink"), partition_by=["event_type"])
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == batch_events.count()
