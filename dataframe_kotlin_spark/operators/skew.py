@@ -75,3 +75,57 @@ def salted_distinct_count(
         F.count_distinct(F.col(value)).alias("__pd__")
     )
     return partial.groupBy(*keys).agg(F.sum("__pd__").alias("n_distinct"))
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m_bits: int = 1 << 16,
+    probes: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Semi-join reduction: filter the BIG side of an upcoming join with a
+    Bloom bitmap of the small side's keys, map-side, BEFORE any shuffle.
+
+    At 100 TB this is the difference between shuffling every fact row and
+    shuffling only rows that can possibly match (plus the Bloom false
+    positives — the join itself stays exact, the filter only passes a
+    superset). Spark's own runtime bloom (AQE) triggers under planner
+    heuristics; this is the explicit, always-on version for when the
+    pipeline KNOWS the dim is selective.
+
+    Build: the small side's distinct key hash positions collect to the
+    driver (probes x |small| ints — the side is small by contract), fold
+    into an m_bits bitmap, and ship as ONE literal array<long> constant
+    inside the filter expression (no extra job, no broadcast variable).
+    Probe: per row, `probes` xxhash64 positions test bits via
+    element_at + shiftright — all whole-stage codegen.
+    """
+    import pyspark.sql.functions as _F
+
+    m = int(m_bits)
+    assert m % 64 == 0
+    pos_cols = [
+        F.pmod(F.xxhash64(F.col(key), F.lit(seed + i)), F.lit(m)).alias(f"p{i}")
+        for i in range(probes)
+    ]
+    positions = small.select(*pos_cols).distinct().collect()
+    words = [0] * (m // 64)
+    for r in positions:
+        for i in range(probes):
+            p = r[f"p{i}"]
+            words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed 64-bit for the long literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    warr = F.lit(words)
+    cond = None
+    for i in range(probes):
+        pos = F.pmod(F.xxhash64(F.col(key), F.lit(seed + i)), F.lit(m)).cast("int")
+        word = F.element_at(warr, (pos / F.lit(64)).cast("int") + F.lit(1))
+        bit = _F.call_function("shiftright", word, F.pmod(pos, F.lit(64))).bitwiseAND(
+            F.lit(1)
+        )
+        c = bit == 1
+        cond = c if cond is None else (cond & c)
+    return big.filter(cond)

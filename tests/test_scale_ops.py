@@ -270,3 +270,35 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bloom_prefilter_superset_and_exact_join(spark):
+    """Bloom prefilter passes a SUPERSET of matching rows (never drops a
+    match), shrinks the big side substantially, and the join after the
+    filter equals the plain join exactly."""
+    from dataframe_kotlin_spark.operators.skew import bloom_prefilter
+
+    sf = "/root/testdata/sf0.01"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .filter(F.col("o_totalprice") > 450_000)
+        .select("o_orderkey", "o_totalprice")
+    )
+    small = o.select(F.col("o_orderkey").alias("l_orderkey"))
+    filtered = bloom_prefilter(li, small, "l_orderkey")
+    n_all, n_filtered = li.count(), filtered.count()
+    assert n_filtered < n_all * 0.2  # selective dim actually shrinks the fact side
+    plain = li.join(small, "l_orderkey").count()
+    after = filtered.join(small, "l_orderkey").count()
+    assert after == plain  # exactness: the filter only ever passes a superset
+    # superset property explicitly: every matching key survives the filter
+    missed = (
+        li.join(small, "l_orderkey")
+        .join(filtered.select("l_orderkey").distinct(), "l_orderkey", "left_anti")
+        .count()
+    )
+    assert missed == 0
+    # map-side: no exchange in the filter's plan
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
