@@ -384,3 +384,40 @@ def salted_join_agg(spark, sf_dir):
         F.count(F.lit(1)).alias("n_custs"),
         F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
     )
+
+
+@query(
+    "bloom_prefilter_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN (SELECT o_orderkey, o_orderpriority
+                        FROM orders WHERE o_totalprice > 400000) big_orders
+      ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bloom_prefilter_join(spark, sf_dir):
+    """Bloom semi-join reduction in the correctness gate: lineitem is
+    prefiltered map-side by a bitmap of the selective orders subset's
+    keys (skew.bloom_prefilter), then joined exactly — the result must
+    hash-match the oracle's plain JOIN because the filter only ever
+    passes a superset of matching rows."""
+    from dataframe_kotlin_spark.operators.skew import bloom_prefilter
+
+    li = _t(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_quantity")
+    big_orders = (
+        _t(spark, sf_dir, "orders")
+        .df.filter(F.col("o_totalprice") > 400_000)
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    filtered = bloom_prefilter(li, big_orders.select("l_orderkey"), "l_orderkey")
+    return (
+        filtered.join(big_orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
