@@ -225,20 +225,26 @@ def agg_minmax_count(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n_rows,
-           CAST(COALESCE(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_discounted,
-           CAST(COALESCE(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bulk
+           COUNT(CASE WHEN l_discount > CAST(0.05 AS DOUBLE) THEN 1 END) AS n_discounted,
+           COUNT(CASE WHEN l_quantity >= CAST(25 AS DOUBLE) THEN 1 END) AS n_bulk
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def count_conditional(spark, sf_dir):
-    """count(predicate) with default 0 (GroupByAggregations.kt:30-31)."""
+    """count(predicate) with default 0 (GroupByAggregations.kt:30-31).
+
+    Both sides use plain COUNT over a conditional expression: COUNT always
+    returns BIGINT in DuckDB (SUM would return HUGEINT/DECIMAL, which
+    round-trips through pandas differently across versions), and the
+    literals are cast to DOUBLE explicitly so neither engine compares the
+    DOUBLE column against a DECIMAL literal."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.group_by("l_returnflag")
         .aggregate(
             F.count(F.lit(1)).alias("n_rows"),
-            F.coalesce(F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)), F.lit(0)).alias("n_discounted"),
-            F.coalesce(F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)), F.lit(0)).alias("n_bulk"),
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+            F.count(F.when(F.col("l_quantity") >= 25.0, 1)).alias("n_bulk"),
         )
         .df
     )
