@@ -164,3 +164,95 @@ def heavy_hitters(
         n = merged.agg(F.sum("count_lower")).collect()[0][0] or 0
         merged = merged.filter(F.col("count_lower") >= int(min_share * n))
     return merged
+
+
+def cm_bucket(item, row: int, width: int):
+    """Deterministic Count-Min bucket for hash row ``row``:
+    ``int(md5("{row}:" + item)[:8], 16) % width``. The md5 recipe is the
+    same cross-engine trick as ``dedup.hash20`` — DuckDB reproduces it as
+    ``('0x'||substr(md5(row||':'||item),1,8))::BIGINT % width``, so sketch
+    cells are bit-identical across engines."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{row}:"), item)), 1, 8), 16, 10
+    ).cast("bigint")
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch as a (d, bucket, cnt) cell table — ``depth`` hash
+    rows × ``width`` buckets, each cell the (weighted) count of items
+    hashing into it.
+
+    Map-side shape: every input row explodes into ``depth`` probes and a
+    single partial-aggregated groupBy produces at most depth×width rows —
+    the shuffle carries the fixed-size sketch, never the item domain.
+    Sketches are MERGEABLE: cells from different shards/days sum
+    (``sketch_a.unionByName(sketch_b).groupBy(d, bucket).sum(cnt)``), the
+    same rollup-reuse contract as ``hll_sketch``/``hll_merge``.
+
+    Unlike the HLL estimators this sketch is deterministic and
+    cross-engine reproducible (see ``cm_bucket``), so the driver's
+    duckdb oracle hash-matches it exactly.
+
+    Reference parity: the reference has no sketches (SURVEY §2.5 —
+    "approx distinct absent"); this is a §7-P6 scale extension.
+    """
+    item = F.col(item_col).cast("string")
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"), cm_bucket(item, d, width).alias("bucket")
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+    w = (F.col(weight_col) if weight_col else F.lit(1)).cast("bigint")
+    return (
+        df.select(probes.alias("p"), w.alias("__w__"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket"))
+        .agg(F.sum("__w__").cast("bigint").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 512,
+    name: str = "cm_est",
+) -> DataFrame:
+    """Point-estimate counts for ``items`` from a ``count_min_sketch``
+    cell table: min over the ``depth`` matching cells (the classic CM
+    upper bound — never under-counts, over-counts only on collisions).
+
+    The sketch side is at most depth×width rows, so the probe join is a
+    broadcast; estimating any number of items never shuffles them.
+    Items whose bucket is absent from the sketch get cnt=0 (they were
+    never inserted)."""
+    item = F.col(item_col).cast("string")
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), cm_bucket(item, d, width).alias("bucket")
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(item_col, "p.d", "p.bucket")
+    joined = probes.join(F.broadcast(sketch), ["d", "bucket"], "left").na.fill(
+        {"cnt": 0}
+    )
+    return joined.groupBy(item_col).agg(F.min("cnt").cast("bigint").alias(name))

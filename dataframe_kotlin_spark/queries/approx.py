@@ -111,3 +111,52 @@ def hll_deterministic_customers(spark, sf_dir):
     native HLL++/DataSketches variants above stay rows-only)."""
     o = _t(spark, sf_dir, "orders")
     return sketches.hll_deterministic(o.df, ["o_orderpriority"], "o_custkey", p=_HLL_P)
+
+
+@query(
+    "count_min_term_counts",
+    oracle="""
+    WITH occ AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact FROM occ GROUP BY term),
+    top AS (SELECT term, n_exact FROM exact ORDER BY n_exact DESC, term LIMIT 20),
+    ds AS (SELECT unnest(range(0, 4)) AS d),
+    cells AS (
+      SELECT d,
+             (('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 8))::BIGINT) % 512 AS bucket,
+             COUNT(*) AS cnt
+      FROM occ CROSS JOIN ds
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT term, n_exact, d,
+             (('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || term), 1, 8))::BIGINT) % 512 AS bucket
+      FROM top CROSS JOIN ds
+    )
+    SELECT term, n_exact, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS cm_est
+    FROM probes LEFT JOIN cells USING (d, bucket)
+    GROUP BY term, n_exact
+    """,
+)
+def count_min_term_counts(spark, sf_dir):
+    """Count-Min sketch (sketches.count_min_sketch/estimate): build a
+    4×512 cell table over every term occurrence in `documents`, then
+    point-estimate the 20 most frequent terms. Unlike the HLL queries
+    this sketch is deterministic and md5-based, so the duckdb oracle
+    reproduces every cell bit-for-bit — the correctness gate checks the
+    sketch itself, not just its error bound (which test_approx pins)."""
+    from dataframe_kotlin_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").df
+    occ = docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+    top = (
+        occ.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("term"))
+        .limit(20)
+    )
+    sk = sketches.count_min_sketch(occ, "term", depth=4, width=512)
+    est = sketches.count_min_estimate(sk, top, "term", depth=4, width=512)
+    return top.join(est, "term").select("term", "n_exact", "cm_est")

@@ -123,3 +123,44 @@ def test_hll_deterministic_error_and_stability(spark):
     # deterministic: re-running and re-partitioning yield the identical double
     est2 = sketches.hll_deterministic(df.repartition(7), ["g"], "id", p=6).first()["hll_nd"]
     assert est == est2
+
+
+def test_count_min_upper_bound_and_merge(spark, orders):
+    """CM estimates never under-count; cells from two shards sum to the
+    whole-data sketch (mergeability — the rollup-reuse contract)."""
+    items = orders.select(F.col("o_orderpriority").alias("item"))
+    exact = {
+        r["item"]: r["n"]
+        for r in items.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sk = sketches.count_min_sketch(items, "item", depth=4, width=64)
+    distinct_items = items.distinct()
+    est = {
+        r["item"]: r["cm_est"]
+        for r in sketches.count_min_estimate(
+            sk, distinct_items, "item", depth=4, width=64
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for item, n in exact.items():
+        assert est[item] >= n, (item, est[item], n)
+
+    # merge: shard by half the keyspace, sum cells, estimates identical
+    a = sketches.count_min_sketch(
+        items.filter(F.crc32(F.col("item")) % 2 == 0), "item", depth=4, width=64
+    )
+    b = sketches.count_min_sketch(
+        items.filter(F.crc32(F.col("item")) % 2 == 1), "item", depth=4, width=64
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    est_m = {
+        r["item"]: r["cm_est"]
+        for r in sketches.count_min_estimate(
+            merged, distinct_items, "item", depth=4, width=64
+        ).collect()
+    }
+    assert est_m == est
