@@ -174,3 +174,44 @@ def pack_sequences(
         .withColumn("offset_in_seq", (F.col("__offset__") % budget).cast("bigint"))
         .drop("__offset__")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted k-sample WITHOUT replacement per group — Efraimidis &
+    Spirakis A-ES: each row gets key ``-ln(u)/w`` with u a unit uniform
+    and w its weight; the k smallest keys per group are a correct
+    weighted sample (heavier rows draw stochastically smaller keys).
+
+    u comes from md5 of (id, seed) — 13 hex chars = 52 uniform bits, +1
+    so u is in (0, 1] and ln(u) is finite — so the sample is
+    deterministic and reproducible in any engine (same recipe as
+    hash_split: re-running the pipeline, or re-auditing it in SQL,
+    yields the identical sample). One shuffle on the group keys;
+    weights must be > 0.
+    """
+    from pyspark.sql import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1
+    ) / F.lit(float(2**52))
+    es_key = -F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*keys).orderBy(es_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__es_rank__", F.row_number().over(w))
+        .filter(F.col("__es_rank__") <= k)
+        .drop("__es_rank__")
+    )

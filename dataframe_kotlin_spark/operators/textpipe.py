@@ -107,3 +107,44 @@ def repetition_stats(df: DataFrame, text_col: str, ns: Sequence[int] = (2, 3)) -
         )
         out = out.withColumn(f"dup_{n}gram_frac", dup_frac)
     return out
+
+
+# PII patterns deliberately restricted to syntax valid in BOTH Java regex
+# (Spark executors) and RE2 (DuckDB oracle, Go/Rust scrubbers): character
+# classes, bounded repetition, \b anchors — no lookaround, no backrefs.
+# Order matters only for overlapping digit shapes; these are disjoint.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Replace emails / SSNs / phone numbers / IPv4 addresses with typed
+    placeholder tokens. Map-only chained regexp_replace — stays inside
+    whole-stage codegen, no shuffle, no UDF; at 100 TB this is a pure
+    scan-speed transform.
+
+    A training-data curation staple the reference lacks (its string ops
+    stop at len/lower/upper, Columns.kt:219-221); SURVEY §7-P6 extension.
+    """
+    c = F.col(text_col)
+    for _, pattern, token in PII_RULES:
+        c = F.regexp_replace(c, pattern, token)
+    return df.withColumn(out_col or text_col, c)
+
+
+def pii_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Count PII matches per class (adds n_<class> columns) — the audit
+    half of redaction: run on a sample to size the blast radius before
+    rewriting a corpus."""
+    out = df
+    for name, pattern, _ in PII_RULES:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+        )
+    return out

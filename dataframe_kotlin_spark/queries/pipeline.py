@@ -924,3 +924,249 @@ def fuzzy_pairs_editdist(spark, sf_dir):
         block_cols=["lang", "source"],
         max_dist=80,
     )
+
+
+def _pii_oracle_sql() -> str:
+    base = (
+        "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 10.2.' || "
+        "CAST(doc_id % 256 AS VARCHAR) || '.9 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    expr = "raw"
+    for _, pat, tok in textpipe.PII_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(raw, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in textpipe.PII_RULES
+    )
+    return f"""
+    WITH raw_t AS (SELECT doc_id, {base} AS raw FROM documents)
+    SELECT doc_id,
+           {expr} AS redacted,
+           {counts}
+    FROM raw_t
+    """
+
+
+@query("pii_redaction", oracle=_pii_oracle_sql())
+def pii_redaction(spark, sf_dir):
+    """PII scrub (textpipe.redact_pii/pii_counts): inject one synthetic
+    email/SSN/phone/IP per document (deterministic from doc_id — both
+    engines build the identical string), then redact and count. The
+    string-equality hash check proves the Java-regex and RE2 dialects
+    agree on these patterns — the reason PII_RULES bans lookaround."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 10.2."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".9 ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" tel 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    with_raw = docs.select("doc_id", raw.alias("raw"))
+    counted = textpipe.pii_counts(with_raw, "raw")
+    redacted = textpipe.redact_pii(counted, "raw", out_col="redacted")
+    return redacted.select(
+        "doc_id",
+        "redacted",
+        *[F.col(f"n_{name}").cast("int").alias(f"n_{name}") for name, _, _ in textpipe.PII_RULES],
+    )
+
+
+@query(
+    "inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS term
+      FROM documents
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           list_sort(list(doc_id)) AS postings
+    FROM tok GROUP BY term HAVING COUNT(*) >= 50
+    """,
+)
+def inverted_index(spark, sf_dir):
+    """Inverted index build: term -> sorted posting list of doc_ids, for
+    terms appearing in >= 50 documents. One explode + one shuffle on the
+    term; posting lists are sorted in the agg output (sort_array) so the
+    layout is deterministic — the retrieval-side artifact a search or
+    RAG pipeline materializes from a corpus. At 100 TB the doc_freq
+    threshold is what bounds per-term posting size; hot terms beyond
+    memory would shard by (term, doc_id range) — here the threshold
+    keeps the demo exact."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= 50)
+    )
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(*) - COUNT(props->>'k') AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """Semi-structured column extraction: pull a typed field out of the
+    events JSON `props` string and aggregate it per event type
+    (get_json_object — JVM-side JSON path, no UDF). The reference reads
+    whole JSON documents as frames (io/json.kt:27-131); a pipeline also
+    needs per-cell extraction from a JSON *column*, which at scale runs
+    inside the scan stage (map-only until the final agg)."""
+    from dataframe_kotlin_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            (F.count(F.lit(1)) - F.count("k")).cast("bigint").alias("n_missing"),
+        )
+    )
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'o_orderstatus' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderstatus) AS n_nulls,
+           COUNT(DISTINCT o_orderstatus) AS n_distinct,
+           CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           MIN(o_orderstatus) AS min_str, MAX(o_orderstatus) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def dq_profile_orders(spark, sf_dir):
+    """Data-quality profile (operators/quality.dq_profile): one aggregate
+    pass over orders -> one stats row per column. The oracle recomputes
+    each column's stats as UNION ALL branches; Spark does it in a single
+    fused aggregation."""
+    from dataframe_kotlin_spark.operators.quality import dq_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return dq_profile(
+        orders, ["o_orderstatus", "o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+
+@query(
+    "bigram_lm_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM tok WHERE len(t) >= 2
+    ),
+    bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY bigram),
+    uc AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(n) AS n1 FROM bc GROUP BY w1)
+    SELECT bigram, n, ROUND(CAST(n AS DOUBLE) / n1, 6) AS cond_p
+    FROM bc JOIN uc ON split_part(bc.bigram, ' ', 1) = uc.w1
+    ORDER BY n DESC, bigram LIMIT 30
+    """,
+)
+def bigram_lm_topk(spark, sf_dir):
+    """Bigram language-model counts: top-30 bigrams with conditional
+    probability P(w2|w1) = c(w1 w2) / c(w1 ·). The n-gram expansion is a
+    JVM-side transform over the token array (element_at is 1-based,
+    matching the oracle's list indexing); two shuffles (bigram counts,
+    then first-word totals joined back). The denominator is derived FROM
+    the bigram table — no second raw scan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    big = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    bc = big.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    uc = bc.select(w1.alias("w1"), "n").groupBy("w1").agg(F.sum("n").alias("n1"))
+    return (
+        bc.join(uc, w1 == uc.w1)
+        .select("bigram", "n", F.round(F.col("n") / F.col("n1"), 6).alias("cond_p"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(30)
+    )
+
+
+@query(
+    "weighted_sample_langs",
+    oracle="""
+    WITH keyed AS (
+      SELECT lang, doc_id, n_chars,
+             -ln(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 13))::BIGINT) + 1)
+                 / 4503599627370496.0) / n_chars AS es_key
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 5
+    """,
+)
+def weighted_sample_langs(spark, sf_dir):
+    """Weighted per-group sampling (sampling.weighted_sample_per_group):
+    5 docs per language, probability proportional to n_chars (A-ES
+    exponential race). The md5-uniform makes the draw deterministic, so
+    the oracle re-derives the exact same sample in SQL — auditable
+    sampling, the property a training-data lineage review needs."""
+    from dataframe_kotlin_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.weighted_sample_per_group(
+        docs, ["lang"], "doc_id", "n_chars", k=5, seed=7
+    )
+    return out.select("lang", "doc_id", "n_chars")

@@ -288,3 +288,46 @@ def test_chunk_pcm_audio_exact_bytes(spark):
     # no shuffle: plan is scan -> generate/project only
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_redact_pii_patterns(spark):
+    from dataframe_kotlin_spark.operators.textpipe import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail a.b+c@x.co.uk now"),
+        (2, "ip 192.168.0.1 and 10.0.0.255."),
+        (3, "call 415-555-0100 or 415.555.0100"),
+        (4, "ssn 123-45-6789 ok"),
+        (5, "clean text, no pii at all"),
+        (6, "ab@cd e@f 1.2.3 12-34-5678"),  # non-matches stay intact
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {r["id"]: r for r in redact_pii(pii_counts(df, "t"), "t").collect()}
+    assert out[1]["t"] == "mail <EMAIL> now" and out[1]["n_email"] == 1
+    assert out[2]["t"] == "ip <IP> and <IP>." and out[2]["n_ipv4"] == 2
+    assert out[3]["t"] == "call <PHONE> or <PHONE>" and out[3]["n_phone"] == 2
+    assert out[4]["t"] == "ssn <SSN> ok" and out[4]["n_ssn"] == 1
+    assert out[5]["t"] == "clean text, no pii at all"
+    assert sum(out[5][f"n_{n}"] for n in ("email", "ssn", "phone", "ipv4")) == 0
+    # "ab@cd" has no TLD dot, "1.2.3" only 3 octets, "12-34-5678" wrong shape
+    assert out[6]["t"] == "ab@cd e@f 1.2.3 12-34-5678"
+
+
+def test_dq_profile_and_check(spark):
+    from dataframe_kotlin_spark.operators.quality import dq_check, dq_profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.5), (4, "a", None)],
+        "id int, s string, v double",
+    )
+    prof = {r["col_name"]: r for r in dq_profile(df).collect()}
+    assert prof["id"]["n_rows"] == 4 and prof["id"]["n_nulls"] == 0
+    assert prof["id"]["min_num"] == 1.0 and prof["id"]["max_num"] == 4.0
+    assert prof["id"]["min_str"] is None
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_str"] == "a" and prof["s"]["max_str"] == "b"
+    assert prof["v"]["n_nulls"] == 2 and prof["v"]["max_num"] == 2.5
+
+    viol = dq_check(dq_profile(df), max_null_frac=0.25, min_distinct=3)
+    names = {r["col_name"] for r in viol.collect()}
+    assert names == {"s", "v"}  # s: 2 distinct < 3; v: 2/4 nulls > 25%

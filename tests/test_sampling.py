@@ -128,3 +128,35 @@ def test_pack_sequences_sharding(orders):
     # 10 tokens * budget 100 -> exactly 10 docs per full sequence
     per_seq = packed.groupBy("seq_id").count()
     assert per_seq.filter(F.col("count") > 10).count() == 0
+
+
+def test_weighted_sample_respects_weights(spark):
+    """A-ES: an item with 50x the weight should win the k=1 draw in the
+    overwhelming majority of 200 independent groups."""
+    rows = []
+    for g in range(200):
+        rows.append((g, g * 2, 50.0))      # heavy item
+        rows.append((g, g * 2 + 1, 1.0))   # light item
+    df = spark.createDataFrame(rows, "grp int, id long, w double")
+    out = sampling.weighted_sample_per_group(df, ["grp"], "id", "w", k=1, seed=3)
+    got = out.collect()
+    assert len(got) == 200
+    heavy_wins = sum(1 for r in got if r["id"] % 2 == 0)
+    # P(heavy) = 50/51 per group; 200 trials — even 10 losses is p<1e-3
+    assert heavy_wins > 180, heavy_wins
+
+    # deterministic: the same seed reproduces the identical sample
+    again = sampling.weighted_sample_per_group(df, ["grp"], "id", "w", k=1, seed=3)
+    assert sorted(r["id"] for r in again.collect()) == sorted(r["id"] for r in got)
+    # a different seed draws a different sample (some group flips)
+    other = sampling.weighted_sample_per_group(df, ["grp"], "id", "w", k=1, seed=4)
+    assert sorted(r["id"] for r in other.collect()) != sorted(r["id"] for r in got)
+
+
+def test_weighted_sample_k_bounds(orders):
+    """k >= group size returns the whole group; sample is a subset of it."""
+    small = orders.limit(30)
+    out = sampling.weighted_sample_per_group(
+        small, ["o_orderstatus"], "o_orderkey", "o_totalprice", k=10**6
+    )
+    assert out.count() == small.count()
