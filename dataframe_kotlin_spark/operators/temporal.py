@@ -231,3 +231,87 @@ def hypertable_rollup(
     return out.select(
         "granularity_seconds", "bucket_start", *keys, "n_events", "sum_value"
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    bucket_seconds: int,
+    agg: Column,
+    value_name: str = "value",
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Resample an event stream to a fixed grid with gap filling: per
+    key, aggregate into ``bucket_seconds`` buckets, DENSIFY to every
+    bucket between the key's first and last event, and forward-fill
+    missing buckets with the last observed value.
+
+    Distributed shape: (1) one grouped agg on (keys, bucket); (2) a
+    per-key min/max + `sequence` explode generates the dense grid —
+    grid size is (span/bucket) rows per key, generated executor-side,
+    never collected; (3) a left join snaps observations onto the grid
+    (broadcast-friendly: the sparse agg is the small side when data is
+    gappy); (4) one `last(ignorenulls)` window per key orders by bucket
+    and carries values forward. Two shuffles total on the keys.
+
+    The raw aggregate survives as ``<value_name>`` (NULL on generated
+    rows) next to ``<value_name>_filled`` so downstream can tell
+    observed from imputed — the lineage rule for imputation in a
+    training pipeline.
+
+    The hypertable-rollup cousin (`temporal.hypertable_rollup`) keeps
+    only observed buckets; this one makes absence explicit, which is
+    what rate/derivative computations over a grid need.
+    """
+    from dataframe_kotlin_spark.streaming.windows import _epoch_seconds
+
+    bucket = F.floor(_epoch_seconds(ts_col) / bucket_seconds).cast("bigint")
+    observed = df.groupBy(
+        *keys, bucket.alias(bucket_name)
+    ).agg(agg.alias(value_name))
+    rng = observed.groupBy(*keys).agg(
+        F.min(bucket_name).alias("__b0__"), F.max(bucket_name).alias("__b1__")
+    )
+    grid = rng.select(
+        *keys, F.explode(F.sequence(F.col("__b0__"), F.col("__b1__"))).alias(bucket_name)
+    )
+    joined = grid.join(observed, [*keys, bucket_name], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_name)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(
+        f"{value_name}_filled", F.last(value_name, ignorenulls=True).over(w)
+    )
+
+
+def rolling_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    window_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Burst dedup: keep only rows that START a burst — a row survives
+    iff no same-key row (kept or dropped) precedes it within
+    ``window_seconds``. Identical to the sessionize new-session flag
+    (streaming/windows.sessionize) used as a filter.
+
+    Semantics note (matters for correctness): this lag-based variant
+    suppresses a burst entirely until a silence longer than the window;
+    the alternative "throttle" contract (admit one row per window,
+    measured from the last KEPT row) is a non-associative running scan
+    and does not distribute as a single window pass. One shuffle on the
+    keys. Streaming twin: stream_jobs.dedup_stream
+    (dropDuplicatesWithinWatermark).
+    """
+    from dataframe_kotlin_spark.streaming.windows import _epoch_seconds
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    epoch = _epoch_seconds(ts_col)
+    prev = F.lag(epoch).over(w)
+    keep = prev.isNull() | ((epoch - prev) > window_seconds)
+    return df.withColumn("__keep__", keep).filter(F.col("__keep__")).drop("__keep__")

@@ -1170,3 +1170,84 @@ def weighted_sample_langs(spark, sf_dir):
         docs, ["lang"], "doc_id", "n_chars", k=5, seed=7
     )
     return out.select("lang", "doc_id", "n_chars")
+
+
+_BM25_TERMS = ("spark", "table", "query")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle_sql() -> str:
+    terms_sql = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    dls AS (SELECT doc_id, len(t) AS dl FROM tok),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dls),
+    terms(term) AS (VALUES {terms_sql}),
+    tf AS (
+      SELECT doc_id, term, len(list_filter(t, x -> x = term)) AS tf
+      FROM tok CROSS JOIN terms
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf WHERE tf > 0 GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+                 tf.tf * ({_BM25_K1} + 1) /
+                 (tf.tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dls.dl / stats.avgdl))
+             ) AS score
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dls ON tf.doc_id = dls.doc_id
+      CROSS JOIN stats
+      WHERE tf.tf > 0
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20
+    """
+
+
+@query("bm25_topk", oracle=_bm25_oracle_sql())
+def bm25_topk(spark, sf_dir):
+    """BM25 ranking for a fixed 3-term query (k1=1.2, b=0.75) — the
+    scoring half of the inverted_index retrieval pair. All statistics
+    (doc lengths, avgdl, per-term document frequency) are computed in
+    one pass over the token arrays; the corpus-level scalars travel as a
+    broadcast literal row, never a collect. Top-k orders by the ROUNDED
+    score so cross-engine ln() ulp differences cannot flip the cutoff."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    dls = tok.select("doc_id", F.size("t").alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    terms = docs.sparkSession.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    tf = tok.crossJoin(F.broadcast(terms)).select(
+        "doc_id",
+        "term",
+        F.size(F.filter(F.col("t"), lambda x: x == F.col("term"))).alias("tf"),
+    )
+    dfreq = tf.filter(F.col("tf") > 0).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    part = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.filter(F.col("tf") > 0)
+        .join(F.broadcast(dfreq), "term")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(part).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -755,3 +755,67 @@ def hypertable_rollup_events(spark, sf_dir):
         e.df, "ts", ["event_type"], "value", bucket_seconds=(3600, 86400)
     )
     return out.withColumn("sum_value", F.round(F.col("sum_value"), 2))
+
+
+@query(
+    "resample_ffill_hours",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id, CAST(FLOOR(EPOCH(ts) / 3600) AS BIGINT) AS bucket,
+             ROUND(AVG(value), 6) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM agg GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket FROM rng)
+    SELECT g.user_id, g.bucket, a.avg_value,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_filled
+    FROM grid g LEFT JOIN agg a ON g.user_id = a.user_id AND g.bucket = a.bucket
+    """,
+)
+def resample_ffill_hours(spark, sf_dir):
+    """Gap-filled hourly resample (operators/temporal.resample_ffill):
+    densify each user's hourly grid between first and last event and
+    forward-fill missing hours. Observed vs imputed stays distinguishable
+    (avg_value NULL on generated rows)."""
+    from dataframe_kotlin_spark.operators.temporal import resample_ffill
+
+    return resample_ffill(
+        _t(spark, sf_dir, "events").df,
+        ts_col="ts",
+        keys=["user_id"],
+        bucket_seconds=3600,
+        agg=F.round(F.avg("value"), 6),
+        value_name="avg_value",
+        bucket_name="bucket",
+    )
+
+
+@query(
+    "rolling_dedup_events",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             EPOCH(ts) - LAG(EPOCH(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    WHERE gap IS NULL OR gap > 1800
+    """,
+)
+def rolling_dedup_events(spark, sf_dir):
+    """Burst dedup (operators/temporal.rolling_dedup): keep only events
+    starting a (user, type) burst — no same-key event in the preceding
+    30 min. The lag formulation distributes as one window pass."""
+    from dataframe_kotlin_spark.operators.temporal import rolling_dedup
+
+    out = rolling_dedup(
+        _t(spark, sf_dir, "events").df,
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        window_seconds=1800,
+        tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "event_type", "ts")

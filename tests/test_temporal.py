@@ -211,3 +211,46 @@ def test_hypertable_rollup_rejects_non_multiple():
 
     with _pytest.raises(AssertionError):
         hypertable_rollup(None, "ts", [], "v", (60, 90))
+
+
+def test_resample_ffill_grid_and_fill(spark):
+    from dataframe_kotlin_spark.operators.temporal import resample_ffill
+
+    rows = [
+        (1, "2024-01-01 00:00:30", 10.0),
+        (1, "2024-01-01 03:10:00", 40.0),  # hours 1-2 missing -> filled 10.0
+        (2, "2024-01-01 05:00:00", 7.0),   # single bucket, no gaps
+    ]
+    df = spark.createDataFrame(rows, "k int, ts string, v double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = resample_ffill(
+        df, "ts", ["k"], 3600, F.avg("v"), value_name="v", bucket_name="b"
+    ).collect()
+    k1 = sorted((r["b"], r["v"], r["v_filled"]) for r in out if r["k"] == 1)
+    base = k1[0][0]
+    assert [(b - base, v, f) for b, v, f in k1] == [
+        (0, 10.0, 10.0),
+        (1, None, 10.0),
+        (2, None, 10.0),
+        (3, 40.0, 40.0),
+    ]
+    k2 = [(r["v"], r["v_filled"]) for r in out if r["k"] == 2]
+    assert k2 == [(7.0, 7.0)]
+
+
+def test_rolling_dedup_burst_semantics(spark):
+    from dataframe_kotlin_spark.operators.temporal import rolling_dedup
+
+    rows = [  # key, ts-seconds offsets: burst at 0,10,20; lone at 100; burst 130,135
+        (1, "a", 0), (2, "a", 10), (3, "a", 20), (4, "a", 100), (5, "a", 130), (6, "a", 135),
+        (7, "b", 5),
+    ]
+    df = spark.createDataFrame(rows, "id int, k string, off int").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("off"))
+    )
+    out = rolling_dedup(df, ["k"], "ts", window_seconds=30, tiebreak="id")
+    kept = sorted(r["id"] for r in out.collect())
+    # id1 starts burst; 2,3 inside 30s of predecessor; 4 after 80s silence;
+    # 5 within 30s of 4 -> dropped; 6 within 30s of 5 -> dropped; 7 other key
+    assert kept == [1, 4, 7]
