@@ -52,8 +52,9 @@ _PRIORITY = [
     "grouping_sets_qty",
     # TPC-H breadth
     "q6_revenue_band", "q4_priority_exists", "q10_returned_items",
-    "q14_type_share", "q18_large_orders", "q12_late_priority",
-    "q13_order_distribution", "q9_profit_nation_year",
+    "q14_type_share", "q18_large_orders", "q9_profit_nation_year",
+    # P6 scale extensions with bit-exact oracles
+    "count_min_term_counts", "pii_redaction",
     # pivot / reshape
     "pivot_sum_segments", "pivot_counts", "gather_melt",
     "explode_embeddings", "split_into_rows", "struct_roundtrip",

@@ -115,3 +115,33 @@ def test_hypertable_rollup_scans_raw_once(spark):
     plan = _final_plan(_plan(spark, "hypertable_rollup_events"))
     assert plan.count("FileScan parquet") + plan.count("Scan parquet") <= 2
     assert "ReusedExchange" in plan
+
+
+def test_pii_redaction_is_map_only(spark):
+    # redaction must stay a scan-side transform: no exchange anywhere
+    plan = _plan(spark, "pii_redaction")
+    assert "Exchange" not in plan, plan
+
+
+def test_count_min_estimate_broadcasts_sketch(spark):
+    # probing must broadcast the fixed-size cell table, not shuffle items
+    plan = _plan(spark, "count_min_term_counts")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_resample_grid_not_collected(spark):
+    # the dense grid comes from a generator (explode of sequence), and the
+    # fill is a single window pass per key — exactly one Window node
+    # AQE's toString repeats nodes under "== Initial Plan =="; audit the
+    # final plan section only
+    plan = _plan(spark, "resample_ffill_hours").split("== Initial Plan ==")[0]
+    assert "Generate explode" in plan
+    assert plan.count("Window [") == 1, plan
+
+
+def test_bm25_corpus_stats_broadcast(spark):
+    # corpus scalars and per-term df travel as broadcasts; only doc-level
+    # aggs shuffle
+    plan = _plan(spark, "bm25_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
