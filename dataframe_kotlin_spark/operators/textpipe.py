@@ -148,3 +148,43 @@ def pii_counts(df: DataFrame, text_col: str) -> DataFrame:
             f"n_{name}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
         )
     return out
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str,
+    size: int,
+    stride: int | None = None,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with optional
+    overlap (stride < size) — context-window preparation for embedding /
+    LLM ingestion. Chunk i covers [i*stride, i*stride + size); the last
+    chunk starts at the final stride multiple below len, so every char
+    is covered and chunks overlap by (size - stride).
+
+    Map-only: the start offsets come from `sequence` + `transform` over
+    the row's own length and `substr` slices JVM-side — no UDF, no
+    shuffle, output rows ~ len/stride per doc. The multimodal sibling is
+    `multimodal.chunk_pcm_audio` (same shape over binary PCM).
+
+    Emits chunk_id (0-based), char_start (0-based), chunk (the text).
+    """
+    if stride is None:
+        stride = size
+    assert 0 < stride <= size, "need 0 < stride <= size"
+    n = F.length(F.col(text_col))
+    nchunks = (
+        F.ceil(F.greatest(n - size, F.lit(0)) / F.lit(float(stride))).cast("bigint") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), nchunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            (i * stride).alias("char_start"),
+            F.col(text_col).substr((i * stride + 1).cast("int"), F.lit(size)).alias("chunk"),
+        ),
+    )
+    return df.select(*id_cols, F.explode(chunks).alias("c")).select(
+        *id_cols, "c.chunk_id", "c.char_start", "c.chunk"
+    )

@@ -1251,3 +1251,91 @@ def bm25_topk(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text,
+             CAST(ceil(greatest(length(text) - 120, 0) / 80.0) AS BIGINT) + 1 AS nchunks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 80 AS BIGINT) AS char_start,
+           substr(text, CAST(i * 80 + 1 AS INT), 120) AS chunk
+    FROM n, LATERAL unnest(range(0, nchunks)) AS u(i)
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Overlapping text chunking (textpipe.chunk_text): 120-char windows
+    every 80 chars (40 overlap). Byte-exact oracle — both engines slice
+    the identical substrings."""
+    docs = _t(spark, sf_dir, "documents")
+    return textpipe.chunk_text(docs, "text", size=120, stride=80, id_cols=["doc_id"])
+
+
+@query(
+    "doc_surprisal_scores",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM tok WHERE len(t) >= 2
+    ),
+    bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM big GROUP BY bigram),
+    uc AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(n) AS n1 FROM bc GROUP BY w1),
+    lm AS (
+      SELECT bigram, -ln(CAST(n AS DOUBLE) / n1) AS surprisal
+      FROM bc JOIN uc ON split_part(bc.bigram, ' ', 1) = uc.w1
+    )
+    SELECT big.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lm.surprisal), 5) AS avg_surprisal
+    FROM big JOIN lm USING (bigram)
+    GROUP BY big.doc_id
+    """,
+)
+def doc_surprisal_scores(spark, sf_dir):
+    """Bigram-LM fluency scoring: train the corpus bigram model (same
+    tables as bigram_lm_topk), then score every document by its mean
+    bigram surprisal -ln P(w2|w1) — the classic perplexity-proxy quality
+    filter (low = repetitive/templated, high = incoherent). Two-stage
+    composition: the LM is an aggregate of the same exploded bigram
+    relation that scoring joins back against — one raw scan feeds both
+    sides."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    bc = big.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    uc = bc.select(w1.alias("w1"), "n").groupBy("w1").agg(F.sum("n").alias("n1"))
+    lm = bc.join(uc, w1 == uc.w1).select(
+        "bigram", (-F.log(F.col("n") / F.col("n1"))).alias("surprisal")
+    )
+    return (
+        big.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("surprisal"), 5).alias("avg_surprisal"),
+        )
+    )

@@ -443,3 +443,50 @@ def run_to_parquet(
     elif processing_time:
         w = w.trigger(processingTime=processing_time)
     return w.start()
+
+
+def count_min_stream(
+    stream_df: DataFrame,
+    item_col: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+) -> None:
+    """Streaming Count-Min: each micro-batch builds its own sketch cell
+    table (map-side, fixed size) and MERGES it into the parquet target
+    by summing cells — the sketch's mergeability is exactly what makes
+    frequency tracking over an unbounded stream O(depth*width) state
+    instead of per-key state.
+
+    Unlike run_upsert_sink, cell sums are not idempotent — replaying a
+    committed batch would double-count — so this sink depends on the
+    checkpoint's exactly-once batch delivery (availableNow + foreachBatch
+    commit log). With a transactional table format the merge body
+    becomes one atomic MERGE INTO keyed on (d, bucket).
+    """
+    import os as _os
+
+    from dataframe_kotlin_spark.operators.sketches import count_min_sketch
+
+    def merge_cells(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cells = count_min_sketch(batch_df, item_col, depth=depth, width=width)
+        if _os.path.exists(_os.path.join(target_dir, "_SUCCESS")):
+            base = spark.read.parquet(target_dir)
+            cells = (
+                base.unionByName(cells)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            )
+        tmp = target_dir + ".staging"
+        cells.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_dir)
+
+    (
+        stream_df.writeStream.foreachBatch(merge_cells)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )

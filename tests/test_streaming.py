@@ -359,3 +359,33 @@ def test_parquet_sink_exactly_once(spark, stream_src, ckpt, batch_events, tmp_pa
     q2 = sj.run_to_parquet(proj2, out, os.path.join(ckpt, "pq_sink"), partition_by=["event_type"])
     q2.awaitTermination(300)
     assert spark.read.parquet(out).count() == batch_events.count()
+
+
+def test_count_min_stream_matches_batch(spark, tmp_path, batch_events):
+    """Streaming sketch cells merged across micro-batches == batch sketch
+    over the same data (mergeability end-to-end through foreachBatch)."""
+    from dataframe_kotlin_spark.operators.sketches import count_min_sketch
+
+    # multi-file source so availableNow produces several micro-batches
+    src = str(tmp_path / "src")
+    batch_events.repartition(3).write.parquet(src)
+    target = str(tmp_path / "cm_target")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sj.count_min_stream(
+        stream, "event_type", target, str(tmp_path / "ckpt"), depth=4, width=64
+    )
+    got = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(
+            spark.read.parquet(src), "event_type", depth=4, width=64
+        ).collect()
+    }
+    assert got == want
