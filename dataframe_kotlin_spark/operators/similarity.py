@@ -433,3 +433,28 @@ def ivf_topk_trained(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale). Cuts embedding storage and scan bytes 4×
+    (float32 -> int8) — the standard compression step before IVF/PQ at
+    100 TB scale; dot products on int8 then run in SIMD integer lanes.
+
+    Map-only, JVM-side (transform/array_max — no UDF). Arithmetic is
+    pinned to DOUBLE so any engine reproduces the identical quantized
+    codes (float inputs widen bit-exactly; round is half-away-from-zero
+    in both Spark and DuckDB). Zero vectors quantize to zeros with
+    scale 0. Reconstruction error is bounded by scale/2 per dimension.
+    """
+    xs = F.col(vec_col)
+    scale = F.array_max(F.transform(xs, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    q = F.when(F.col(scale_col) == 0, F.transform(xs, lambda x: F.lit(0))).otherwise(
+        F.transform(xs, lambda x: F.round(x.cast("double") / F.col(scale_col)).cast("int"))
+    )
+    return df.withColumn(scale_col, scale).withColumn(qvec_col, q)

@@ -1339,3 +1339,26 @@ def doc_surprisal_scores(spark, sf_dir):
             F.round(F.avg("surprisal"), 5).alias("avg_surprisal"),
         )
     )
+
+
+@query(
+    "quantize_embeddings_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale
+      FROM embeddings
+    )
+    SELECT vec_id, qscale,
+           CASE WHEN qscale = 0 THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / qscale) AS INT))
+           END AS qvec
+    FROM s
+    """,
+)
+def quantize_embeddings_int8(spark, sf_dir):
+    """int8 embedding quantization (similarity.quantize_int8) — code-
+    identical across engines because the scale/round arithmetic is
+    pinned to DOUBLE."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb).select("vec_id", "qscale", "qvec")

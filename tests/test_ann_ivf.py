@@ -95,3 +95,27 @@ def test_train_with_kmeanspp_converges(emb):
     assert len(trained) == 8
     # both inits settle to comparable quality on this corpus
     assert _inertia(emb, trained) <= _inertia(emb, baseline) * 1.1
+
+
+def test_quantize_int8_error_bound_and_recall(spark, emb):
+    """Reconstruction error <= scale/2 per dim; top-10 cosine neighbors
+    on dequantized vectors overlap the float top-10 heavily."""
+    from dataframe_kotlin_spark.operators.similarity import cosine_topk, quantize_int8
+
+    q = quantize_int8(emb)
+    row = q.select("vec_id", "embedding", "qscale", "qvec").first()
+    s = row["qscale"]
+    for x, qi in zip(row["embedding"], row["qvec"]):
+        assert abs(x - qi * s) <= s / 2 + 1e-12
+        assert -127 <= qi <= 127
+
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            F.col("qvec"), lambda v: (v * F.col("qscale")).cast("float")
+        ).alias("embedding"),
+    )
+    probe = emb.select("vec_id", "embedding").limit(1)
+    top_f = {r["neighbor_id"] for r in cosine_topk(emb, probe, k=10).collect()}
+    top_q = {r["neighbor_id"] for r in cosine_topk(deq, probe, k=10).collect()}
+    assert len(top_f & top_q) >= 7, (top_f, top_q)
