@@ -1362,3 +1362,81 @@ def quantize_embeddings_int8(spark, sf_dir):
     pinned to DOUBLE."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.quantize_int8(emb).select("vec_id", "qscale", "qvec")
+
+
+@query(
+    "winsorize_zscore_prices",
+    oracle="""
+    WITH stats AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi,
+             AVG(o_totalprice) AS mu,
+             STDDEV_SAMP(o_totalprice) AS sd
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(LEAST(GREATEST(o_totalprice, lo), hi), 4) AS price_w,
+           CASE WHEN sd > 0 THEN ROUND((o_totalprice - mu) / sd, 5) END AS price_z
+    FROM orders JOIN stats USING (o_orderpriority)
+    """,
+)
+def winsorize_zscore_prices(spark, sf_dir):
+    """Feature prep (operators/features.winsorize + standardize): clip
+    o_totalprice to per-priority 5/95 exact percentiles and z-score it.
+    Stats are one grouped agg broadcast back; the transform is map-side
+    (no window over the fact table)."""
+    from dataframe_kotlin_spark.operators import features
+
+    orders = _t(spark, sf_dir, "orders")
+    out = features.winsorize(
+        orders, ["o_totalprice"], keys=["o_orderpriority"], lower=0.05, upper=0.95
+    )
+    out = features.standardize(out, ["o_totalprice"], keys=["o_orderpriority"])
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice_w", 4).alias("price_w"),
+        F.round("o_totalprice_z", 5).alias("price_z"),
+    )
+
+
+@query(
+    "incremental_agg_state",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(l_quantity) AS BIGINT) AS cnt,
+           ROUND(SUM(CAST(l_quantity AS DOUBLE)), 4) AS sum_val,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def incremental_agg_state(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/incremental): build
+    the state by folding three shipdate slices one at a time — exactly
+    the daily-ingest path — and hash-match it against the oracle's
+    one-shot GROUP BY over everything. Proves merge-associativity ON the
+    gate, not just in tests. Double sums are rounded in both engines
+    (fp addend order differs between the incremental and one-shot
+    plans)."""
+    from dataframe_kotlin_spark.operators import incremental as inc
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = ["l_returnflag", "l_linestatus"]
+    slices = [
+        li.filter(F.col("l_shipdate") < "1996-01-01"),
+        li.filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-06-01")),
+        li.filter(F.col("l_shipdate") >= "1997-06-01"),
+    ]
+    state = inc.increment(slices[0], keys, "l_quantity")
+    for s in slices[1:]:
+        state = inc.merge(state, inc.increment(s, keys, "l_quantity"), keys)
+    return state.select(
+        *keys,
+        "cnt",
+        F.round("sum_val", 4).alias("sum_val"),
+        "min_val",
+        "max_val",
+    )

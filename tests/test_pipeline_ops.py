@@ -331,3 +331,52 @@ def test_dq_profile_and_check(spark):
     viol = dq_check(dq_profile(df), max_null_frac=0.25, min_distinct=3)
     names = {r["col_name"] for r in viol.collect()}
     assert names == {"s", "v"}  # s: 2 distinct < 3; v: 2/4 nulls > 25%
+
+
+def test_incremental_agg_associativity(spark):
+    from dataframe_kotlin_spark.operators import incremental as inc
+
+    df = spark.createDataFrame(
+        [(k % 3, float(k)) for k in range(100)], "k int, v double"
+    )
+    one_shot = {
+        r["k"]: (r["cnt"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in inc.increment(df, ["k"], "v").collect()
+    }
+    # fold in 5 uneven chunks, then compare
+    chunks = [df.filter((F.col("v") >= lo) & (F.col("v") < hi))
+              for lo, hi in [(0, 7), (7, 30), (30, 31), (31, 90), (90, 100)]]
+    state = inc.increment(chunks[0], ["k"], "v")
+    for c in chunks[1:]:
+        state = inc.merge(state, inc.increment(c, ["k"], "v"), ["k"])
+    folded = {
+        r["k"]: (r["cnt"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in state.collect()
+    }
+    assert folded == one_shot
+
+    fin = {r["k"]: r["avg_val"] for r in inc.finalize(state).collect()}
+    for k, (cnt, s, *_rest) in one_shot.items():
+        assert abs(fin[k] - s / cnt) < 1e-12
+
+
+def test_winsorize_standardize_bounds(spark):
+    from dataframe_kotlin_spark.operators import features
+
+    df = spark.createDataFrame(
+        [(1, float(v)) for v in range(1, 100)] + [(1, 1000.0)], "g int, v double"
+    )
+    w = features.winsorize(df, ["v"], keys=["g"], lower=0.05, upper=0.95)
+    rows = w.collect()
+    hi = max(r["v_w"] for r in rows)
+    assert hi < 1000.0  # the outlier got clipped to the 95th percentile
+    assert all(r["v_w"] <= hi for r in rows)
+
+    z = features.standardize(df, ["v"], keys=["g"]).collect()
+    zs = [r["v_z"] for r in z]
+    assert abs(sum(zs) / len(zs)) < 1e-9  # z-scores center at 0
+
+    # zero-variance group -> NULL, not inf
+    const = spark.createDataFrame([(1, 5.0), (1, 5.0)], "g int, v double")
+    zc = features.standardize(const, ["v"], keys=["g"]).collect()
+    assert all(r["v_z"] is None for r in zc)
