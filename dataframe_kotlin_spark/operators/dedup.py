@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataframe_kotlin_spark.functions.text import normalize, tokens, word_shingles
@@ -298,4 +298,61 @@ def levenshtein_pairs(
         .withColumn("edit_distance", dist)
         .filter(F.col("edit_distance") >= 0)
         .select("id_a", "id_b", "edit_distance")
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Word-set Jaccard pairs over the WHOLE corpus via prefix filtering
+    (PPJoin-style) — no blocking columns needed, FULL recall.
+
+    Pigeonhole: order every document's distinct tokens by (global
+    document frequency asc, token) — a single total order shared by all
+    docs — and keep each doc's first L = n - ceil(t*n) + 1 tokens as its
+    prefix. Two docs with J >= t share at least ceil(t*n) tokens, so
+    they MUST collide on at least one prefix token; docs that share only
+    common terms meet on rare-token probes with tiny buckets. Candidates
+    come from one equi-join on the prefix token (shuffle keyed on
+    tokens, heaviest bucket = most frequent token that survives any
+    prefix), then the exact Jaccard verify runs only on candidates.
+
+    Contrast with jaccard_pairs (explicit block columns — recall limited
+    to same-block pairs) and lsh_candidate_pairs (probabilistic recall):
+    this is the exact-threshold full-recall formulation that scales as
+    long as prefixes stay rare-token-biased.
+    """
+    import math
+
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("__id__"), toks.alias("__t__"))
+    tok = base.select("__id__", F.explode("__t__").alias("__tok__"))
+    dfreq = tok.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
+    w = Window.partitionBy("__id__").orderBy(F.col("__df__").asc(), F.col("__tok__"))
+    ranked = (
+        tok.join(dfreq, "__tok__")
+        .withColumn("__pos__", F.row_number().over(w))
+        .withColumn("__n__", F.count(F.lit(1)).over(Window.partitionBy("__id__")))
+    )
+    L = F.col("__n__") - F.ceil(F.col("__n__") * threshold) + 1
+    prefix = ranked.filter(F.col("__pos__") <= L).select("__id__", "__tok__")
+    cand = (
+        prefix.select(F.col("__id__").alias("id_a"), "__tok__")
+        .join(prefix.select(F.col("__id__").alias("id_b"), "__tok__"), "__tok__")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = base.select("__id__", "__t__")
+    inter = F.size(F.array_intersect(F.col("__ta__"), F.col("__tb__")))
+    un = F.size(F.array_union(F.col("__ta__"), F.col("__tb__")))
+    return (
+        cand.join(sets.select(F.col("__id__").alias("id_a"), F.col("__t__").alias("__ta__")), "id_a")
+        .join(sets.select(F.col("__id__").alias("id_b"), F.col("__t__").alias("__tb__")), "id_b")
+        .withColumn("jaccard", inter / un)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )

@@ -1440,3 +1440,31 @@ def incremental_agg_state(spark, sf_dir):
         "min_val",
         "max_val",
     )
+
+
+@query(
+    "jaccard_prefix_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+    FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          len(list_distinct(a.toks || b.toks)) >= 0.6
+    """,
+)
+def jaccard_prefix_pairs(spark, sf_dir):
+    """Prefix-filtered set-similarity self-join (dedup.
+    jaccard_pairs_prefix): FULL-recall Jaccard >= 0.6 over the whole
+    corpus with no blocking columns — candidates only where rare-token
+    prefixes collide. The oracle is the brute-force all-pairs join, so a
+    hash match proves the prefix filter lost nothing."""
+    out = dedup.jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.6
+    )
+    return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))

@@ -380,3 +380,62 @@ def test_winsorize_standardize_bounds(spark):
     const = spark.createDataFrame([(1, 5.0), (1, 5.0)], "g int, v double")
     zc = features.standardize(const, ["v"], keys=["g"]).collect()
     assert all(r["v_z"] is None for r in zc)
+
+
+def test_jaccard_prefix_full_recall_and_pruning(spark):
+    """Prefix-filtered pairs == brute-force pairs (recall), and the
+    candidate set is strictly smaller than all-pairs (pruning)."""
+    from dataframe_kotlin_spark.operators.dedup import jaccard_pairs_prefix
+
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),   # J(1,2)=3/5=0.6
+        (3, "alpha beta gamma delta"),     # J(1,3)=1.0
+        (4, "zeta eta theta iota"),
+        (5, "zeta eta theta iota kappa"),  # J(4,5)=4/5=0.8
+        (6, "unrelated words entirely here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in jaccard_pairs_prefix(df, "doc_id", "text", threshold=0.6).collect()
+    }
+    # brute force in python
+    import itertools
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.6:
+            want[(a, b)] = round(j, 6)
+    assert got == want and (1, 3) in got and (4, 5) in got
+
+
+def test_chunk_text_coverage_properties(spark):
+    """Every character covered exactly; overlap = size - stride; chunks
+    reassemble the document."""
+    from dataframe_kotlin_spark.operators.textpipe import chunk_text
+
+    texts = ["x" * 1, "ab", "a" * 119, "b" * 120, "c" * 121, "d" * 500]
+    df = spark.createDataFrame(
+        [(i, "".join(chr(ord('a') + (i + j) % 26) for j in range(len(t)))) for i, t in enumerate(texts)],
+        "doc_id int, text string",
+    )
+    orig = {r["doc_id"]: r["text"] for r in df.collect()}
+    out = chunk_text(df, "text", size=120, stride=80, id_cols=["doc_id"])
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["char_start"], r["chunk"]) for r in out.collect())
+    )
+    from collections import defaultdict
+    per_doc = defaultdict(list)
+    for d, cid, start, chunk in rows:
+        per_doc[d].append((cid, start, chunk))
+    for d, chunks in per_doc.items():
+        text = orig[d]
+        # chunk starts advance by stride; each chunk is the exact substring
+        for cid, start, chunk in chunks:
+            assert start == cid * 80
+            assert chunk == text[start:start + 120]
+        # reassembly from stride-aligned pieces covers the full text
+        rebuilt = "".join(c[:80] for _, _, c in chunks[:-1]) + chunks[-1][2]
+        assert rebuilt == text
