@@ -172,3 +172,48 @@ def cluster_representatives(
     return tagged.filter(
         F.col("__n__").isNull() | (F.col("__c__") == df[id_col])
     ).drop("__n__", "__c__")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank: r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/deg(u).
+
+    Each iteration is one join (ranks onto out-edges) + one grouped sum —
+    the standard distributed formulation; no driver-side state beyond the
+    loop counter, N travels as a broadcast literal row. Fixed `iters`
+    (not convergence-tested) keeps the computation a finite SQL-
+    expressible DAG, so the duckdb oracle replays it exactly — the same
+    determinism stance as hll_deterministic vs approx HLL.
+
+    Caveats by construction: dangling mass is NOT redistributed — feed a
+    symmetric (undirected) edge list, where every node has out-edges,
+    or accept leaked mass. Returns (node, rank).
+    """
+    e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
+    nodes = e.select(F.col("__s__").alias("node")).distinct()
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
+    deg = e.groupBy("__s__").agg(F.count(F.lit(1)).alias("__deg__"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("__n__")).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            e.join(deg, "__s__")
+            .join(ranks, F.col("__s__") == F.col("node"))
+            .select(F.col("__d__").alias("node"), (F.col("rank") / F.col("__deg__")).alias("__c__"))
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("__c__").alias("__in__"))
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                ((1 - damping) / F.col("__n__") + damping * F.col("__in__")).alias("rank"),
+            )
+        )
+    return ranks

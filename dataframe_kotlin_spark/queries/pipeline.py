@@ -1468,3 +1468,48 @@ def jaccard_prefix_pairs(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.6
     )
     return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+
+
+@query(
+    "pagerank_parts",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey % 100 AS a, l_suppkey % 100 AS b
+      FROM lineitem WHERE l_partkey % 100 <> l_suppkey % 100
+    ),
+    e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT a AS node FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT a, COUNT(*) AS d FROM e GROUP BY a),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+    r1 AS (SELECT e.b AS node, (1 - 0.85) / ANY_VALUE(nn.n) + 0.85 * SUM(r0.r / deg.d) AS r
+           FROM e JOIN deg ON e.a = deg.a JOIN r0 ON e.a = r0.node, nn GROUP BY e.b),
+    r2 AS (SELECT e.b AS node, (1 - 0.85) / ANY_VALUE(nn.n) + 0.85 * SUM(r1.r / deg.d) AS r
+           FROM e JOIN deg ON e.a = deg.a JOIN r1 ON e.a = r1.node, nn GROUP BY e.b),
+    r3 AS (SELECT e.b AS node, (1 - 0.85) / ANY_VALUE(nn.n) + 0.85 * SUM(r2.r / deg.d) AS r
+           FROM e JOIN deg ON e.a = deg.a JOIN r2 ON e.a = r2.node, nn GROUP BY e.b)
+    SELECT CAST(node AS BIGINT) AS node, ROUND(r, 8) AS rank
+    FROM r3
+    """,
+)
+def pagerank_parts(spark, sf_dir):
+    """3-iteration PageRank (operators/graph.pagerank) over the
+    symmetric part~supplier co-occurrence graph (keys folded mod 100 to
+    a fixed node space). The oracle unrolls the same three iterations as
+    chained CTEs — an iterative distributed algorithm hash-matched
+    exactly, not just rows-only."""
+    from dataframe_kotlin_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            (F.col("l_partkey") % 100).alias("a"), (F.col("l_suppkey") % 100).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = e0.select("a", "b").union(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    out = pagerank(e, "a", "b", iters=3, damping=0.85)
+    return out.select(
+        F.col("node").cast("bigint").alias("node"), F.round("rank", 8).alias("rank")
+    )

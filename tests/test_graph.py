@@ -90,3 +90,23 @@ def test_star_matches_propagation_on_random_graphs(spark):
         assert _comps_star(df) == _comps(
             graph.connected_components(df, max_iter=30)
         )
+
+
+def test_pagerank_ring_uniform_and_mass(spark):
+    from dataframe_kotlin_spark.operators.graph import pagerank
+
+    # symmetric ring: perfectly regular graph -> uniform stationary ranks
+    n = 8
+    edges = [(i, (i + 1) % n) for i in range(n)] + [((i + 1) % n, i) for i in range(n)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+    assert len(ranks) == n
+    for v in ranks.values():
+        assert abs(v - 1.0 / n) < 1e-12
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9  # no dangling leak on symmetric input
+
+    # star graph: hub out-ranks leaves
+    star = [(0, i) for i in range(1, 6)] + [(i, 0) for i in range(1, 6)]
+    rs = {r["node"]: r["rank"] for r in pagerank(
+        spark.createDataFrame(star, "src int, dst int"), iters=10).collect()}
+    assert rs[0] > rs[1] and abs(rs[1] - rs[5]) < 1e-12
