@@ -458,3 +458,74 @@ def quantize_int8(
         F.transform(xs, lambda x: F.round(x.cast("double") / F.col(scale_col)).cast("int"))
     )
     return df.withColumn(scale_col, scale).withColumn(qvec_col, q)
+
+
+def kmeans_lloyd_det(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 1,
+) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd): init from the k
+    smallest ids' vectors, then `iters` rounds of assign -> ordered-fold
+    centroid update -> reassign. Returns (id, cell, dist2) after the
+    final reassignment.
+
+    The point of this variant is BIT-EXACT cross-engine reproducibility
+    (the deterministic sibling of train_ivf_centroids, same stance as
+    hll_deterministic vs native HLL): every floating-point reduction is
+    a SEQUENTIAL LEFT FOLD in a deterministic order — distances fold
+    over the dimension array (`aggregate`), centroid sums fold over
+    members sorted by id (`sort_array(collect_list)` + `aggregate` of
+    array adds) — so an engine replaying the same folds (DuckDB
+    list_reduce over list(... ORDER BY id)) produces identical doubles,
+    identical argmins, identical assignments. Commutative partial
+    aggregation would be faster (and train_ivf_centroids uses it); this
+    one trades that for replayability — the audit path, not the 100 TB
+    path. Ties in the argmin break by cell id.
+    """
+    dims = len(df.select(vec_col).first()[0])
+    v = df.select(
+        F.col(id_col).alias("__vid__"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__e__"),
+    )
+    order_ids = [r["__vid__"] for r in v.select("__vid__").orderBy("__vid__").limit(k).collect()]
+    cents = v.filter(F.col("__vid__").isin(order_ids)).select(
+        F.col("__vid__").alias("__cell__"), F.col("__e__").alias("__c__")
+    )
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        d2 = F.aggregate(
+            F.zip_with(F.col("__e__"), F.col("__c__"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        j = v.crossJoin(F.broadcast(cents_df)).withColumn("__d2__", d2)
+        w = Window.partitionBy("__vid__").orderBy(F.col("__d2__").asc(), F.col("__cell__").asc())
+        return (
+            j.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .select("__vid__", "__e__", "__cell__", "__d2__")
+        )
+
+    assigned = assign(cents)
+    for _ in range(iters):
+        members = assigned.groupBy("__cell__").agg(
+            F.sort_array(F.collect_list(F.struct("__vid__", "__e__"))).alias("__vs__")
+        )
+        csum = F.aggregate(
+            F.col("__vs__"),
+            F.array_repeat(F.lit(0.0), dims),
+            lambda acc, s: F.zip_with(acc, s["__e__"], lambda a, b: a + b),
+        )
+        cents = members.select(
+            "__cell__",
+            F.transform(csum, lambda x: x / F.size("__vs__")).alias("__c__"),
+        )
+        assigned = assign(cents)
+    return assigned.select(
+        F.col("__vid__").alias(id_col),
+        F.col("__cell__").alias("cell"),
+        F.col("__d2__").alias("dist2"),
+    )

@@ -1513,3 +1513,53 @@ def pagerank_parts(spark, sf_dir):
     return out.select(
         F.col("node").cast("bigint").alias("node"), F.round("rank", 8).alias("rank")
     )
+
+
+@query(
+    "kmeans_det_assignments",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 4),
+    d1 AS (
+      SELECT v.vec_id, v.e, c0.cell,
+             list_reduce(list_transform(range(1, 65), i -> (v.e[i]-c0.c[i])*(v.e[i]-c0.c[i])), (x,y) -> x+y) AS d2
+      FROM v, c0
+    ),
+    a1 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT cell, list(e ORDER BY vec_id) AS vs FROM a1 GROUP BY cell),
+    c1 AS (
+      SELECT cell,
+             list_transform(list_reduce(vs, (a,b) -> list_transform(range(1, 65), i -> a[i]+b[i])),
+                            x -> x / len(vs)) AS c
+      FROM m
+    ),
+    d2t AS (
+      SELECT v.vec_id, c1.cell,
+             list_reduce(list_transform(range(1, 65), i -> (v.e[i]-c1.c[i])*(v.e[i]-c1.c[i])), (x,y) -> x+y) AS d2
+      FROM v, c1
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, ROUND(d2, 6) AS dist2
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d2t)
+    WHERE rn = 1
+    """,
+)
+def kmeans_det_assignments(spark, sf_dir):
+    """Deterministic distributed k-means (similarity.kmeans_lloyd_det,
+    k=4, one Lloyd round): every float reduction is a sequential left
+    fold in a fixed order, so the oracle replays the identical doubles
+    and the cluster assignments hash-match BIT-EXACTLY — an iterative ML
+    loop on the correctness gate, closing the gap that keeps
+    ann_ivf_trained rows-only."""
+    out = similarity.kmeans_lloyd_det(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, iters=1
+    )
+    return out.select(
+        "vec_id", F.col("cell").cast("bigint").alias("cell"), F.round("dist2", 6).alias("dist2")
+    )

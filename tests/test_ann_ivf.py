@@ -119,3 +119,17 @@ def test_quantize_int8_error_bound_and_recall(spark, emb):
     top_f = {r["neighbor_id"] for r in cosine_topk(emb, probe, k=10).collect()}
     top_q = {r["neighbor_id"] for r in cosine_topk(deq, probe, k=10).collect()}
     assert len(top_f & top_q) >= 7, (top_f, top_q)
+
+
+def test_kmeans_lloyd_det_inertia_and_determinism(spark, emb):
+    from dataframe_kotlin_spark.operators.similarity import kmeans_lloyd_det
+
+    a0 = kmeans_lloyd_det(emb, k=4, iters=0)  # init assignment only
+    a1 = kmeans_lloyd_det(emb, k=4, iters=1)
+    inertia0 = a0.agg(F.sum("dist2")).collect()[0][0]
+    inertia1 = a1.agg(F.sum("dist2")).collect()[0][0]
+    assert inertia1 <= inertia0  # a Lloyd round never increases inertia
+    assert a1.select("cell").distinct().count() <= 4
+
+    again = kmeans_lloyd_det(emb, k=4, iters=1)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, again.collect()))
