@@ -154,3 +154,41 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_mb: int = 128,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target_mb-sized files. Returns the output file count.
+
+    The operational fix for the classic ingest pathology — thousands of
+    KB-scale files from streaming/micro-batch sinks make every
+    downstream scan pay per-file open + footer costs and starve the
+    scheduler with tiny splits. Sizing reads ONLY filesystem metadata
+    (sum of file lengths — no data scan), then one `coalesce` rewrite;
+    coalesce (not repartition) avoids a shuffle: compaction is IO-bound
+    by definition, so the rewrite is a straight read->write at scan
+    speed. Run per partition directory in a hive-layout table to keep
+    partition pruning intact.
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n).write.mode(mode).parquet(dst_dir)
+    out = spark.read.parquet(dst_dir)
+    assert out.schema == df.schema
+    import glob
+
+    return len(glob.glob(os.path.join(dst_dir, "*.parquet")))

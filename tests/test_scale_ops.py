@@ -302,3 +302,21 @@ def test_bloom_prefilter_superset_and_exact_join(spark):
     # map-side: no exchange in the filter's plan
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_compact_files_reduces_count_losslessly(spark, tmp_path):
+    from dataframe_kotlin_spark.sources.layout import compact_files
+
+    src = str(tmp_path / "many")
+    # simulate a micro-batch sink: 64 tiny files
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(64).write.parquet(src)
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) == 64
+
+    dst = str(tmp_path / "compact")
+    n_out = compact_files(spark, src, dst, target_mb=128)
+    assert n_out < 8  # tiny data -> one-ish file
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == 10_000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
