@@ -54,7 +54,7 @@ _PRIORITY = [
     "q6_revenue_band", "q4_priority_exists", "q10_returned_items",
     "q14_type_share", "q18_large_orders", "q9_profit_nation_year",
     # P6 scale extensions with bit-exact oracles
-    "count_min_term_counts", "pii_redaction",
+    "count_min_term_counts", "pii_redaction", "curate_corpus",
     # pivot / reshape
     "pivot_sum_segments", "pivot_counts", "gather_melt",
     "explode_embeddings", "split_into_rows", "struct_roundtrip",

@@ -1563,3 +1563,111 @@ def kmeans_det_assignments(spark, sf_dir):
     return out.select(
         "vec_id", F.col("cell").cast("bigint").alias("cell"), F.round("dist2", 6).alias("dist2")
     )
+
+
+@query(
+    "curate_corpus",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang, source, text,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT *,
+             length(t) AS n_chars_n,
+             GREATEST(len(string_split(t, ' ')), 1) AS n_tok,
+             length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS punct,
+             len(list_filter(string_split(t, ' '),
+                 w -> list_contains(['the','and','of','to','a','in','is','it'], w))) AS sw,
+             string_split(t, ' ') AS toks
+      FROM norm
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, t, toks, n_chars_n,
+             ROUND((LEAST(n_chars_n / 500.0, 1.0) +
+                    CASE WHEN n_chars_n * 1.0 / n_tok BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END +
+                    CASE WHEN punct * 1.0 / GREATEST(n_chars_n, 1) <= 0.1 THEN 1.0 ELSE 0.5 END +
+                    LEAST(sw * 5.0 / n_tok, 1.0)) / 4 + 1e-9, 4) AS quality,
+             CASE WHEN len(toks) >= 2 THEN
+               ROUND((len(toks) - 1 - len(list_distinct(
+                 list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1]))))
+                 * 1.0 / (len(toks) - 1) + 1e-9, 4)
+             ELSE 0.0 END AS dup2,
+             len(list_intersect(list_distinct(toks), ['the','and','of','to','a','in','is','it'])) AS s_en,
+             len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','ein','nicht','mit'])) AS s_de,
+             len(list_intersect(list_distinct(toks), ['el','la','de','que','y','en','un','es'])) AS s_es,
+             len(list_intersect(list_distinct(toks), ['le','la','de','et','un','est','pas','pour'])) AS s_fr
+      FROM feat
+    ),
+    gated AS (
+      SELECT doc_id, lang, source, t, n_chars_n, quality,
+             md5(t) AS fp
+      FROM scored
+      WHERE quality >= 0.6 AND dup2 <= 0.3
+        AND CASE
+              WHEN s_fr > GREATEST(s_en, s_de, s_es, 0) THEN 'fr'
+              WHEN s_es > GREATEST(s_en, s_de, 0) THEN 'es'
+              WHEN s_de > GREATEST(s_en, 0) THEN 'de'
+              WHEN s_en > 0 THEN 'en'
+              ELSE 'und'
+            END = lang
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS fp_rn
+        FROM gated
+      ) WHERE fp_rn = 1
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT, doc_id
+        ) AS cap_rn
+        FROM deduped
+      ) WHERE cap_rn <= 30
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           CAST(SUM(n_chars_n) AS BIGINT) AS total_chars
+    FROM capped GROUP BY source
+    """,
+)
+def curate_corpus(spark, sf_dir):
+    """Flagship end-to-end curation pipeline, ONE declarative plan:
+    quality gate (C4-style score >= 0.6) -> repetition gate (dup-2gram
+    <= 0.3) -> language-consistency gate (predicted == recorded) ->
+    exact dedup (min doc_id per content fingerprint) -> deterministic
+    per-source cap (30 docs, md5-hash order) -> per-source stats.
+
+    All three gates are map-side expressions fused into the single scan;
+    the whole pipeline shuffles exactly twice (fingerprint dedup, source
+    cap) before the final agg. This is the composition story: every
+    stage is an existing operator (score_quality, repetition_stats,
+    detect_language, fingerprint) chained through Catalyst as one DAG."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    d = textpipe.score_quality(docs, "text")
+    d = textpipe.repetition_stats(d, "text", ns=(2,))
+    d = d.withColumn("pred_lang", textpipe.detect_language(F.col("text")))
+    d = textpipe.fingerprint(d, "text")
+    d = d.filter(
+        (F.col("quality") >= 0.6)
+        & (F.col("dup_2gram_frac") <= 0.3)
+        & (F.col("pred_lang") == F.col("lang"))
+    )
+    w_fp = Window.partitionBy("fingerprint").orderBy("doc_id")
+    d = d.withColumn("__fp_rn__", F.row_number().over(w_fp)).filter(F.col("__fp_rn__") == 1)
+    order = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("bigint")
+    w_src = Window.partitionBy("source").orderBy(order.asc(), F.col("doc_id"))
+    d = d.withColumn("__cap_rn__", F.row_number().over(w_src)).filter(F.col("__cap_rn__") <= 30)
+    from dataframe_kotlin_spark.functions.text import normalize
+
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum(F.length(normalize(F.col("text")))).cast("bigint").alias("total_chars"),
+    )

@@ -52,6 +52,8 @@ def canon(df) -> tuple[list[str], list[tuple]]:
 
 
 def main():
+    import os
+
     import duckdb
 
     from dataframe_kotlin_spark.session import TABLES, get_spark
@@ -64,7 +66,14 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
-    spark = get_spark("compare-oracle")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # driver-default session: ANSI on, no tuned conf — value-level
+        # parity must hold here too, not just under get_spark
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("compare-oracle")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
