@@ -1630,7 +1630,7 @@ def kmeans_det_assignments(spark, sf_dir):
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(quality), 4) AS avg_quality,
+           ROUND(AVG(quality) + 1e-9, 4) AS avg_quality,
            CAST(SUM(n_chars_n) AS BIGINT) AS total_chars
     FROM capped GROUP BY source
     """,
@@ -1668,6 +1668,9 @@ def curate_corpus(spark, sf_dir):
 
     return d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        # +1e-9: averages of 4-decimal scores sit exactly on round
+        # boundaries; the nudge keeps both engines on the same side
+        # regardless of summation order (see queries/__init__ policy)
+        F.round(F.avg("quality") + 1e-9, 4).alias("avg_quality"),
         F.sum(F.length(normalize(F.col("text")))).cast("bigint").alias("total_chars"),
     )

@@ -145,3 +145,11 @@ def test_bm25_corpus_stats_broadcast(spark):
     plan = _plan(spark, "bm25_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_curate_corpus_shuffle_budget(spark):
+    # the three gates fuse map-side; only fingerprint-dedup, source-cap,
+    # and (at most) the final agg may exchange — and never a cartesian
+    plan = _plan(spark, "curate_corpus").split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3, plan
