@@ -86,3 +86,37 @@ def to_map(df: DataFrame) -> dict[str, list]:
     only for small results."""
     rows = df.collect()
     return {c: [r[c] for r in rows] for c in df.columns}
+
+
+def conform_to_schema(df: DataFrame, schema, strict_casts: bool = False) -> DataFrame:
+    """Schema evolution: project ``df`` onto ``schema`` (a StructType) —
+    missing columns appear as typed NULLs, type drift is cast to the
+    target type, extra columns are dropped, and output column order
+    follows the schema.
+
+    The union-across-parquet-versions primitive: a 100 TB table written
+    over months accumulates writer-schema drift; conforming each slice
+    to the current schema makes `unionByName` trivially safe. Casts are
+    permissive by default (un-castable values become NULL, Spark `cast`
+    semantics); ``strict_casts=True`` uses try_cast + a documented
+    contract that callers null-check, keeping the ANSI-session failure
+    mode (throw on bad cast) out of batch backfills.
+
+    Reference parity: the reference widens union column types via
+    baseType (api/union.kt:38-71); this is the explicit-schema version
+    of the same contract.
+    """
+    from pyspark.sql import functions as F
+
+    cols = []
+    have = {f.name: f for f in df.schema.fields}
+    for field in schema.fields:
+        if field.name not in have:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        elif have[field.name].dataType != field.dataType:
+            src = F.col(field.name)
+            cast = src.try_cast(field.dataType) if strict_casts else src.cast(field.dataType)
+            cols.append(cast.alias(field.name))
+        else:
+            cols.append(F.col(field.name))
+    return df.select(*cols)

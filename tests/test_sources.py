@@ -393,3 +393,33 @@ def test_to_objects_roundtrip(spark):
     src = [P("a", 1), P("b", 2)]
     back = to_objects(from_objects(spark, src).orderBy("age"), P)
     assert back == src
+
+
+def test_conform_to_schema_evolution(spark):
+    from pyspark.sql import types as T
+
+    from dataframe_kotlin_spark.sources.build import conform_to_schema
+
+    target = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    # old slice: int id, no score, extra col, different order
+    old = spark.createDataFrame(
+        [("a", 1, True), ("b", 2, False)], "name string, id int, flag boolean"
+    )
+    out = conform_to_schema(old, target)
+    assert out.schema == target
+    rows = sorted((r["id"], r["name"], r["score"]) for r in out.collect())
+    assert rows == [(1, "a", None), (2, "b", None)]
+
+    # conformed slices union cleanly with a current-schema slice
+    new = spark.createDataFrame([(3, "c", 1.5)], target)
+    u = out.unionByName(new)
+    assert u.count() == 3 and u.schema == target
+
+    # un-castable drift -> NULL (permissive), both modes agree here
+    drift = spark.createDataFrame([("x", "notnum")], "name string, id string")
+    assert conform_to_schema(drift, target).collect()[0]["id"] is None
+    assert conform_to_schema(drift, target, strict_casts=True).collect()[0]["id"] is None
