@@ -58,7 +58,7 @@ def approx_distinct_parts(spark, sf_dir):
     (nation, partkey) pair — the 100 TB COUNT(DISTINCT) replacement."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    j = li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+    j = li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")])
     return sketches.approx_distinct(j.df, ["s_nationkey"], "l_partkey", rsd=0.02)
 
 
@@ -70,7 +70,7 @@ def hll_rollup_customers(spark, sf_dir):
     true monoid (unlike pre-counted distincts, which can't be summed)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    j = o.inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")], broadcast_right=True)
+    j = o.inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")])
     per_leaf = sketches.hll_sketch(j.df, ["c_nationkey", "o_orderpriority"], "o_custkey")
     return sketches.hll_merge(per_leaf, ["c_nationkey"])
 

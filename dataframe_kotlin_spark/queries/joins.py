@@ -1,9 +1,13 @@
 """Join + set-operation queries (SURVEY §2.3, §2.4).
 
-Scale notes: dimension tables (region/nation/supplier/customer) are
-broadcast — at 100 TB the fact tables shuffle only for fact-fact joins
-(orders ⋈ lineitem on orderkey), and AQE converts to broadcast at runtime
-whenever post-filter sizes allow. Join key equality is plain `=` to match
+Scale notes: only FIXED-size dimension tables (region = 5 rows,
+nation = 25 rows) carry explicit broadcast hints. SF-scaled sides
+(customer/supplier/part — 150k/10k/200k rows PER scale factor) are left
+unhinted: an explicit hint overrides Spark's size threshold and would
+OOM executors at the 100 TB target, whereas AQE converts those joins to
+broadcast at runtime whenever the post-filter side actually fits. Fact
+tables shuffle only for fact-fact joins (orders ⋈ lineitem on
+orderkey). Join key equality is plain `=` to match
 SQL semantics; the engine's null-safe mode exists for reference parity
 (api/join.kt:149-152) and is exercised in unit tests.
 """
@@ -40,15 +44,21 @@ def _t(spark, sf_dir: str, name: str) -> KDataFrame:
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: filtered customer (broadcast) ⋈ orders ⋈ lineitem,
-    aggregate, top-10. Reference join machinery: api/join.kt:144-162."""
+    """TPC-H Q3 shape: filtered customer ⋈ orders ⋈ lineitem, aggregate,
+    top-10. Reference join machinery: api/join.kt:144-162.
+
+    No forced broadcast: customer is SF-scaled (150k·SF rows), so a hint
+    would bypass the size threshold and OOM executors at the 100 TB
+    target. AQE converts the join to broadcast at runtime whenever the
+    post-filter side is actually under the threshold (it is, at bench
+    scale), so small-SF plans are unchanged."""
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     # orders ⋈ customer on o_custkey = c_custkey (explicit cross-named keys,
     # reference `left.match(right.col)` api/join.kt:13-25)
     oc = orders.df.join(
-        F.broadcast(cust.df.select(F.col("c_custkey").alias("o_custkey"))), "o_custkey", "inner"
+        cust.df.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "inner"
     )
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
@@ -82,8 +92,11 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join; all dims broadcast, facts shuffle once
-    on orderkey. Multi-frame join fold: api/join.kt:96-100."""
+    """TPC-H Q5 shape: 6-way join; fixed-size dims (nation 25 rows,
+    region 5 rows) broadcast by hint, SF-scaled sides (customer,
+    supplier) left to AQE — a forced hint on those would OOM at the
+    100 TB target. Facts shuffle once on orderkey. Multi-frame join
+    fold: api/join.kt:96-100."""
     cust = _t(spark, sf_dir, "customer").df
     orders = _t(spark, sf_dir, "orders").df.filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -95,9 +108,9 @@ def q5_local_supplier(spark, sf_dir):
 
     out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -313,14 +326,16 @@ def except_keys(spark, sf_dir):
     """,
 )
 def join_part_supplier_stats(spark, sf_dir):
-    """Fact ⋈ two broadcast dims + grouped agg; the p_size filter prunes the
-    broadcast side before the join (predicate pushdown through join)."""
+    """Fact ⋈ two dims + grouped agg; the p_size filter prunes the dim
+    side before the join (predicate pushdown through join). part and
+    supplier are SF-scaled, so no forced broadcast — AQE picks broadcast
+    when the filtered side fits the threshold."""
     li = _t(spark, sf_dir, "lineitem").df
     part = _t(spark, sf_dir, "part").df.filter(F.col("p_size") >= 25)
     supp = _t(spark, sf_dir, "supplier").df
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .groupBy("p_brand", "s_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -346,7 +361,7 @@ def distinct_suppliers_brand(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     return (
-        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")])
         .group_by("p_brand")
         .aggregate(
             F.count_distinct(F.col("l_suppkey")).alias("n_suppliers"),

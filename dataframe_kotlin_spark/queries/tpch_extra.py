@@ -155,7 +155,7 @@ def q14_type_share(spark, sf_dir):
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     econ = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(12,2)"))
     return (
-        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")])
         .df.agg(
             F.round(
                 F.lit(100.0) * F.sum(econ).cast("double") / F.sum(rev).cast("double") + 1e-9,
@@ -238,7 +238,7 @@ def q19_brand_bands(spark, sf_dir):
     )
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")])
         .filter(band)
         .df.agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -290,9 +290,9 @@ def q7_nation_volume(spark, sf_dir):
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")])
         .inner_join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
-        .inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")], broadcast_right=True)
+        .inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")])
         .inner_join(sn, on=[F.col("s_nationkey") == F.col("sn_key")], broadcast_right=True)
         .inner_join(cn, on=[F.col("c_nationkey") == F.col("cn_key")], broadcast_right=True)
         .filter(pair)
@@ -344,10 +344,10 @@ def q8_market_share(spark, sf_dir):
     )
     return (
         li.inner_join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
-        .inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")], broadcast_right=True)
+        .inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")])
         .inner_join(cn, on=[F.col("c_nationkey") == F.col("cn_key")], broadcast_right=True)
         .inner_join(r, on=[F.col("cn_region") == F.col("r_regionkey")], broadcast_right=True)
-        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")])
         .inner_join(sn, on=[F.col("s_nationkey") == F.col("sn_key")], broadcast_right=True)
         .group_by(F.year("o_orderdate").alias("order_year"))
         .aggregate(
@@ -452,7 +452,7 @@ def q15_top_supplier(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     return (
         rev.inner_join(mx, on=[F.col("total_rev") == F.col("__mx__")], broadcast_right=True)
-        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")])
         .select(
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
         )
@@ -476,16 +476,16 @@ def q15_top_supplier(spark, sf_dir):
 def q17_small_quantity(spark, sf_dir):
     """TPC-H Q17 shape: rows below 20% of their part's average quantity —
     the correlated AVG subquery decorrelated into a groupBy + equi-join.
-    The per-part aggregate is tiny (one row per partkey) and broadcasts;
-    lineitem is scanned twice but never shuffled on partkey."""
+    The per-part aggregate has one row per partkey, which is SF-scaled
+    (200k·SF) — no forced broadcast; AQE converts when it fits."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
     thr = li.group_by(F.col("l_partkey").alias("a_partkey")).aggregate(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
     )
     return (
-        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
-        .inner_join(thr, on=[F.col("l_partkey") == F.col("a_partkey")], broadcast_right=True)
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")])
+        .inner_join(thr, on=[F.col("l_partkey") == F.col("a_partkey")])
         .filter(F.col("l_quantity") < F.col("qty_thr"))
         .df.agg(
             F.round(
@@ -542,7 +542,7 @@ def q21_waiting_supplier(spark, sf_dir):
         .add("__n_supp__", F.size(F.collect_set("l_suppkey").over(w)))
         .add("__n_late__", F.size(F.collect_set(F.when(late, F.col("l_suppkey"))).over(w)))
         .filter(late & (F.col("__n_supp__") > 1) & (F.col("__n_late__") == 1))
-        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")])
         .group_by("s_name")
         .count(name="numwait")
         .take_ordered(25, [F.col("numwait").desc(), F.col("s_name")])
@@ -646,8 +646,8 @@ def q2_min_cost_supplier(spark, sf_dir):
             pm,
             on=[F.col("l_partkey") == F.col("m_partkey"), F.col("cost") == F.col("min_cost")],
         )
-        .inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
-        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        .inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")])
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")])
         .inner_join(n, on=[F.col("s_nationkey") == F.col("n_nationkey")], broadcast_right=True)
         .inner_join(r, on=[F.col("n_regionkey") == F.col("r_regionkey")], broadcast_right=True)
         .select(
@@ -698,8 +698,8 @@ def q9_profit_nation_year(spark, sf_dir):
         "p_retailprice"
     ) * _dec("l_quantity") * F.lit(0.6).cast("decimal(3,2)")
     return (
-        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
-        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        li.inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")])
+        .inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")])
         .inner_join(n, on=[F.col("s_nationkey") == F.col("n_nationkey")], broadcast_right=True)
         .inner_join(o, on=[F.col("l_orderkey") == F.col("o_orderkey")])
         .group_by(
@@ -745,7 +745,7 @@ def q11_important_value(spark, sf_dir):
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     val = (
-        li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")], broadcast_right=True)
+        li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")])
         .inner_join(n, on=[F.col("s_nationkey") == F.col("n_nationkey")], broadcast_right=True)
         .inner_join(r, on=[F.col("n_regionkey") == F.col("r_regionkey")], broadcast_right=True)
         .group_by("l_partkey")
@@ -803,7 +803,7 @@ def q16_supplier_relation(spark, sf_dir):
     )
     return (
         li.exclude_join(bad, on=[F.col("l_suppkey") == F.col("s_suppkey")])
-        .inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .inner_join(p, on=[F.col("l_partkey") == F.col("p_partkey")])
         .group_by("p_brand", "p_type", "p_size")
         .aggregate(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .sort_by(
@@ -850,7 +850,7 @@ def q20_promotion_suppliers(spark, sf_dir):
     red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
     heavy = (
         shipped.filter(F.col("qty") > 30)
-        .inner_join(red, on=[F.col("l_partkey") == F.col("p_partkey")], broadcast_right=True)
+        .inner_join(red, on=[F.col("l_partkey") == F.col("p_partkey")])
         .select("l_suppkey")
     )
     asian = (

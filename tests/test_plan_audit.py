@@ -54,6 +54,22 @@ def test_dim_joins_are_broadcast(spark, name):
     assert plan.count("BroadcastHashJoin") >= 1
 
 
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier"])
+def test_no_forced_broadcast_on_sf_scaled_sides(spark, name):
+    # customer/supplier/part grow with scale factor: an explicit broadcast
+    # hint would override Spark's size threshold and OOM at the 100 TB
+    # target. The broadcasts asserted above must come from AQE/threshold
+    # planning, never from a hint in the ANALYZED plan. Q5's nation/region
+    # hints are allowed (fixed 25/5 rows) — so count hints, don't ban them.
+    df = spark_queries()[name](spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    n_hints = analyzed.count("ResolvedHint")
+    if name == "q3_shipping_priority":
+        assert n_hints == 0, analyzed
+    else:  # q5: exactly the two fixed-size dims (nation, region)
+        assert n_hints <= 2, analyzed
+
+
 def test_q1_filter_pushed_to_scan(spark):
     plan = _plan(spark, "q1_pricing_summary")
     assert "PushedFilters: [" in plan
