@@ -179,52 +179,81 @@ def cosine_neardup_pairs(
 
 def cosine_topk_blas(
     corpus: DataFrame,
-    queries_rows: list,
+    queries: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    buckets: int | None = None,
 ) -> DataFrame:
-    """Exact top-k cosine via Arrow-batched numpy matmul (the scale path).
+    """Exact top-k cosine via bucketed BLAS matmul (the scale path).
 
-    ``queries_rows`` is the collected query set [(id, vector), ...] — small
-    by definition (probe set), shipped to executors in the task closure
-    (at cluster scale: a broadcast variable). Per Arrow batch the scoring
-    is ONE BLAS sgemm (batch x dim @ dim x nq), ~50-100x the throughput of
-    per-pair expression eval. Each partition emits only its local top-k
-    per query, so the final exact rank shuffles nq*k*npartitions rows,
-    not the full nq*N score matrix.
+    ``queries`` is a DataFrame of probe vectors — it is never collected
+    to the driver. The corpus is hashed into ``buckets`` uniform groups
+    and the probe set is replicated to every bucket (probes are small by
+    definition, so the replication shuffle is nq*buckets thin rows); a
+    cogrouped applyInPandas then scores each bucket against the full
+    probe matrix with ONE BLAS dgemm per bucket (~50-100x the throughput
+    of per-pair expression eval) and emits only its local top-k per
+    query. The final exact rank therefore shuffles nq*k*buckets rows,
+    never the nq*N score matrix.
+
+    100 TB posture: one uniform-hash shuffle of the corpus (perfectly
+    balanced — the key is xxhash64 of the id), no driver-side collect
+    anywhere, no cross join. Per-bucket memory is N/buckets rows; the
+    default bucket count tracks the corpus's input split count, so each
+    group is about one scan partition (~spark.sql.files.maxPartitionBytes)
+    — fits executor memory at any corpus size while keeping per-group
+    matmuls large. For sub-scan latency use ivf_topk — brute force is
+    the exactness baseline.
     """
     import numpy as np
     import pandas as pd
 
-    q_ids = np.array([r[0] for r in queries_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in queries_rows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    n_b = int(buckets or max(1, corpus.rdd.getNumPartitions()))
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid__"),
+        F.col(vec_col).alias("__cv__"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_b)).cast("int").alias("__b__"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("__qid__"),
+        F.col(vec_col).alias("__qv__"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_b - 1))).alias("__b__"),
+    )
 
     out_schema = "query_id long, neighbor_id long, cosine_sim double"
 
-    def score(batches):
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            x = x / np.linalg.norm(x, axis=1, keepdims=True)
-            sims = x @ q_mat.T  # (batch, nq) — one BLAS call
-            frames = []
-            for j, qid in enumerate(q_ids):
-                col = sims[:, j]
-                mask = ids != qid  # exclude self-match
-                cand_ids, cand_sims = ids[mask], col[mask]
-                if len(cand_ids) > k:
-                    top = np.argpartition(-cand_sims, k)[:k]
-                    cand_ids, cand_sims = cand_ids[top], cand_sims[top]
-                frames.append(
-                    pd.DataFrame(
-                        {"query_id": qid, "neighbor_id": cand_ids, "cosine_sim": cand_sims}
-                    )
+    def score(cpdf: pd.DataFrame, qpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine_sim": []})
+        q_ids = qpdf["__qid__"].to_numpy(dtype=np.int64)
+        q_mat = np.stack(qpdf["__qv__"].to_numpy()).astype(np.float64)
+        q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+        ids = cpdf["__cid__"].to_numpy(dtype=np.int64)
+        x = np.stack(cpdf["__cv__"].to_numpy()).astype(np.float64)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sims = x @ q_mat.T  # (bucket_n, nq) — one BLAS call
+        frames = []
+        for j, qid in enumerate(q_ids):
+            col = sims[:, j]
+            mask = ids != qid  # exclude self-match
+            cand_ids, cand_sims = ids[mask], col[mask]
+            if len(cand_ids) > k:
+                top = np.argpartition(-cand_sims, k)[:k]
+                cand_ids, cand_sims = cand_ids[top], cand_sims[top]
+            frames.append(
+                pd.DataFrame(
+                    {"query_id": qid, "neighbor_id": cand_ids, "cosine_sim": cand_sims}
                 )
-            yield pd.concat(frames, ignore_index=True)
+            )
+        return pd.concat(frames, ignore_index=True)
 
-    local = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    local = (
+        c.groupBy("__b__")
+        .cogroup(q.groupBy("__b__"))
+        .applyInPandas(score, out_schema)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         local.withColumn("rank", F.row_number().over(w))

@@ -286,14 +286,13 @@ def split_leakage_pairs(spark, sf_dir):
 )
 def ann_bruteforce_topk(spark, sf_dir):
     """Brute-force cosine top-5 for probe vectors via the BLAS scale path
-    (operators/similarity.cosine_topk_blas): Arrow-batched numpy matmul,
-    per-partition top-k pruning, exact final rank. The pure-JVM
-    expression variant (similarity.cosine_topk) computes the same result."""
+    (operators/similarity.cosine_topk_blas): bucketed cogroup + numpy
+    matmul, per-bucket top-k pruning, exact final rank. The probe set
+    stays a DataFrame end-to-end — nothing is collected to the driver,
+    so the query scales with the corpus. The pure-JVM expression variant
+    (similarity.cosine_topk) computes the same result."""
     emb = _t(spark, sf_dir, "embeddings")
-    probes = [
-        (r["vec_id"], r["embedding"])
-        for r in emb.filter(F.col("vec_id") % 100 == 0).collect()
-    ]
+    probes = emb.filter(F.col("vec_id") % 100 == 0)
     out = similarity.cosine_topk_blas(emb, probes, k=5)
     return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), 6))
 

@@ -83,6 +83,30 @@ def test_cosine_topk_matches_numpy(spark):
     assert [g[0] for g in sorted(got, key=lambda g: -g[1])] == list(expected)
 
 
+def test_cosine_topk_blas_matches_jvm_path(spark):
+    """The bucketed-cogroup BLAS path must produce exactly the ranks of
+    the JVM expression path — same ties (neighbor_id ascending), same
+    scores — with the probe set staying a DataFrame (no driver collect
+    anywhere in the lineage)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    probes = df.filter(F.col("vec_id") % 10 == 0)
+    blas = similarity.cosine_topk_blas(df, probes, k=4, buckets=7)
+    jvm = similarity.cosine_topk(df, probes, k=4)
+    b = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in blas.collect()}
+    j = {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9)) for r in jvm.collect()}
+    assert b == j
+    # structural: the cogroup plan, not a collected closure
+    plan = blas._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
 def test_ivf_topk_restricts_to_cell(spark):
     df = spark.createDataFrame(
         [
