@@ -163,8 +163,23 @@ class KPivotClause:
     def _src(self):
         if not self.multi:
             return self.grouped.df
-        return self.grouped.df.withColumn(
-            "__pivot__", F.concat_ws("_", *[F.col(c) for c in self.pivot_cols])
+        # Escape the separator inside values before concat: without it,
+        # distinct pairs like ("a_b","c") and ("a","b_c") would collide
+        # into one "a_b_c" column and their aggregates would merge
+        # silently. Backslash first, then "_" -> "\_" keeps the mapping
+        # injective. Rows with a NULL in any pivot column are dropped to
+        # match the single-column path (concat_ws would otherwise fold
+        # the NULL into an empty segment).
+        def esc(c):
+            s = F.col(c).cast("string")
+            s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+            return F.replace(s, F.lit("_"), F.lit("\\_"))
+
+        src = self.grouped.df
+        for c in self.pivot_cols:
+            src = src.filter(F.col(c).isNotNull())
+        return src.withColumn(
+            "__pivot__", F.concat_ws("_", *[esc(c) for c in self.pivot_cols])
         )
 
     def _pivoted(self):

@@ -337,7 +337,13 @@ def jaccard_pairs_prefix(
         .withColumn("__pos__", F.row_number().over(w))
         .withColumn("__n__", F.count(F.lit(1)).over(Window.partitionBy("__id__")))
     )
-    L = F.col("__n__") - F.ceil(F.col("__n__") * threshold) + 1
+    # ceil over double arithmetic: when t*n is an exact integer the FP
+    # product can land epsilon ABOVE it (e.g. 0.1*10 -> 1.0000000000000002,
+    # ceil 2), shortening the prefix by one token and silently breaking
+    # the full-recall contract. Nudge down before ceil; the epsilon is
+    # far below 1/n for any real document, so non-boundary values are
+    # unaffected.
+    L = F.col("__n__") - F.ceil(F.col("__n__") * threshold - F.lit(1e-9)) + 1
     prefix = ranked.filter(F.col("__pos__") <= L).select("__id__", "__tok__")
     cand = (
         prefix.select(F.col("__id__").alias("id_a"), "__tok__")

@@ -192,10 +192,19 @@ def pagerank(
 
     Caveats by construction: dangling mass is NOT redistributed — feed a
     symmetric (undirected) edge list, where every node has out-edges,
-    or accept leaked mass. Returns (node, rank).
+    or accept leaked mass. Every node keeps a rank row regardless: the
+    per-iteration update left-joins inbound sums onto the full node set
+    (src ∪ dst) with missing inbound coalesced to 0, so nodes without
+    in-edges decay toward (1-d)/N instead of vanishing from the output.
+    Returns (node, rank).
     """
     e = edges.select(F.col(src).alias("__s__"), F.col(dst).alias("__d__"))
-    nodes = e.select(F.col("__s__").alias("node")).distinct()
+    nodes = (
+        e.select(F.col("__s__").alias("node"))
+        .union(e.select(F.col("__d__").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every iteration
+    )
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
     deg = e.groupBy("__s__").agg(F.count(F.lit(1)).alias("__deg__"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
@@ -207,13 +216,16 @@ def pagerank(
             .join(ranks, F.col("__s__") == F.col("node"))
             .select(F.col("__d__").alias("node"), (F.col("rank") / F.col("__deg__")).alias("__c__"))
         )
+        inbound = contribs.groupBy("node").agg(F.sum("__c__").alias("__in__"))
         ranks = (
-            contribs.groupBy("node")
-            .agg(F.sum("__c__").alias("__in__"))
+            nodes.join(inbound, "node", "left")
             .crossJoin(F.broadcast(n_row))
             .select(
                 "node",
-                ((1 - damping) / F.col("__n__") + damping * F.col("__in__")).alias("rank"),
+                (
+                    (1 - damping) / F.col("__n__")
+                    + damping * F.coalesce(F.col("__in__"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
     return ranks

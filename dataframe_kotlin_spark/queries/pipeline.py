@@ -738,8 +738,10 @@ def collocations_pmi(spark, sf_dir):
     PMI = ln(p(ab) / (p(a)p(b))) over sliding bigrams. One explode pass
     for bigrams, one for unigrams (both map-side), counts shuffle on the
     gram key, and the PMI join runs on the tiny aggregate with broadcast
-    unigram counts. Ranked top-25 with the bigram string as tiebreak;
-    rounded to 4 dp (+1e-9) for cross-engine log parity."""
+    unigram counts; the two corpus totals join in as a broadcast 1-row
+    frame (single job, no driver collect). Ranked top-25 with the bigram
+    string as tiebreak; rounded to 4 dp (+1e-9) for cross-engine log
+    parity."""
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
@@ -759,20 +761,24 @@ def collocations_pmi(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
     )
-    n_bi = bc.agg(F.sum("n_ab")).collect()[0][0]
-    n_uni = uc.agg(F.sum("n_w")).collect()[0][0]
+    # both corpus totals ride the plan as a broadcast 1x1-row cross join —
+    # no driver-side action anywhere in the query
+    tot = bc.agg(F.sum("n_ab").cast("double").alias("__n_bi__")).crossJoin(
+        uc.agg(F.sum("n_w").cast("double").alias("__n_uni__"))
+    )
     ua = uc.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
     ub = uc.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
     scored = (
         bc.filter(F.col("n_ab") >= 20)
         .join(F.broadcast(ua), "w1")
         .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(tot))
         .withColumn(
             "pmi",
             F.round(
                 F.log(
-                    F.col("n_ab") * F.lit(float(n_uni)) * F.lit(float(n_uni))
-                    / (F.lit(float(n_bi)) * F.col("n_a") * F.col("n_b"))
+                    F.col("n_ab") * F.col("__n_uni__") * F.col("__n_uni__")
+                    / (F.col("__n_bi__") * F.col("n_a") * F.col("n_b"))
                 )
                 + 1e-9,
                 4,

@@ -113,6 +113,13 @@ def read_csv(
         lines = rdd.filter(lambda t: t[1] >= start).map(lambda t: t[0])
         df = reader().csv(lines)
     if names:
+        if headers and len(names) > len(df.columns):
+            # more names than file columns: loud error, never a silent
+            # fall-through to Spark's _c0-style names
+            raise ValueError(
+                f"read_csv: {len(names)} header names given but the file "
+                f"has only {len(df.columns)} columns: {names}"
+            )
         if headers and len(names) < len(df.columns):
             # explicit short header list keeps the first N columns
             df = df.select(*df.columns[: len(names)])

@@ -445,6 +445,82 @@ def run_to_parquet(
     return w.start()
 
 
+def _count_min_latest(target_dir: str) -> int | None:
+    """Last COMMITTED batch id of a count_min_stream target, or None."""
+    import os as _os
+
+    ptr = _os.path.join(target_dir, "_LATEST")
+    if not _os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        txt = f.read().strip()
+    return int(txt) if txt else None
+
+
+def read_count_min(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read the committed cell table of a count_min_stream target (the
+    version the _LATEST pointer names — never a half-written one)."""
+    import os as _os
+
+    v = _count_min_latest(target_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed count-min sketch at {target_dir}")
+    return spark.read.parquet(_os.path.join(target_dir, f"v{v}"))
+
+
+def merge_count_min_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target_dir: str,
+    item_col: str,
+    depth: int,
+    width: int,
+) -> None:
+    """Idempotent, atomically-published merge of one micro-batch's sketch.
+
+    - Idempotence: the committed batch id lives in the _LATEST pointer;
+      a replayed batch (foreachBatch is at-least-once) with
+      batch_id <= committed is a no-op, so cell sums never double-count.
+    - Atomic publish: each merge writes a NEW version dir v<batch_id>,
+      then swaps the pointer with os.replace (atomic on POSIX). A crash
+      mid-write leaves the pointer on the old version; the replay simply
+      rewrites v<batch_id> and swaps again. Readers (read_count_min)
+      always see a complete version. On object stores without atomic
+      rename, use a transactional table format (MERGE INTO keyed on
+      (d, bucket)) instead of this filesystem formulation.
+    """
+    import os as _os
+    import shutil as _shutil
+
+    from dataframe_kotlin_spark.operators.sketches import count_min_sketch
+
+    last = _count_min_latest(target_dir)
+    if last is not None and batch_id <= last:
+        return  # replay of an already-committed batch
+    spark = batch_df.sparkSession
+    cells = count_min_sketch(batch_df, item_col, depth=depth, width=width)
+    if last is not None:
+        base = spark.read.parquet(_os.path.join(target_dir, f"v{last}"))
+        cells = (
+            base.unionByName(cells)
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+    vdir = _os.path.join(target_dir, f"v{batch_id}")
+    cells.write.mode("overwrite").parquet(vdir)
+    tmp = _os.path.join(target_dir, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, _os.path.join(target_dir, "_LATEST"))
+    # prune versions older than the PREVIOUS commit (kept for readers
+    # that resolved the pointer just before the swap); best-effort
+    for name in _os.listdir(target_dir):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < (last or 0):
+            _shutil.rmtree(_os.path.join(target_dir, name), ignore_errors=True)
+
+
 def count_min_stream(
     stream_df: DataFrame,
     item_col: str,
@@ -454,34 +530,21 @@ def count_min_stream(
     width: int = 256,
 ) -> None:
     """Streaming Count-Min: each micro-batch builds its own sketch cell
-    table (map-side, fixed size) and MERGES it into the parquet target
-    by summing cells — the sketch's mergeability is exactly what makes
-    frequency tracking over an unbounded stream O(depth*width) state
-    instead of per-key state.
+    table (map-side, fixed size) and MERGES it into a versioned parquet
+    target by summing cells — the sketch's mergeability is exactly what
+    makes frequency tracking over an unbounded stream O(depth*width)
+    state instead of per-key state.
 
-    Unlike run_upsert_sink, cell sums are not idempotent — replaying a
-    committed batch would double-count — so this sink depends on the
-    checkpoint's exactly-once batch delivery (availableNow + foreachBatch
-    commit log). With a transactional table format the merge body
-    becomes one atomic MERGE INTO keyed on (d, bucket).
+    Cell sums are not naturally idempotent, so the merge body
+    (merge_count_min_batch) makes them so: batch ids are recorded in the
+    atomically-swapped _LATEST pointer and replayed batches are skipped,
+    and every merge publishes a fresh version dir so a crash mid-write
+    can never corrupt or reset the accumulated sketch. Read the result
+    with read_count_min (not a raw parquet read of target_dir).
     """
-    import os as _os
-
-    from dataframe_kotlin_spark.operators.sketches import count_min_sketch
 
     def merge_cells(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        cells = count_min_sketch(batch_df, item_col, depth=depth, width=width)
-        if _os.path.exists(_os.path.join(target_dir, "_SUCCESS")):
-            base = spark.read.parquet(target_dir)
-            cells = (
-                base.unionByName(cells)
-                .groupBy("d", "bucket")
-                .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-            )
-        tmp = target_dir + ".staging"
-        cells.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_dir)
+        merge_count_min_batch(batch_df, batch_id, target_dir, item_col, depth, width)
 
     (
         stream_df.writeStream.foreachBatch(merge_cells)

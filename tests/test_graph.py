@@ -110,3 +110,17 @@ def test_pagerank_ring_uniform_and_mass(spark):
     rs = {r["node"]: r["rank"] for r in pagerank(
         spark.createDataFrame(star, "src int, dst int"), iters=10).collect()}
     assert rs[0] > rs[1] and abs(rs[1] - rs[5]) < 1e-12
+
+
+def test_pagerank_asymmetric_keeps_all_nodes(spark):
+    """Nodes with no in-edges (sources) and no out-edges (sinks) must
+    keep a rank row every iteration — sources decay toward (1-d)/N,
+    never vanish from the output."""
+    from dataframe_kotlin_spark.operators.graph import pagerank
+
+    # 0 -> 1 -> 2 (chain): 0 has no in-edges, 2 has no out-edges
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src int, dst int")
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    assert set(ranks) == {0, 1, 2}
+    assert ranks[0] == pytest.approx((1 - 0.85) / 3)  # pure teleport mass
+    assert ranks[2] > ranks[0]  # sink accumulates inbound mass

@@ -193,6 +193,32 @@ def test_pivot_two_columns_flattened(person2):
     assert "Moscow_young" in auto.columns and "Tokyo_young" in auto.columns
 
 
+def test_pivot_multi_separator_collision_and_nulls(spark):
+    # ("a_b","c") vs ("a","b_c") must stay distinct columns (the
+    # separator is escaped inside values), and a NULL in any pivot
+    # column drops the row — matching single-column pivot semantics —
+    # instead of collapsing to an empty segment
+    from dataframe_kotlin_spark import KDataFrame
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [
+                ("g", "a_b", "c", 1),
+                ("g", "a", "b_c", 10),
+                ("g", None, "x", 100),
+                ("g", "y", None, 1000),
+            ],
+            "k string, p1 string, p2 string, v int",
+        )
+    )
+    out = df.group_by("k").pivot(["p1", "p2"]).sum("v", default=0)
+    row = out.collect()[0]
+    cols = set(out.columns) - {"k"}
+    assert len(cols) == 2  # NULL rows dropped, no collision
+    vals = sorted(row[c] for c in cols)
+    assert vals == [1, 10]  # the two combos never merged
+
+
 def test_merge_rows_keep_nulls(spark):
     # reference DataFrameTests `merge rows keep nulls` vs `drop nulls`
     from dataframe_kotlin_spark import KDataFrame

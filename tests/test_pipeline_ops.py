@@ -435,6 +435,32 @@ def test_jaccard_prefix_full_recall_and_pruning(spark):
     assert got == want and (1, 3) in got and (4, 5) in got
 
 
+def test_jaccard_prefix_integer_threshold_boundary(spark):
+    """t*n exactly integral in real arithmetic is the FP ceil trap:
+    0.28*25 = 7.000000000000001 in IEEE doubles, so a bare ceil gives 8
+    instead of 7 and the prefix ends one token short — silently losing
+    exactly-at-threshold pairs whose shared tokens all sit in the tail
+    of the document-frequency order. The epsilon nudge must keep them."""
+    from dataframe_kotlin_spark.operators.dedup import jaccard_pairs_prefix
+
+    # doc 1: 18 unique tokens (df=1, sort first) + 7 shared (df=2, tail);
+    # doc 2: exactly the 7 shared tokens. J = 7/25 = 0.28 == t, and the
+    # only prefix collision available to doc 1 is its 19th-ranked token
+    # — present iff L = 25 - ceil(0.28*25) + 1 evaluates with ceil = 7.
+    uniq = ["u%02d" % i for i in range(18)]
+    shared = ["zz%d" % i for i in range(7)]
+    docs = [
+        (1, " ".join(uniq + shared)),
+        (2, " ".join(shared)),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+        for r in jaccard_pairs_prefix(df, "doc_id", "text", threshold=0.28).collect()
+    }
+    assert got == {(1, 2): 0.28}
+
+
 def test_chunk_text_coverage_properties(spark):
     """Every character covered exactly; overlap = size - stride; chunks
     reassemble the document."""

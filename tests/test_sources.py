@@ -106,6 +106,9 @@ def test_csv_explicit_headers(spark, tmp_path):
     short = read_csv(spark, str(p), headers=["A", "B"], skip_lines=1)
     assert short.columns == ["A", "B"]
     assert short.count() == 2
+    # MORE names than file columns: loud error, never silent _c0 names
+    with pytest.raises(ValueError, match="4 header names"):
+        read_csv(spark, str(p), headers=["A", "B", "C", "D"], skip_lines=1)
 
 
 def test_csv_inf_and_leading_zero_doubles(spark, tmp_path):

@@ -380,7 +380,7 @@ def test_count_min_stream_matches_batch(spark, tmp_path, batch_events):
     )
     got = {
         (r["d"], r["bucket"]): r["cnt"]
-        for r in spark.read.parquet(target).collect()
+        for r in sj.read_count_min(spark, target).collect()
     }
     want = {
         (r["d"], r["bucket"]): r["cnt"]
@@ -389,3 +389,51 @@ def test_count_min_stream_matches_batch(spark, tmp_path, batch_events):
         ).collect()
     }
     assert got == want
+
+    # at-least-once replay of an already-committed batch must be a no-op
+    # (foreachBatch can redeliver after a failure between target publish
+    # and checkpoint commit)
+    last = sj._count_min_latest(target)
+    sj.merge_count_min_batch(
+        spark.read.parquet(src), last, target, "event_type", 4, 64
+    )
+    again = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in sj.read_count_min(spark, target).collect()
+    }
+    assert again == want  # no double-count
+
+
+def test_count_min_stream_crash_mid_publish_keeps_committed(spark, tmp_path, batch_events):
+    """A half-written version dir (crash before the pointer swap) must
+    not corrupt or reset the committed sketch — the pointer still names
+    the last complete version, and the replayed merge overwrites the
+    orphan dir."""
+    import os
+
+    from dataframe_kotlin_spark.operators.sketches import count_min_sketch
+
+    target = str(tmp_path / "cm")
+    ev = batch_events.limit(100)
+    sj.merge_count_min_batch(ev, 0, target, "event_type", 4, 64)
+    committed = {(r["d"], r["bucket"]): r["cnt"] for r in sj.read_count_min(spark, target).collect()}
+
+    # simulate a crash: version dir for batch 1 written partially (no
+    # pointer swap happened)
+    os.makedirs(os.path.join(target, "v1"), exist_ok=True)
+    with open(os.path.join(target, "v1", "part-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert sj._count_min_latest(target) == 0
+    assert {
+        (r["d"], r["bucket"]): r["cnt"] for r in sj.read_count_min(spark, target).collect()
+    } == committed
+
+    # the replay of batch 1 rewrites the orphan dir and commits on top of
+    # the batch-0 cells (never resets to batch 1 alone)
+    sj.merge_count_min_batch(ev, 1, target, "event_type", 4, 64)
+    merged = {(r["d"], r["bucket"]): r["cnt"] for r in sj.read_count_min(spark, target).collect()}
+    doubled = {
+        (r["d"], r["bucket"]): r["cnt"] * 2
+        for r in count_min_sketch(ev, "event_type", depth=4, width=64).collect()
+    }
+    assert merged == doubled
