@@ -78,6 +78,26 @@ def minhash_signature(
     return out.drop("__sh__")
 
 
+def _cap_buckets(stacked: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop rows in degenerate buckets (> max_bucket members) before a
+    bucket self-join. A band key holding f% of N rows turns the join
+    into (f·N)² pairs — the one way these blocked joins degrade to
+    quadratic at scale (e.g. every empty doc shares one signature). The
+    window count hash-partitions on the same keys as the join itself,
+    so AQE reuses the exchange — the cap costs a sort, not an extra
+    shuffle. Dropping a bucket only drops pairs whose similarity
+    evidence is that degenerate key — near-universal keys carry no
+    similarity signal (an exact-dup pass catches identical payloads)."""
+    if max_bucket is None:
+        return stacked
+    w = Window.partitionBy(*keys)
+    return (
+        stacked.withColumn("__bn__", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn__") <= max_bucket)
+        .drop("__bn__")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -85,12 +105,15 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_words: int = 1,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join within bands.
 
     Returns candidate pairs (id_a < id_b) that share >= 1 band. The only
     shuffles are the groupBy on (band, band_key) — never an all-pairs
-    join. rows_per_band = num_hashes // bands.
+    join. rows_per_band = num_hashes // bands. Buckets larger than
+    ``max_bucket`` are dropped (_cap_buckets) so one degenerate band key
+    can never turn the join quadratic; pass None to disable.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, num_hashes, shingle_words)
@@ -110,6 +133,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band_id", "bk.band_key")
+    stacked = _cap_buckets(stacked, ["band_id", "band_key"], max_bucket)
     left = stacked.withColumnRenamed(id_col, "id_a")
     right = stacked.withColumnRenamed(id_col, "id_b")
     pairs = (
@@ -143,7 +167,12 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhas
 
 
 def hamming_pairs(
-    df: DataFrame, id_col: str, sim_col: str, max_dist: int, bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    sim_col: str,
+    max_dist: int,
+    bits: int = 16,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_dist, with FULL
     recall: the signature's `bits` are split into max_dist+1 disjoint
@@ -153,7 +182,12 @@ def hamming_pairs(
     single equi-join on the probe — one shuffle keyed on small buckets
     instead of an all-pairs product; distinct() collapses pairs caught by
     more than one block. Same blocked-join shape the reference would need
-    for its near-dup pass; signature semantics per simhash() above."""
+    for its near-dup pass; signature semantics per simhash() above.
+
+    Block keys holding more than ``max_bucket`` rows are dropped
+    (_cap_buckets) — a short block (few bits) over skewed text can go
+    near-universal and quadratic; full recall then holds for every pair
+    agreeing on at least one NON-degenerate block. None disables."""
     nblocks = max_dist + 1
     assert bits >= nblocks, "need at least one bit per block"
     blocks = []
@@ -177,6 +211,7 @@ def hamming_pairs(
     stacked = df.select(F.col(id_col), F.col(sim_col), probe).select(
         id_col, sim_col, "p.block_id", "p.block_key"
     )
+    stacked = _cap_buckets(stacked, ["block_id", "block_key"], max_bucket)
     a = stacked.select(
         F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"), "block_id", "block_key"
     )

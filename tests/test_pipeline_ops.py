@@ -46,6 +46,34 @@ def test_lsh_finds_near_dups_without_cross_join(docs):
     assert (1, 3) not in got or True
 
 
+def test_bucket_cap_bounds_degenerate_band(spark):
+    """One band key holding 50% of rows (here: empty docs, which all
+    share the sentinel signature) must not turn the bucket self-join
+    quadratic: with max_bucket set below the degenerate bucket size the
+    join stays bounded and the degenerate pairs vanish, while pairs
+    backed by healthy buckets are untouched."""
+    rows = [(i, "") for i in range(50)]  # all collide on every band
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    rows += [(200 + i, "unique%d tokens%d here%d now%d" % (i, i, i, i)) for i in range(48)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.lsh_candidate_pairs(df, "doc_id", "text", max_bucket=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in got  # healthy bucket kept
+    assert not any(a < 50 and b < 50 for a, b in got)  # degenerate bucket dropped
+
+    uncapped = dedup.lsh_candidate_pairs(df, "doc_id", "text", max_bucket=None)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 50 * 49 // 2  # the quadratic blow-up the cap prevents
+
+    # hamming variant: same contract
+    sig = dedup.simhash(df, "text", bits=16)
+    hp = dedup.hamming_pairs(sig, "doc_id", "simhash", max_dist=3, max_bucket=10)
+    hgot = {(r["id_a"], r["id_b"]) for r in hp.collect()}
+    assert (100, 101) in hgot
+    assert not any(a < 50 and b < 50 for a, b in hgot)
+
+
 def test_simhash_near_dup_hamming(docs):
     out = dedup.simhash(docs, "text", bits=16)
     d = {r["doc_id"]: r["simhash"] for r in out.collect()}
