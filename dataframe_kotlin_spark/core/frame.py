@@ -148,12 +148,18 @@ class KDataFrame:
         df = self.df.select(*cols) if cols else self.df
         return self._wrap(df.distinct())
 
-    def distinct_by(self, keys: Sequence[str], order_by: Sequence[Column | str]) -> "KDataFrame":
+    def distinct_by(
+        self, keys: Sequence[Column | str], order_by: Sequence[Column | str]
+    ) -> "KDataFrame":
         """Keep the first row per key under an explicit order, full schema.
 
-        Reference keeps first-in-insertion-order (api/distinctBy.kt:14-18);
-        Spark has no implicit row order, so the caller supplies the order.
-        Implemented as a row_number window (single shuffle on keys).
+        Keys may be column names OR computed expressions — the reference's
+        `distinctBy { col }` (api/distinctBy.kt:14-18) and
+        `distinctByExpr { expr }` (api/distinctBy.kt:20-26) are the same
+        call here: `distinct_by([F.col("x") % 10], order_by=["x"])`.
+        Reference keeps first-in-insertion-order; Spark has no implicit
+        row order, so the caller supplies the order. Implemented as a
+        row_number window (single shuffle on the key expressions).
         """
         w = Window.partitionBy(*_cols(keys)).orderBy(*_cols(order_by))
         out = (

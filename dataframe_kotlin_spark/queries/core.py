@@ -172,6 +172,29 @@ def distinct_by_first(spark, sf_dir):
 
 
 @query(
+    "distinct_by_expr",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey % 97
+                                    ORDER BY o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def distinct_by_expr(spark, sf_dir):
+    """distinctByExpr: dedup by a COMPUTED key expression, keep-first
+    under explicit order (api/distinctBy.kt:20-26). The key expression
+    partitions the window directly — no pre-aliased column needed."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .distinct_by([F.col("o_custkey") % 97], order_by=["o_orderkey"])
+        .df
+    )
+
+
+@query(
     "top_k_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice

@@ -44,6 +44,11 @@ def test_distinct_and_distinct_by(person):
     first = person.distinct_by(["name"], order_by=["age"])
     got = {(r["name"], r["age"]) for r in first.collect()}
     assert got == {("Alice", 15), ("Bob", 30), ("Mark", 20)}
+    # distinctByExpr (api/distinctBy.kt:20-26): computed key expression,
+    # no pre-aliased column — here "first letter of name"
+    by_initial = person.distinct_by([F.substring("name", 1, 1)], order_by=["age", "name"])
+    names = sorted(r["name"] for r in by_initial.collect())
+    assert names == ["Alice", "Bob", "Mark"]
 
 
 def test_take_ordered(person):
