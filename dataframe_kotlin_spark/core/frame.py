@@ -593,6 +593,15 @@ class KDataFrame:
                 exprs.append(F.col(path).alias(name))
         return self._wrap(self.df.select(*exprs))
 
+    def move(self, *cols: str | Sequence[str]):
+        """Full move clause over the column tree (api/move.kt:13-139):
+        ``df.move("a.b", "c").into(fn)/under(path)/to_top()/to(i)/
+        to_left()/to_right()/after(ref)``. Pure projection — compiles to
+        one select with struct builders, zero exchanges."""
+        from dataframe_kotlin_spark.core.move import KMoveClause
+
+        return KMoveClause(self, cols)
+
     def move_to_front(self, *cols: str) -> "KDataFrame":
         """Column order = select-list order (reference api/move.kt is a
         metadata-only op; same here)."""

@@ -172,6 +172,31 @@ def distinct_by_first(spark, sf_dir):
 
 
 @query(
+    "move_restructure",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_name AS profile_c_name,
+           c_acctbal AS balance
+    FROM customer
+    """,
+)
+def move_restructure(spark, sf_dir):
+    """Full move surface in one pipeline (api/move.kt:13-139): nest two
+    columns under a new group, pull one back to top with a rename,
+    reposition another — then flatten for value-level comparison. All
+    pure projection (zero exchanges, asserted in tests/test_move.py)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    return (
+        c.move("c_name", "c_acctbal").under("profile")
+        .move("profile.c_acctbal").to_top(lambda p: "balance")
+        .move("c_mktsegment").to(1)
+        .flatten()
+        .df
+    )
+
+
+@query(
     "distinct_by_expr",
     oracle="""
     SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
