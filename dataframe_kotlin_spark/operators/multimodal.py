@@ -2,11 +2,16 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata
 structs. The Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-signatures, partitioning — is real and tested; the actual media decode is
-STUBBED (this container has no image/audio libs): ``decode_stub=True``
-computes deterministic fake features from the raw bytes, and
-``decode_stub=False`` raises NotImplementedError where a real decoder
-(PIL/torchaudio/ffmpeg) would plug in.
+signatures, partitioning — is identical for every format; what varies is
+only the per-payload decode function:
+
+- ``decode_stub=True`` (default): deterministic fake features from the
+  raw bytes — byte-exact reproducible, no decoder dependence, the mode
+  the oracle-checked queries use.
+- ``decode_stub=False``: REAL decode via operators/mediacodec (stdlib
+  ``struct``/``wave`` + numpy): PPM and 24-bit BMP images, PCM WAV
+  audio. Unsupported mimes raise NotImplementedError with the library
+  (PIL/ffmpeg) that would plug into the same function at deployment.
 
 At scale: mapInPandas streams Arrow batches through Python workers;
 binary payloads stay off the driver, and `spark.sql.execution.arrow.
@@ -71,33 +76,54 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feat_dim: int =
     Stub decode: byte length, additive checksum mod 2^31, and a fake
     feature vector from evenly-sampled byte values / 255. Deterministic,
     so the pipeline is testable end-to-end without media libs.
+
+    Real decode (decode_stub=False): PPM/BMP payloads yield mean+std RGB
+    features, WAV payloads yield (duration, rms, peak, zcr) — see
+    mediacodec.image_features / audio_features. byte_len and checksum
+    stay identical across modes (they never decode).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataframe_kotlin_spark.operators import mediacodec as mc
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/torchaudio/ffmpeg — "
-                    "not available in this container; use decode_stub=True"
-                )
             payloads = pdf["payload"]
             byte_len = payloads.map(lambda b: len(b) if b is not None else 0)
             checksum = payloads.map(
                 lambda b: int(sum(b) % 2**31) if b is not None else 0
             )
 
-            def feat(b):
+            def feat_stub(b):
                 if not b:
                     return [0.0] * feat_dim
                 step = max(len(b) // feat_dim, 1)
                 return [float(b[min(i * step, len(b) - 1)]) / 255.0 for i in range(feat_dim)]
+
+            if decode_stub:
+                feature = payloads.map(feat_stub)
+            else:
+                mimes = pdf["meta"].map(lambda m: m["mime"] if m is not None else None)
+
+                def feat_real(b, mime):
+                    if not b:
+                        return [0.0] * feat_dim
+                    b = bytes(b)
+                    if mime in mc.AUDIO_MIMES:
+                        rate, _, samples = mc.parse_wav(b)
+                        return mc.audio_features(rate, samples, feat_dim)
+                    _, _, px = mc.decode_image(b, mime)  # raises for unknown mime
+                    return mc.image_features(px, feat_dim)
+
+                feature = pd.Series(
+                    [feat_real(b, m) for b, m in zip(payloads, mimes)], index=pdf.index
+                )
 
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "byte_len": byte_len.astype("int64"),
                     "checksum": checksum,
-                    "feature": payloads.map(feat),
+                    "feature": feature,
                 }
             )
 
@@ -129,32 +155,51 @@ def resize_media(
     extract_features/sample_frames in either order.
 
     Stub 'resize' truncates/zero-pads the payload to width*height bytes
-    (deterministic); a real implementation decodes, resizes (PIL/cv2),
-    re-encodes — same mapInPandas shape, same schema contract.
+    (deterministic). Real resize (decode_stub=False) decodes PPM/BMP via
+    mediacodec, nearest-neighbor resamples, and re-encodes as P6 PPM
+    (mime updated accordingly) — same mapInPandas shape, same schema
+    contract a PIL/cv2 implementation would use.
     """
     target = width * height
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real resize requires an image library; use decode_stub=True"
-                )
+        from dataframe_kotlin_spark.operators import mediacodec as mc
 
-            def rz(b):
+        for pdf in batches:
+
+            def rz_stub(b):
                 if b is None:
                     return None
                 b = bytes(b)
                 return b[:target] if len(b) >= target else b + b"\x00" * (target - len(b))
 
+            if decode_stub:
+                payload = pdf["payload"].map(rz_stub)
+                meta = pdf["meta"].map(
+                    lambda m: {"mime": m["mime"], "width": width, "height": height}
+                )
+            else:
+
+                def rz_real(b, m):
+                    if b is None:
+                        return None
+                    _, _, px = mc.decode_image(bytes(b), m["mime"] if m else None)
+                    return mc.write_ppm(mc.resize_nearest(px, width, height))
+
+                payload = pd.Series(
+                    [rz_real(b, m) for b, m in zip(pdf["payload"], pdf["meta"])],
+                    index=pdf.index,
+                )
+                meta = pdf["meta"].map(
+                    lambda m: {
+                        "mime": "image/x-portable-pixmap",
+                        "width": width,
+                        "height": height,
+                    }
+                )
+
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "payload": pdf["payload"].map(rz),
-                    "meta": pdf["meta"].map(
-                        lambda m: {"mime": m["mime"], "width": width, "height": height}
-                    ),
-                }
+                {"media_id": pdf["media_id"], "payload": payload, "meta": meta}
             )
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
@@ -173,32 +218,50 @@ def sample_frames(
     media: DataFrame, n_frames: int, decode_stub: bool = True
 ) -> DataFrame:
     """Frame sampling: one input row -> n output rows (UDTF shape via
-    mapInPandas). Stub treats the payload as n equal byte slices; a real
-    implementation seeks n evenly-spaced video frames (ffmpeg) — the
-    row-expansion plumbing, schema, and partition behavior are identical.
-    Output partitioning == input partitioning (no shuffle introduced)."""
+    mapInPandas). Stub treats the payload as n equal byte slices. Real
+    mode (decode_stub=False) samples n evenly-spaced WAV segments, each
+    re-encoded as a standalone WAV payload; video mimes raise
+    NotImplementedError naming the decoder (ffmpeg) that plugs into the
+    same function. The row-expansion plumbing, schema, and partition
+    behavior are identical in every mode. Output partitioning == input
+    partitioning (no shuffle introduced)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from dataframe_kotlin_spark.operators import mediacodec as mc
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg; use decode_stub=True"
-                )
+            metas = pdf["meta"] if "meta" in pdf else [None] * len(pdf)
             ids, idxs, frames = [], [], []
-            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+            for mid, b, m in zip(pdf["media_id"], pdf["payload"], metas):
                 if b is None:
                     continue
                 b = bytes(b)
-                step = max(len(b) // n_frames, 1)
-                for i in range(min(n_frames, len(b))):
+                if decode_stub:
+                    step = max(len(b) // n_frames, 1)
+                    for i in range(min(n_frames, len(b))):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(b[i * step : (i + 1) * step])
+                    continue
+                mime = m["mime"] if m is not None else None
+                if mime not in mc.AUDIO_MIMES:
+                    raise NotImplementedError(
+                        f"real frame sampling for mime {mime!r} requires ffmpeg; "
+                        "WAV audio segments supported via the stdlib codec"
+                    )
+                rate, _, samples = mc.parse_wav(b)
+                n = samples.shape[0]
+                seg = max(n // n_frames, 1)
+                for i in range(min(n_frames, n)):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(b[i * step : (i + 1) * step])
+                    frames.append(mc.write_wav(rate, samples[i * seg : (i + 1) * seg]))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame": frames}
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+    cols = ["media_id", "payload"] + (["meta"] if "meta" in media.columns else [])
+    return media.select(*cols).mapInPandas(run, FRAME_SCHEMA)
 
 
 def chunk_pcm_audio(
