@@ -514,6 +514,20 @@ def kmeans_lloyd_det(
     one trades that for replayability — the audit path, not the 100 TB
     path. Ties in the argmin break by cell id.
     """
+    assigned, _ = _kmeans_det_core(df, id_col, vec_col, k, iters)
+    return assigned.select(
+        F.col("__vid__").alias(id_col),
+        F.col("__cell__").alias("cell"),
+        F.col("__d2__").alias("dist2"),
+    )
+
+
+def _kmeans_det_core(
+    df: DataFrame, id_col: str, vec_col: str, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared deterministic-Lloyd body: returns (assignments with
+    (__vid__, __e__, __cell__, __d2__), final centroids (__cell__, __c__)
+    as DataFrames — centroids are k rows and never leave the cluster)."""
     dims = len(df.select(vec_col).first()[0])
     v = df.select(
         F.col(id_col).alias("__vid__"),
@@ -553,8 +567,70 @@ def kmeans_lloyd_det(
             F.transform(csum, lambda x: x / F.size("__vs__")).alias("__c__"),
         )
         assigned = assign(cents)
-    return assigned.select(
-        F.col("__vid__").alias(id_col),
-        F.col("__cell__").alias("cell"),
-        F.col("__d2__").alias("dist2"),
+    return assigned, cents
+
+
+def ivf_topk_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k_cells: int = 4,
+    iters: int = 1,
+    nprobe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Trained-IVF ANN with a fully replayable float recipe: centroids
+    come from kmeans_lloyd_det's sequential-fold Lloyd rounds, stay a
+    k-row DataFrame (never collected), and probing/scoring use the same
+    deterministic folds — so a SQL engine replaying the identical
+    left-fold order reproduces the exact doubles, argmins, and ranks
+    (the oracle for ann_ivf_trained does exactly that).
+
+    Query cells: each query ranks the k centroids by fold-d2 and probes
+    the nprobe nearest; candidates come from an equi-join on the cell id
+    (cross join only against the k-row centroid frame). Ranking orders
+    by the ROUNDED cosine (6 dp) so cross-engine ties cut identically.
+    """
+    assigned, cents = _kmeans_det_core(corpus, id_col, vec_col, k_cells, iters)
+    c = assigned.select(
+        F.col("__vid__").alias("neighbor_id"),
+        F.col("__e__").alias("__cv__"),
+        F.col("__cell__").alias("__cell__"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__qv__"),
+    )
+    qd2 = F.aggregate(
+        F.zip_with(F.col("__qv__"), F.col("__c__"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("__qd2__").asc(), F.col("__cell__").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__qd2__", qd2)
+        .withColumn("__qrn__", F.row_number().over(wq))
+        .filter(F.col("__qrn__") <= nprobe)
+        .select("query_id", "__qv__", "__cell__")
+    )
+    scored = (
+        c.join(F.broadcast(probes), "__cell__")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("__cv__"), F.col("__qv__")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("__cell__").cast("bigint").alias("cell"),
+            "neighbor_id",
+            "cosine_sim",
+            "rank",
+        )
     )

@@ -647,18 +647,84 @@ def reservoir_counts(spark, sf_dir):
     return r.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
-@query("ann_ivf_trained")
+@query(
+    "ann_ivf_trained",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 4),
+    d1 AS (
+      SELECT v.vec_id, v.e, c0.cell,
+             list_reduce(list_transform(range(1, 65), i -> (v.e[i]-c0.c[i])*(v.e[i]-c0.c[i])), (x,y) -> x+y) AS d2
+      FROM v, c0
+    ),
+    a1 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT cell, list(e ORDER BY vec_id) AS vs FROM a1 GROUP BY cell),
+    c1 AS (
+      SELECT cell,
+             list_transform(list_reduce(vs, (a,b) -> list_transform(range(1, 65), i -> a[i]+b[i])),
+                            x -> x / len(vs)) AS c
+      FROM m
+    ),
+    d2t AS (
+      SELECT v.vec_id, v.e, c1.cell,
+             list_reduce(list_transform(range(1, 65), i -> (v.e[i]-c1.c[i])*(v.e[i]-c1.c[i])), (x,y) -> x+y) AS d2
+      FROM v, c1
+    ),
+    af AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d2t
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id % 100 = 0),
+    qp AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, c1.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_reduce(list_transform(range(1, 65),
+                            i -> (q.qv[i]-c1.c[i])*(q.qv[i]-c1.c[i])), (x,y) -> x+y),
+                          c1.cell) AS rn
+        FROM q, c1
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT qp.query_id, af.cell, af.vec_id AS neighbor_id,
+             ROUND(
+               list_reduce(list_transform(range(1, 65), i -> af.e[i]*qp.qv[i]), (x,y) -> x+y) /
+               (sqrt(list_reduce(list_transform(range(1, 65), i -> af.e[i]*af.e[i]), (x,y) -> x+y)) *
+                sqrt(list_reduce(list_transform(range(1, 65), i -> qp.qv[i]*qp.qv[i]), (x,y) -> x+y))),
+               6) AS cosine_sim
+      FROM af JOIN qp ON af.cell = qp.cell
+      WHERE af.vec_id <> qp.query_id
+    )
+    SELECT query_id, CAST(cell AS BIGINT) AS cell, neighbor_id, cosine_sim, CAST(rank AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
 def ann_ivf_trained(spark, sf_dir):
-    """Learned-IVF ANN end-to-end: k-means coarse centroids (distributed
-    Lloyd's, deterministic init), nprobe=2 probing, per-query top-5.
-    Rows-only check (k-means has no SQL oracle); recall vs brute force
-    is pinned in tests/test_ann_ivf.py."""
+    """Learned-IVF ANN end-to-end, oracle-backed: deterministic k-means
+    centroids (similarity.ivf_topk_det — sequential-fold Lloyd, k=4,
+    one round), nprobe=2 probing, per-query top-5 by ROUNDED cosine.
+    The oracle replays the identical left folds (DuckDB list_reduce
+    over the same orders), so assignments, probe cells, similarities,
+    and ranks hash-match bit-exactly. The faster commutative-agg
+    training path stays available as train_ivf_centroids (recall vs
+    brute force pinned in tests/test_ann_ivf.py)."""
     from dataframe_kotlin_spark.operators import similarity as sim
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.orderBy("vec_id").limit(20)
-    cents = sim.train_ivf_centroids(emb, k=8, iters=3)
-    return sim.ivf_topk_trained(emb, queries_df, cents, k=5, nprobe=2)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.ivf_topk_det(emb, queries_df, k_cells=4, iters=1, nprobe=2, k=5)
 
 
 @query(
