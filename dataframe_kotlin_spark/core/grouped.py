@@ -182,21 +182,67 @@ class KPivotClause:
             "__pivot__", F.concat_ws("_", *[esc(c) for c in self.pivot_cols])
         )
 
-    def _pivoted(self):
-        src = self._src()
+    def _value_list(self):
         vals = self.pivot_values
         if vals is None:
+            src = self._src()
             vals = [r[0] for r in src.select(self.pivot_col).distinct().collect()]
             vals = sorted(v for v in vals if v is not None)
-        return src.groupBy(*self.grouped.keys).pivot(self.pivot_col, list(vals))
+            self.pivot_values = vals  # cache: one discovery pass per clause
+        return list(vals)
 
-    def aggregate(self, *aggs: Column, default=None) -> "KDataFrame":
+    def _pivoted(self):
+        return self._src().groupBy(*self.grouped.keys).pivot(
+            self.pivot_col, self._value_list()
+        )
+
+    def aggregate(
+        self, *aggs: Column, default=None, nested: bool = False, group_by_value: bool = False
+    ) -> "KDataFrame":
+        """Pivot aggregation. Flattened names (``value_agg``) by default —
+        the oracle-hashable layout. ``nested=True`` reproduces the
+        reference's column-group layout for MULTI-aggregate pivots
+        (api/pivot.kt:27-56 aggregatePivot path composition,
+        PivotTests.kt `pivot two values`): each pivot value becomes a
+        struct of the aggregate columns (``out["London"]["min_age"]``);
+        ``group_by_value=True`` flips the nesting to aggregate-name
+        outer (reference ``groupByValue`` — ``out["min_age"]["London"]``).
+        """
         out = self._pivoted().agg(*aggs)
         if default is not None:
             out = out.na.fill(default)
         from dataframe_kotlin_spark.core.frame import KDataFrame
 
-        return KDataFrame(out)
+        if not nested or len(aggs) < 2:
+            return KDataFrame(out)
+        keys = [c._jc.toString() if hasattr(c, "_jc") else str(c) for c in self.grouped.keys]
+        vals = [str(v) for v in self._value_list()]
+        # Spark names multi-agg pivot columns "<value>_<aggAlias>"
+        suffixes = []
+        for c in out.columns:
+            if c in keys:
+                continue
+            for v in vals:
+                if c.startswith(v + "_"):
+                    s = c[len(v) + 1 :]
+                    if s not in suffixes:
+                        suffixes.append(s)
+                    break
+        if group_by_value:
+            groups = [
+                F.struct(
+                    *[F.col(f"`{v}_{s}`").alias(v) for v in vals if f"{v}_{s}" in out.columns]
+                ).alias(s)
+                for s in suffixes
+            ]
+        else:
+            groups = [
+                F.struct(
+                    *[F.col(f"`{v}_{s}`").alias(s) for s in suffixes if f"{v}_{s}" in out.columns]
+                ).alias(v)
+                for v in vals
+            ]
+        return KDataFrame(out.select(*[F.col(f"`{k}`") for k in keys], *groups))
 
     def count(self, default: int = 0) -> "KDataFrame":
         return self.aggregate(F.count(F.lit(1)), default=default)

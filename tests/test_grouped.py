@@ -193,6 +193,53 @@ def test_pivot_two_columns_flattened(person2):
     assert "Moscow_young" in auto.columns and "Tokyo_young" in auto.columns
 
 
+def test_pivot_multi_value_nested_layout(person):
+    # reference PivotTests `pivot two values`: multiple aggregates nest
+    # as column groups per pivot value (aggregatePivot path composition,
+    # api/pivot.kt:27-56) — out["Moscow"]["min_age"]; groupByValue flips
+    # the nesting to out["min_age"]["Moscow"]
+    from pyspark.sql import types as T
+
+    out = (
+        person.group_by("name")
+        .pivot("city", ["Moscow", "London"])
+        .aggregate(
+            F.min("age").alias("min_age"),
+            F.max("age").alias("max_age"),
+            nested=True,
+        )
+    )
+    assert out.columns == ["name", "Moscow", "London"]
+    assert isinstance(out.df.schema["Moscow"].dataType, T.StructType)
+    assert [f.name for f in out.df.schema["Moscow"].dataType.fields] == ["min_age", "max_age"]
+    d = {r["name"]: r for r in out.collect()}
+    flat = (
+        person.group_by("name")
+        .pivot("city", ["Moscow", "London"])
+        .aggregate(F.min("age").alias("min_age"), F.max("age").alias("max_age"))
+    )
+    fd = {r["name"]: r for r in flat.collect()}
+    for n, r in d.items():
+        assert r["Moscow"]["min_age"] == fd[n]["Moscow_min_age"]
+        assert r["London"]["max_age"] == fd[n]["London_max_age"]
+
+    flipped = (
+        person.group_by("name")
+        .pivot("city", ["Moscow", "London"])
+        .aggregate(
+            F.min("age").alias("min_age"),
+            F.max("age").alias("max_age"),
+            nested=True,
+            group_by_value=True,
+        )
+    )
+    assert flipped.columns == ["name", "min_age", "max_age"]
+    assert [f.name for f in flipped.df.schema["min_age"].dataType.fields] == ["Moscow", "London"]
+    fl = {r["name"]: r for r in flipped.collect()}
+    for n in d:
+        assert fl[n]["min_age"]["Moscow"] == d[n]["Moscow"]["min_age"]
+
+
 def test_pivot_multi_separator_collision_and_nulls(spark):
     # ("a_b","c") vs ("a","b_c") must stay distinct columns (the
     # separator is escaped inside values), and a NULL in any pivot
