@@ -835,3 +835,38 @@ def merge_upsert_customers(spark, sf_dir):
         .replace_col("c_acctbal", F.round(F.col("c_acctbal"), 2))
         .df
     )
+
+
+@query(
+    "decimal_exact_ledger",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,18)))
+                AS VARCHAR)                                          AS sum_qty_exact,
+           CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0)) *
+                    CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                         AS DECIMAL(18,0)))
+                AS VARCHAR)                                          AS qty_cents_exact
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def decimal_exact_ledger(spark, sf_dir):
+    """BigDecimal convert parity (api/convert.kt:120-160 toBigDecimal,
+    Parsers BigDecimal stage convert.kt:272): exact DECIMAL(38,18)
+    aggregation over lineitem — sums and products carry every digit, then
+    render to string so the cross-engine hash checks exactness rather
+    than a rounded double. Map-side partial decimal sums before the one
+    exchange; decimal math is JVM-side codegen, no UDFs."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty18 = F.col("l_quantity").cast("bigint").cast("decimal(18,0)")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast("decimal(18,0)")
+    return (
+        li.df.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint").cast("decimal(38,18)"))
+            .cast("string")
+            .alias("sum_qty_exact"),
+            F.sum(qty18 * cents).cast("string").alias("qty_cents_exact"),
+        )
+    )

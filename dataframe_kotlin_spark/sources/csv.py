@@ -143,7 +143,9 @@ def _finalize(
     for c in df.columns:
         df = df.withColumn(c, F.when(F.col(c).isin(nulls) | F.col(c).isNull(), None).otherwise(F.col(c)))
 
-    explicit = col_types or {}
+    explicit = {
+        c: _COLTYPE_ALIASES.get(t, t) for c, t in (col_types or {}).items()
+    }
     if infer_types:
         df = infer_column_types(df, skip=set(explicit))
     for c, t in explicit.items():
@@ -216,14 +218,22 @@ def _acceptance_exprs(c: str) -> dict[str, Column]:
     # column parses to Double). Spark's try_cast also accepts inf/INF/NaN,
     # matching the reference's parseDouble special cases
     # (api/convert.kt:254-262). The cascade's BigDecimal stage
-    # (api/convert.kt:272) is unreachable in the reference itself — Kotlin's
-    # Double parser accepts a superset of BigDecimal literals (overflow
-    # becomes Infinity, never null) — so it is deliberately not mirrored.
+    # (api/convert.kt:272) sits AFTER Double, as in the reference, so it
+    # fires only for literals Double rejects but BigDecimal accepts —
+    # rare in both engines (Kotlin's Double parser accepts a superset of
+    # plain decimal literals; overflow becomes Infinity, never null).
+    # ``prefer_decimal`` (an extension knob on infer_column_types) hoists
+    # it ahead of Double so precision-exceeds-double literals keep all
+    # digits as DECIMAL(38,18) instead of silently rounding.
+    as_decimal = col.try_cast(_DECIMAL)
     return {
         f"{c}__int": all_ok(col.try_cast("int").isNotNull() & ~col.contains(".")),
         f"{c}__long": all_ok(as_long.isNotNull()),
         f"{c}__double": all_ok(as_double.isNotNull()),
         f"{c}__bool": all_ok(lower.isin(*_BOOL_TRUE, *_BOOL_FALSE)),
+        f"{c}__decimal": all_ok(
+            as_decimal.isNotNull() & col.rlike(r"^[+-]?\d*\.?\d+([eE][+-]?\d+)?$")
+        ),
         f"{c}__date": all_ok(col.try_cast("date").isNotNull() & col.rlike(r"^\d{4}-\d{2}-\d{2}$")),
         f"{c}__time": all_ok(col.rlike(r"^\d{2}:\d{2}(:\d{2})?$")),
         f"{c}__ts": all_ok(
@@ -234,14 +244,28 @@ def _acceptance_exprs(c: str) -> dict[str, Column]:
     }
 
 
+# DECIMAL(38,18) mirrors java.math.BigDecimal closely enough for CSV
+# literals while staying a fixed Spark type (SURVEY §1.3): 20 integer +
+# 18 fraction digits, exact arithmetic, sortable, parquet-writable.
+_DECIMAL = "decimal(38,18)"
+
 # parser priority — reference api/convert.kt:267-276
-_CASCADE = ["int", "long", "double", "bool", "date", "time", "ts"]
+# (Int, Long, Double, Boolean, BigDecimal, LocalDate, LocalTime, LocalDateTime)
+_CASCADE = ["int", "long", "double", "bool", "decimal", "date", "time", "ts"]
 _CAST = {
     "int": "int",
     "long": "long",
     "double": "double",
+    "decimal": _DECIMAL,
     "date": "date",
     "ts": "timestamp_ntz",
+}
+
+# col_types spelling aliases (reference ColType enum names)
+_COLTYPE_ALIASES = {
+    "bigdecimal": _DECIMAL,
+    "bigDecimal": _DECIMAL,
+    "BigDecimal": _DECIMAL,
 }
 
 # Reference DataFrame.parser.addDateTimeFormat (ParserTests.kt:20-27):
@@ -261,7 +285,10 @@ def clear_datetime_formats() -> None:
 
 
 def infer_column_types(
-    df: DataFrame, skip: set[str] = frozenset(), strict: bool = False
+    df: DataFrame,
+    skip: set[str] = frozenset(),
+    strict: bool = False,
+    prefer_decimal: bool = False,
 ) -> DataFrame:
     """One distributed aggregate pass decides each string column's type,
     then one projection casts. String columns stay string when no parser
@@ -271,7 +298,12 @@ def infer_column_types(
 
     Custom datetime formats registered via add_datetime_format extend
     the cascade's datetime stage, tried in registration order after the
-    ISO forms (reference parser.addDateTimeFormat)."""
+    ISO forms (reference parser.addDateTimeFormat).
+
+    ``prefer_decimal=True`` hoists the BigDecimal stage ahead of Double
+    (extension beyond the reference order), so fractional literals keep
+    every digit as DECIMAL(38,18) — use when ingesting money/ledger CSVs
+    where double rounding is unacceptable."""
     str_cols = [c for c, t in df.dtypes if t == "string" and c not in skip]
     if not str_cols:
         return df
@@ -287,7 +319,11 @@ def infer_column_types(
             )
     row = df.agg(*[v.alias(k) for k, v in aggs.items()]).collect()[0]
 
-    cascade = _CASCADE + [f"tsfmt{i}" for i in range(len(custom))]
+    order = list(_CASCADE)
+    if prefer_decimal:
+        order.remove("decimal")
+        order.insert(order.index("double"), "decimal")
+    cascade = order + [f"tsfmt{i}" for i in range(len(custom))]
     out = df
     for c in str_cols:
         if row[f"{c}__allnull"]:

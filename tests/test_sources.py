@@ -426,3 +426,70 @@ def test_conform_to_schema_evolution(spark):
     drift = spark.createDataFrame([("x", "notnum")], "name string, id string")
     assert conform_to_schema(drift, target).collect()[0]["id"] is None
     assert conform_to_schema(drift, target, strict_casts=True).collect()[0]["id"] is None
+
+
+# --- BigDecimal cascade stage + DecimalType converts (api/convert.kt:272,
+# Parsers.All BigDecimal stage; ConvertClause.toBigDecimal) ---
+
+HIPREC = "0.123456789012345678"  # 18 fraction digits — exceeds double's 15-17
+
+
+def test_parse_cascade_decimal_stage_order(spark):
+    # reference order: plain fractional literals are accepted by the
+    # Double stage BEFORE BigDecimal is tried (api/convert.kt:267-276)
+    df = read_delim_str(spark, f"x\n{HIPREC}\n1.5\n")
+    assert dict(df.dtypes)["x"] == "double"
+
+
+def test_parse_prefer_decimal_keeps_all_digits(spark):
+    from dataframe_kotlin_spark.sources.csv import infer_column_types
+
+    raw = spark.createDataFrame([(HIPREC,), ("2.000000000000000001",)], "x string")
+    df = infer_column_types(raw, prefer_decimal=True)
+    assert dict(df.dtypes)["x"] == "decimal(38,18)"
+    vals = sorted(str(r["x"]) for r in df.collect())
+    assert vals == ["0.123456789012345678", "2.000000000000000001"]
+    # double would have rounded the second literal to exactly 2.0
+    assert float("2.000000000000000001") == 2.0
+
+
+def test_parse_prefer_decimal_non_numeric_falls_through(spark):
+    from dataframe_kotlin_spark.sources.csv import infer_column_types
+
+    raw = spark.createDataFrame([("NaN",), ("1.5",)], "x string")
+    df = infer_column_types(raw, prefer_decimal=True)
+    # NaN is a Double literal but not a BigDecimal one -> Double stage wins
+    assert dict(df.dtypes)["x"] == "double"
+
+
+def test_col_types_bigdecimal_alias(spark, tmp_path):
+    p = tmp_path / "money.csv"
+    p.write_text(f"amt\n{HIPREC}\n")
+    df = read_csv(spark, str(p), col_types={"amt": "bigdecimal"})
+    assert dict(df.dtypes)["amt"] == "decimal(38,18)"
+    assert str(df.collect()[0]["amt"]) == HIPREC
+
+
+def test_convert_to_decimal_roundtrip(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+
+    df = KDataFrame(spark.createDataFrame([("1",), (HIPREC,)], "x string"))
+    dec = df.convert("x", T.DecimalType(38, 18))
+    assert dec.df.schema["x"].dataType == T.DecimalType(38, 18)
+    got = sorted(r["x"] for r in dec.df.collect())
+    assert got == [Decimal(HIPREC), Decimal(1)]
+    # convert matrix parity (api/convert.kt:120-160): Int/Long/Double/Float
+    # -> BigDecimal, and BigDecimal -> String round-trips the digits
+    back = dec.convert("x", "string")
+    assert sorted(r["x"] for r in back.df.collect()) == [
+        "0.123456789012345678",
+        "1.000000000000000000",
+    ]
+    ints = KDataFrame(spark.createDataFrame([(7,)], "n int")).convert(
+        "n", T.DecimalType(38, 18)
+    )
+    assert str(ints.df.collect()[0]["n"]) == "7.000000000000000000"
