@@ -938,6 +938,14 @@ class KDataFrame:
             )
         return self._wrap(self.df.withColumn(name, expr))
 
+    def format(self, *cols: str):
+        """Fluent conditional styling: ``df.format("a").where(pred)
+        .with_(lambda dsl, v: dsl.bold)`` -> FormattedFrame.to_html()
+        (reference api/format.kt:111-138)."""
+        from dataframe_kotlin_spark.sources.formatting import format_frame
+
+        return format_frame(self.df, *cols)
+
     # -- sinks ------------------------------------------------------------
     def to_pandas(self):
         return self.df.toPandas()

@@ -28,6 +28,12 @@ from dataframe_kotlin_spark.sources.build import (
     to_map,
 )
 from dataframe_kotlin_spark.sources.render import to_html, to_string
+from dataframe_kotlin_spark.sources.formatting import (
+    FormattedFrame,
+    FormattingDSL,
+    RGBColor,
+    format_frame,
+)
 
 __all__ = [
     "read_csv",
@@ -43,6 +49,10 @@ __all__ = [
     "to_objects",
     "to_html",
     "to_string",
+    "format_frame",
+    "FormattedFrame",
+    "FormattingDSL",
+    "RGBColor",
     "from_map",
     "from_rows",
     "append_rows",
