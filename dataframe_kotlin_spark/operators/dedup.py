@@ -397,3 +397,37 @@ def jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    cell_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): within each embedding cluster, find pairs whose
+    cosine similarity exceeds ``threshold`` and keep only one document
+    of each — the smallest id survives (a row is dropped iff it is the
+    LARGER id of some above-threshold pair; greedy-by-id, so chains
+    a~b~c keep only a even when cos(a,c) < threshold, matching the
+    paper's one-survivor-per-near-clique intent deterministically).
+
+    Scale shape: the cluster column (k-means cell from
+    similarity.kmeans_lloyd_det / train_ivf_centroids, or an LSH bucket)
+    blocks the self-join — O(sum cell²) not O(n²); the pair join
+    shuffles on the cell key once, and the final anti-join shuffles on
+    the id. No collect, no cross join; cosine is the JVM-side
+    sequential fold (similarity.dot), so the whole pass is
+    whole-stage-codegen and bit-exactly replayable by the oracle.
+
+    Returns the surviving rows of ``df`` (all original columns).
+    """
+    from dataframe_kotlin_spark.operators.similarity import cosine_neardup_pairs
+
+    pairs = cosine_neardup_pairs(
+        df, cell_col, vec_col=vec_col, id_col=id_col, threshold=threshold
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

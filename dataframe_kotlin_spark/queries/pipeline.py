@@ -1745,3 +1745,64 @@ def curate_corpus(spark, sf_dir):
         F.round(F.avg("quality") + 1e-9, 4).alias("avg_quality"),
         F.sum(F.length(normalize(F.col("text")))).cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "semdedup_survivors",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 4),
+    d1 AS (
+      SELECT v.vec_id, v.e, c0.cell,
+             list_reduce(list_transform(range(1, 65), i -> (v.e[i]-c0.c[i])*(v.e[i]-c0.c[i])), (x,y) -> x+y) AS d2
+      FROM v, c0
+    ),
+    a1 AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d1
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT cell, list(e ORDER BY vec_id) AS vs FROM a1 GROUP BY cell),
+    c1 AS (
+      SELECT cell,
+             list_transform(list_reduce(vs, (a,b) -> list_transform(range(1, 65), i -> a[i]+b[i])),
+                            x -> x / len(vs)) AS c
+      FROM m
+    ),
+    d2t AS (
+      SELECT v.vec_id, v.e, c1.cell,
+             list_reduce(list_transform(range(1, 65), i -> (v.e[i]-c1.c[i])*(v.e[i]-c1.c[i])), (x,y) -> x+y) AS d2
+      FROM v, c1
+    ),
+    asg AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM d2t
+      ) WHERE rn = 1
+    ),
+    pr AS (
+      SELECT b.vec_id AS ib
+      FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(range(1, 65), i -> a.e[i]*b.e[i]), (x,y) -> x+y) /
+            (sqrt(list_reduce(list_transform(range(1, 65), i -> a.e[i]*a.e[i]), (x,y) -> x+y)) *
+             sqrt(list_reduce(list_transform(range(1, 65), i -> b.e[i]*b.e[i]), (x,y) -> x+y))) >= 0.35
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell
+    FROM asg WHERE vec_id NOT IN (SELECT ib FROM pr)
+    """,
+)
+def semdedup_survivors(spark, sf_dir):
+    """SemDeDup semantic dedup (dedup.semdedup_prune; Abbas et al. 2023):
+    deterministic k-means cells (k=4, one Lloyd round — the bit-exact
+    kmeans_lloyd_det recipe the oracle replays) block the within-cluster
+    cosine self-join; above-threshold pairs drop the larger id. The
+    whole pass is cell-key-blocked joins — no all-pairs, no collect —
+    and every float is a sequential fold, so survivor sets hash-match
+    the SQL replay exactly."""
+    emb = _t(spark, sf_dir, "embeddings")
+    asg = similarity.kmeans_lloyd_det(emb, "vec_id", "embedding", k=4, iters=1)
+    tagged = emb.join(asg.select("vec_id", F.col("cell").cast("bigint").alias("cell")), "vec_id")
+    out = dedup.semdedup_prune(tagged, "cell", "embedding", "vec_id", threshold=0.35)
+    return out.select("vec_id", "cell")

@@ -623,3 +623,36 @@ def test_chunk_text_coverage_properties(spark):
         # reassembly from stride-aligned pieces covers the full text
         rebuilt = "".join(c[:80] for _, _, c in chunks[:-1]) + chunks[-1][2]
         assert rebuilt == text
+
+
+def test_semdedup_prune_keeps_smallest_id(spark):
+    from dataframe_kotlin_spark.operators.dedup import semdedup_prune
+
+    rows = [
+        # cluster 0: a(1) ~ b(2) identical, c(3) orthogonal
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0, 0.0]),
+        (3, 0, [0.0, 1.0, 0.0]),
+        # cluster 1: unit vectors at 0°/20°/40° — adjacent pairs at
+        # cos20°≈0.94 (>0.9), the 4~6 pair at cos40°≈0.77 (<0.9)
+        (4, 1, [1.0, 0.0, 0.0]),
+        (5, 1, [0.93969262, 0.34202014, 0.0]),
+        (6, 1, [0.76604444, 0.64278761, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, cell int, embedding array<double>")
+    out = semdedup_prune(df, "cell", "embedding", "vec_id", threshold=0.9)
+    got = sorted(r["vec_id"] for r in out.collect())
+    # 2 dropped (dup of 1); 5 dropped (pair 4~5); 6 dropped (pair 5~6,
+    # greedy-by-id even though 5 itself was dropped); 3 orthogonal survives
+    assert got == [1, 3, 4]
+    assert set(out.columns) == {"vec_id", "cell", "embedding"}
+
+
+def test_semdedup_prune_cells_block_pairs(spark):
+    from dataframe_kotlin_spark.operators.dedup import semdedup_prune
+
+    # identical vectors in DIFFERENT cells are never compared
+    rows = [(1, 0, [1.0, 0.0]), (2, 1, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id int, cell int, embedding array<double>")
+    out = semdedup_prune(df, "cell", "embedding", "vec_id", threshold=0.9)
+    assert out.count() == 2
