@@ -715,6 +715,12 @@ class KDataFrame:
         )
 
     # -- frame-level reshape helpers (SURVEY §2.5 countBy, §2.6 transpose) -
+    def ndistinct(self, col: str) -> int:
+        """Distinct-value count of one column (columns.ndistinct,
+        impl/columns/DataColumnImpl.kt:23; DataFrameTests `nunique`).
+        Plans as a partial-agged distinct count, not a driver-side set."""
+        return self.df.select(col).distinct().count()
+
     def count_by(self, *cols: str) -> "KDataFrame":
         """Per-value frequency (docs/reference.md:505)."""
         return self._wrap(self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n")))

@@ -289,3 +289,8 @@ def test_rename_nested_field(spark):
     assert dict(out.df.dtypes)["g"] == "struct<alpha:int,b:string>"
     assert out.columns == ["g", "value"]
     assert out.collect()[0]["g"]["alpha"] == 1
+
+
+def test_ndistinct(person):
+    # DataFrameTests `nunique`: typed.name.ndistinct() shouldBe 3
+    assert person.ndistinct("name") == 3

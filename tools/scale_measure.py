@@ -1,0 +1,102 @@
+"""100× scale-up measurement: run the SHIPPED registry queries against a
+synthetic 100×-sf0.1 star schema (60M lineitem rows, keyspace spread
+100-fold with FK-consistent remapping), and report wall times + the join
+strategies AQE actually picked.
+
+This is the evidence behind SCALE.md's "Scale-up measurement" table:
+the same plans, zero code change, 100× data — if a query is
+fixed-overhead-bound at sf0.1, the 100× run shows it; if a plan decision
+(broadcast vs sort-merge) is size-dependent, the 100× run shows which
+way AQE resolves it when the dims are genuinely big.
+
+Usage: python tools/scale_measure.py [--regen]
+Writes the scaled tables once to /tmp/scale100 (reused across runs).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/scale100")
+FACTOR = 100
+
+# FK-consistent key remap: key' = key*FACTOR + i, applied to BOTH sides
+# of every foreign key, so join selectivity structure is preserved while
+# each table grows 100× and the keyspace spreads 100× (no artificial
+# key collisions inflating join outputs).
+SCALED_KEYS = {
+    "lineitem": ["l_orderkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "documents": ["doc_id"],
+}
+COPIED = ["region", "nation", "part"]
+
+
+def build(spark):
+    from pyspark.sql import functions as F
+
+    for name, keys in SCALED_KEYS.items():
+        df = spark.read.parquet(f"{SRC}/{name}.parquet")
+        rep = df.withColumn("__i__", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))))
+        for k in keys:
+            rep = rep.withColumn(k, F.col(k) * FACTOR + F.col("__i__"))
+        rep.drop("__i__").write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        print(f"scaled {name}: x{FACTOR}")
+    for name in COPIED:
+        spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
+    with open(f"{DST}/_done", "w") as fh:
+        fh.write("ok")
+
+
+def joins_in_plan(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sorted(
+        {tok for tok in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") if tok in plan}
+    )
+
+
+def main():
+    from dataframe_kotlin_spark.session import get_spark
+
+    spark = get_spark("scale-measure")
+    if "--regen" in sys.argv or not os.path.exists(f"{DST}/_done"):
+        t0 = time.time()
+        build(spark)
+        print(f"build took {time.time()-t0:.0f}s")
+
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    workloads = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "minhash_signatures",
+    ]
+    out = {}
+    for name in workloads:
+        qs[name](spark, DST).count()  # warm codegen/scan
+        times = []
+        last = None
+        for _ in range(3):
+            t0 = time.time()
+            last = qs[name](spark, DST)
+            n = last.count()
+            times.append(time.time() - t0)
+        best = min(times)
+        out[name] = best
+        print(f"{name}: {best:.2f}s (rows={n}, joins={joins_in_plan(last)})")
+    print({k: round(v, 2) for k, v in out.items()})
+
+
+if __name__ == "__main__":
+    main()
