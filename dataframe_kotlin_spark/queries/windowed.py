@@ -547,32 +547,34 @@ def nth_order_value(spark, sf_dir):
 )
 def funnel_conversion(spark, sf_dir):
     """Ordered funnel (click -> later view -> later purchase): how many
-    users complete each prefix. Each stage is a tiny per-user aggregate
-    (one row per qualifying user) joined into the next stage's event
-    filter — the events table streams past three filters; the stage
-    frames are user-count sized and broadcast. The sequential ts > prev
-    constraint is what makes this a FUNNEL rather than three independent
-    counts (a user who purchases before clicking doesn't convert)."""
+    users complete each prefix. The sequential ts > prev constraint is
+    what makes this a FUNNEL rather than three independent counts (a
+    user who purchases before clicking doesn't convert).
+
+    Single-pass shape: ONE scan of events (pruned to the three funnel
+    types before the shuffle), ONE exchange on user_id collecting each
+    user's per-stage timestamps, then array HOFs derive the stage-entry
+    times row-locally and a final single-row aggregate counts them —
+    2 exchanges total vs the naive per-stage join cascade (which scans
+    events once per stage and recomputes every stage frame for its
+    count). Per-user state is that user's funnel-event list — the same
+    per-key bound as sessionize; salt hot users if one dominates."""
     ev = _t(spark, sf_dir, "events").df
-    s1 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(F.min("ts").alias("t1"))
-    s2 = (
-        ev.filter(F.col("event_type") == "view")
-        .join(F.broadcast(s1), "user_id")
-        .filter(F.col("ts") > F.col("t1"))
+    per_user = (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t1"),
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("ts"))).alias("__vs__"),
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("__ps__"),
+        )
+        .withColumn("t2", F.array_min(F.filter("__vs__", lambda v: v > F.col("t1"))))
+        .withColumn("t3", F.array_min(F.filter("__ps__", lambda p: p > F.col("t2"))))
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    return (
-        s1.agg(F.count(F.lit(1)).alias("n_clicked"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_then_viewed")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_then_purchased")))
+    return per_user.agg(
+        F.count("t1").alias("n_clicked"),
+        F.count("t2").alias("n_then_viewed"),
+        F.count("t3").alias("n_then_purchased"),
     )
 
 

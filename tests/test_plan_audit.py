@@ -169,3 +169,14 @@ def test_curate_corpus_shuffle_budget(spark):
     plan = _plan(spark, "curate_corpus").split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_funnel_single_scan_two_exchanges(spark):
+    # single-pass funnel: one events scan, one user_id exchange + the
+    # single-row final agg — the per-stage join cascade is gone
+    from dataframe_kotlin_spark.queries import spark_queries
+
+    df = spark_queries()["funnel_conversion"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2
