@@ -1,0 +1,281 @@
+"""Systematic port of reference person/DataFrameTests.kt over the SAME
+7-row person fixture (conftest PERSON_ROWS == BaseTest.df). Each test
+names its reference case; expected values are the reference's literals.
+
+Positional cases (index updates, slicing, chunking, first/last) carry an
+explicit __idx__ ordering column, since the engine has no implicit row
+order (SURVEY §4.2-2)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataframe_kotlin_spark.core.frame import KDataFrame
+from dataframe_kotlin_spark.core import columns as sel
+
+
+def cities(kdf):
+    return [r["city"] for r in kdf.df.collect()]
+
+
+@pytest.fixture(scope="module")
+def indexed(person):
+    # insertion order as data (reference row index)
+    rows = person.df.collect()
+    spark = person.df.sparkSession
+    # fresh StructType: StructType.add would MUTATE the shared fixture schema
+    schema = T.StructType(
+        list(person.df.schema.fields) + [T.StructField("__idx__", T.LongType())]
+    )
+    return KDataFrame(
+        spark.createDataFrame([tuple(r) + (i,) for i, r in enumerate(rows)], schema)
+    )
+
+
+# --- update family ---
+
+
+def test_update(person):
+    # `update`: age doubled, schema unchanged
+    res = person.update("age", with_expr=F.col("age") * 2)
+    assert res.columns == person.columns
+    assert sorted(r["age"] for r in res.df.collect()) == sorted(
+        r["age"] * 2 for r in person.df.collect()
+    )
+
+
+def test_conditional_update(person):
+    # `conditional update`: age>25 -> null
+    res = person.update("age", where=F.col("age") > 25, with_expr=F.lit(None))
+    got = [r["age"] for r in res.df.collect()]
+    assert sorted(a for a in got if a is not None) == [15, 20, 20]
+    assert got.count(None) == 4
+
+
+def test_update_cells_by_index(indexed):
+    # `update cells by index`: at(2, 4).with(100)
+    res = indexed.update_at("age", [2, 4], F.lit(100), order_by=["__idx__"])
+    got = {r["__idx__"]: r["age"] for r in res.df.collect()}
+    assert got[2] == 100 and got[4] == 100
+    assert got[0] == 15 and got[1] == 45
+
+
+def test_update_cells_by_index_range(indexed):
+    # `update cells by index range`: at(2..4).with(100)
+    res = indexed.update_at("age", [2, 3, 4], F.lit(100), order_by=["__idx__"])
+    got = {r["__idx__"]: r["age"] for r in res.df.collect()}
+    assert [got[i] for i in range(7)] == [15, 45, 100, 100, 100, 20, 30]
+
+
+def test_null_to_zero(person):
+    # `null to zero`: weight nulls -> 0
+    for res in (
+        person.null_to_zero("weight"),
+        person.fill_nulls("weight", F.lit(0)),
+    ):
+        assert sorted(r["weight"] for r in res.df.collect()) == [0, 0, 54, 55, 68, 87, 90]
+
+
+def test_reset_to_null(person):
+    # `resetToNull`: update { all() }.withNull()
+    res = person
+    for c in person.columns:
+        res = res.update(c, with_expr=F.lit(None).cast(person.df.schema[c].dataType))
+    assert all(v is None for r in res.df.collect() for v in r)
+
+
+def test_update_not_null(person):
+    # update().notNull{}: only non-null cells rewritten
+    res = person.update_not_null("weight", F.col("weight") + 1)
+    assert sorted(r["weight"] for r in res.df.collect() if r["weight"] is not None) == [
+        55, 56, 69, 88, 91,
+    ]
+    assert sum(1 for r in res.df.collect() if r["weight"] is None) == 2
+
+
+# --- sorting ---
+
+
+def test_sort(person):
+    # `sort`: name asc + age desc -> city column order
+    res = person.sort_by("name", F.col("age").desc())
+    assert cities(res) == [None, "London", "Dubai", "Tokyo", "Milan", "Moscow", "Moscow"]
+
+
+def test_sort_nulls_first(person):
+    # `sort nulls first`: plain city key -> null leads
+    assert cities(person.sort_by("city"))[0] is None
+
+
+def test_sort_nulls_last(person):
+    # `sort nulls last`: city.nullsLast
+    got = cities(person.sort_by(F.col("city").asc_nulls_last()))
+    assert got[-1] is None
+    assert got[:-1] == sorted(got[:-1])
+
+
+def test_sort_desc(person):
+    # sortByDesc: all keys desc
+    ages = [r["age"] for r in person.sort_by_desc("age").df.collect()]
+    assert ages == sorted(ages, reverse=True)
+
+
+# --- filter / dropNulls ---
+
+
+def test_filter(person):
+    # `filter`: age>20 && weight != null -> [Bob, Bob, Mark]
+    res = person.filter((F.col("age") > 20) & F.col("weight").isNotNull())
+    assert sorted(r["name"] for r in res.df.collect()) == ["Bob", "Bob", "Mark"]
+
+
+def test_drop_nulls_one(person):
+    # `drop nulls 1`
+    res = person.drop_nulls(["weight"])
+    assert all(r["weight"] is not None for r in res.df.collect())
+    assert res.nrow() == 5
+
+
+def test_drop_where_all_null(person):
+    # `drop where all null`: null weight where Alice, then
+    # dropNulls(weight, city, whereAllNull) drops only the row with BOTH null
+    filtered = person.update("weight", where=F.col("name") == "Alice", with_expr=F.lit(None))
+    assert filtered.drop_nulls(["weight", "city"], where_all_null=True).nrow() == 6
+
+
+def test_drop_where_any_null(person):
+    # `drop where any null`
+    filtered = person.update("weight", where=F.col("name") == "Alice", with_expr=F.lit(None))
+    expected = filtered.count_rows(F.col("weight").isNotNull() & F.col("city").isNotNull())
+    assert filtered.drop_nulls(["weight", "city"]).nrow() == expected == 3
+
+
+# --- select / move ---
+
+
+def test_select_one_and_two(person):
+    assert person.select("age").columns == ["age"]
+    assert person.select("age", "city").columns == ["age", "city"]
+
+
+def test_select_if_name_length(person):
+    # `select if`: cols { name.length == 4 } -> [name, city]
+    res = person.select_cols(lambda s: sel.cols(s, pred=lambda f: len(f.name) == 4))
+    assert res.columns == ["name", "city"]
+
+
+def test_select_by_type(person):
+    # `select by type`: colsOf<String?> -> [name, city]
+    res = person.select_cols(lambda s: sel.cols_of(s, T.StringType))
+    assert res.columns == ["name", "city"]
+
+
+def test_select_with_rename(person):
+    # `select with rename 2`
+    res = person.select(F.col("name").alias("Name"))
+    assert res.columns == ["Name"]
+
+
+def test_move_one_column(person):
+    # `move one column`: moveTo(1) { city }
+    assert person.move("city").to(1).columns == ["name", "city", "age", "weight"]
+
+
+def test_move_several_columns(person):
+    # `move several columns`: moveTo(2) { name and city }
+    assert person.move("name", "city").to(2).columns == ["age", "weight", "name", "city"]
+
+
+def test_move_to_left_right(person):
+    # `move several columns to left` / `to right`
+    assert person.move("weight", "age").to_left().columns == ["weight", "age", "name", "city"]
+    assert person.move("weight", "name").to_right().columns == ["age", "city", "weight", "name"]
+
+
+# --- positional / slicing ---
+
+
+def test_slicing(indexed):
+    # `slicing`: typed[1..2]
+    res = indexed.slice_rows(1, 3, order_by=["__idx__"])
+    assert res.nrow() == 2
+    assert sorted(r["__idx__"] for r in res.df.collect()) == [1, 2]
+
+
+def test_select_several_rows(indexed):
+    # `select several rows`: df[2, 4]
+    res = indexed.rows_at([2, 4], order_by=["__idx__"])
+    assert sorted(r["age"] for r in res.df.collect()) == [20, 30]
+
+
+def test_chunked(indexed):
+    # `chunked`: 7 rows / 2 -> sizes [2,2,2,1]
+    res = indexed.chunked(2, order_by=["__idx__"])
+    sizes = sorted(
+        r["n"] for r in res.df.groupBy("chunk").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes == [1, 2, 2, 2]
+
+
+def test_first_last(indexed):
+    # `first last`
+    assert indexed.first_row()["name"] is not None
+    first = indexed.sort_by("__idx__").first_row()
+    assert (first["name"], first["age"]) == ("Alice", 15)
+
+
+# --- distinct / counts / stats ---
+
+
+def test_distinct_pair(person):
+    # `distinct`: select(name, city).distinct() -> 6 unique pairs
+    assert person.distinct(["name", "city"]).nrow() == 6
+
+
+def test_distinct_by_first_per_key(indexed):
+    # `distinct by`: first occurrence per name
+    res = indexed.distinct_by(["name"], order_by=["__idx__"])
+    got = {r["name"]: r["age"] for r in res.df.collect()}
+    assert got == {"Alice": 15, "Bob": 45, "Mark": 20}
+
+
+def test_count_pred(person):
+    # DataFrameTests count usages: age > 25 matches 4 rows
+    assert person.count_rows(F.col("age") > 25) == 4
+    assert person.count_rows() == 7
+
+
+def test_nrow_ncol_size(person):
+    # `size`
+    assert (person.ncol(), person.nrow()) == (4, 7)
+
+
+def test_mean_age(person):
+    # BasicMath mean of age = 200/7
+    got = person.df.agg(F.avg("age")).collect()[0][0]
+    assert abs(got - 200 / 7) < 1e-12
+
+
+def test_equals_after_identity_update(person):
+    # `equals`: update age with itself is a no-op
+    res = person.update("age", with_expr=F.col("age"))
+    assert sorted(map(tuple, res.df.collect())) == sorted(map(tuple, person.df.collect()))
+
+
+# --- group get ---
+
+
+def test_get_group_by_single_key(person):
+    # groupBy { name }["Mark"] == filter { name == "Mark" }
+    grouped = person.group_by("name")
+    mark = grouped.get_group("Mark") if hasattr(grouped, "get_group") else person.filter(
+        F.col("name") == "Mark"
+    )
+    assert mark.nrow() == 3
+
+
+def test_union_with_self(person):
+    # `merge similar dataframes`: df.union(df).union(df) -> 3x rows
+    res = person.union(person).union(person)
+    assert res.nrow() == 21
+    assert res.columns == person.columns
