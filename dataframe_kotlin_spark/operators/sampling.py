@@ -215,3 +215,97 @@ def weighted_sample_per_group(
         .filter(F.col("__es_rank__") <= k)
         .drop("__es_rank__")
     )
+
+
+def _gram_bucket(gram: Column, buckets: int) -> Column:
+    """Deterministic engine-portable feature hash: first 5 md5 hex chars
+    as an int, mod buckets (same recipe as dedup.hash20 / hash_split)."""
+    return (F.conv(F.substring(F.md5(gram), 1, 5), 16, 10).cast("bigint") % buckets)
+
+
+def hashed_ngram_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", buckets: int = 256
+) -> DataFrame:
+    """Hashed unigram+bigram bag-of-features per document: one row per
+    (id, bucket) with the occurrence count. Map-side explode of the
+    token and bigram arrays, one shuffle on (id, bucket)."""
+    from dataframe_kotlin_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array())
+    grams = df.select(
+        F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("__gram__")
+    )
+    return (
+        grams.withColumn("__b__", _gram_bucket(F.col("__gram__"), buckets))
+        .groupBy(id_col, "__b__")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__c__"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023, arXiv:2302.03169): score every raw document by how
+    much more likely its hashed-n-gram features are under the TARGET
+    distribution than under the RAW distribution —
+    ``log w(x) = Σ_f c_f(x) · (ln p_target(f) − ln p_raw(f))`` with
+    Laplace-``alpha`` smoothing over ``buckets`` feature buckets.
+    Select high-weight docs to shift a crawl toward a curated target
+    (the paper's use: picking pretraining data that "looks like"
+    Wikipedia+books).
+
+    Scale shape: the two feature distributions aggregate to <= buckets
+    rows each and BROADCAST into the per-doc join — the raw corpus
+    shuffles once on (id, bucket) for its feature bag and once on id for
+    the final sum; nothing about the corpora ever reaches the driver.
+    All hashing is the md5 recipe, so weights are engine-reproducible.
+
+    Returns (id_col, log_weight) for every raw document.
+    """
+    feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
+
+    def dist(df: DataFrame, logp_name: str) -> DataFrame:
+        counts = (
+            hashed_ngram_buckets(df, text_col, id_col, buckets)
+            .groupBy("__b__")
+            .agg(F.sum("__c__").alias("__n__"))
+        )
+        tot = counts.agg(F.sum("__n__").alias("__tot__"))  # distinct name: resolution is case-insensitive
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .select(
+                "__b__",
+                F.log((F.col("__n__") + alpha) / (F.col("__tot__") + alpha * buckets)).alias(logp_name),
+                F.log(F.lit(alpha) / (F.col("__tot__") + alpha * buckets)).alias(f"{logp_name}_default"),
+            )
+        )
+
+    pt = dist(target, "__lpt__")
+    pq = dist(raw, "__lpq__")
+    # unseen-bucket default rides every pt/pq row; first() of the
+    # broadcast side after the join keeps it without a separate action
+    scored = (
+        feats.join(F.broadcast(pt.drop("__lpt___default")), "__b__", "left")
+        .join(F.broadcast(pq.drop("__lpq___default")), "__b__", "left")
+        .crossJoin(F.broadcast(pt.select(F.first("__lpt___default").alias("__dt__"))))
+        .crossJoin(F.broadcast(pq.select(F.first("__lpq___default").alias("__dq__"))))
+        .withColumn(
+            "__term__",
+            F.col("__c__")
+            * (F.coalesce("__lpt__", "__dt__") - F.coalesce("__lpq__", "__dq__")),
+        )
+    )
+    return scored.groupBy(id_col).agg(F.sum("__term__").alias("log_weight"))

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from dataframe_kotlin_spark.core.frame import KDataFrame
 from dataframe_kotlin_spark.functions.text import tokens
-from dataframe_kotlin_spark.operators import dedup, multimodal, similarity, textpipe
+from dataframe_kotlin_spark.operators import dedup, multimodal, sampling, similarity, textpipe
 from dataframe_kotlin_spark.queries import query
 
 
@@ -1806,3 +1806,51 @@ def semdedup_survivors(spark, sf_dir):
     tagged = emb.join(asg.select("vec_id", F.col("cell").cast("bigint").alias("cell")), "vec_id")
     out = dedup.semdedup_prune(tagged, "cell", "embedding", "vec_id", threshold=0.35)
     return out.select("vec_id", "cell")
+
+
+@query(
+    "dsir_log_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(t || CASE WHEN len(t) >= 2
+                              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                              ELSE [] END) AS g
+      FROM tok
+    ),
+    bkt AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(g), 1, 5))::BIGINT) % 256 AS b
+      FROM grams
+    ),
+    feat AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM bkt GROUP BY 1, 2),
+    dq AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM bkt GROUP BY b),
+    dt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM bkt WHERE lang = 'en' GROUP BY b),
+    nq AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM dq),
+    nt AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM dt)
+    SELECT feat.doc_id,
+           ROUND(SUM(feat.c * (ln((COALESCE(dt.n, 0) + 1.0) / (nt.N + 256.0))
+                             - ln((dq.n + 1.0) / (nq.N + 256.0)))) + 1e-9, 5) AS log_weight
+    FROM feat
+    JOIN dq USING (b) LEFT JOIN dt USING (b)
+    CROSS JOIN nq CROSS JOIN nt
+    GROUP BY feat.doc_id
+    """,
+)
+def dsir_log_weights(spark, sf_dir):
+    """DSIR data selection (sampling.dsir_log_weights; Xie et al. 2023,
+    arXiv:2302.03169): importance weights for every document against the
+    English-language slice as the target distribution, over 256 hashed
+    unigram+bigram buckets with Laplace smoothing. Both feature
+    distributions are <= 256-row broadcasts; the raw corpus shuffles
+    once for its feature bags and once for the per-doc sum. md5 bucket
+    hashing + final 5 dp rounding keep the weights engine-portable."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = sampling.dsir_log_weights(docs, target, "text", "doc_id", buckets=256, alpha=1.0)
+    return w.select("doc_id", F.round(F.col("log_weight") + 1e-9, 5).alias("log_weight"))

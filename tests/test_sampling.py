@@ -160,3 +160,32 @@ def test_weighted_sample_k_bounds(orders):
         small, ["o_orderstatus"], "o_orderkey", "o_totalprice", k=10**6
     )
     assert out.count() == small.count()
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from dataframe_kotlin_spark.operators.sampling import dsir_log_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_log_weights(docs, target, "text", "doc_id", buckets=128)
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["m"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("log_weight").alias("m"))
+        .collect()
+    }
+    # docs drawn from the target slice must score higher under the
+    # target distribution than the rest — the DSIR selection signal
+    assert means[True] > means[False]
+    assert w.count() == docs.count()
+
+
+def test_dsir_weights_deterministic(spark):
+    from dataframe_kotlin_spark.operators.sampling import dsir_log_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    a = dsir_log_weights(docs, target, buckets=64).collect()
+    b = dsir_log_weights(docs, target, buckets=64).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
