@@ -188,3 +188,59 @@ def chunk_text(
     return df.select(*id_cols, F.explode(chunks).alias("c")).select(
         *id_cols, "c.chunk_id", "c.char_start", "c.chunk"
     )
+
+
+def _ngram_windows(df: DataFrame, text_col: str, n: int, keep: Sequence[str]) -> DataFrame:
+    """One row per n-token window (space-joined), map-side explode."""
+    toks = tokens(F.col(text_col))
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(*keep, F.explode(windows).alias("__gram__"))
+    )
+
+
+def ngram_overlap_hits(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Eval-set decontamination scan: flag corpus documents sharing any
+    verbatim n-token window with a benchmark/eval set (the standard
+    13-gram overlap rule used to scrub pretraining data of test-set
+    leakage — e.g. GPT-3 appendix C / PaLM's 13-gram protocol; public
+    methodology).
+
+    Scale shape: both sides explode map-side to (gram) rows; the eval
+    side DISTINCTs to its gram vocabulary (eval sets are tiny next to
+    the corpus — AQE broadcasts it when it fits, the equi-join shuffles
+    on the gram key when not); one groupBy(id) counts distinct matched
+    grams. No driver collect, no all-pairs anything.
+
+    Returns (id_col, n_hit_grams) for FLAGGED documents only.
+    """
+    ev = _ngram_windows(evalset, text_col, n, keep=[]).distinct()
+    cg = _ngram_windows(corpus, text_col, n, keep=[id_col])
+    return (
+        cg.join(ev, "__gram__")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gram__").cast("bigint").alias("n_hit_grams"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Drop every corpus document flagged by ngram_overlap_hits (all
+    original columns preserved; anti-join on the id)."""
+    hits = ngram_overlap_hits(corpus, evalset, text_col, id_col, n)
+    return corpus.join(hits.select(id_col), id_col, "left_anti")

@@ -1854,3 +1854,43 @@ def dsir_log_weights(spark, sf_dir):
     target = docs.filter(F.col("lang") == "en")
     w = sampling.dsir_log_weights(docs, target, "text", "doc_id", buckets=256, alpha=1.0)
     return w.select("doc_id", F.round(F.col("log_weight") + 1e-9, 5).alias("log_weight"))
+
+
+@query(
+    "decontamination_hits",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS gram
+      FROM tok WHERE len(t) >= 5
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    hits AS (
+      SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hit_grams
+      FROM g JOIN ev USING (gram)
+      WHERE g.source <> 'src0'
+      GROUP BY g.doc_id
+    )
+    SELECT * FROM hits
+    """,
+)
+def decontamination_hits(spark, sf_dir):
+    """Benchmark decontamination (textpipe.ngram_overlap_hits): treat
+    source='src0' as the held-out eval set and flag every other document
+    sharing a verbatim 5-token window with it (the 13-gram protocol,
+    shortened to 5 so the synthetic corpus exercises the hit path). The
+    eval gram vocabulary rides the join as the small side; one gram-key
+    join + one id groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    return textpipe.ngram_overlap_hits(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "text",
+        "doc_id",
+        n=5,
+    )

@@ -656,3 +656,35 @@ def test_semdedup_prune_cells_block_pairs(spark):
     df = spark.createDataFrame(rows, "vec_id int, cell int, embedding array<double>")
     out = semdedup_prune(df, "cell", "embedding", "vec_id", threshold=0.9)
     assert out.count() == 2
+
+
+def test_decontaminate_drops_flagged_docs(spark):
+    from dataframe_kotlin_spark.operators.textpipe import decontaminate, ngram_overlap_hits
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, "short"),
+        ],
+        "doc_id int, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(100, "we note the quick brown fox jumps high")], "doc_id int, text string"
+    )
+    hits = ngram_overlap_hits(corpus, evalset, n=5)
+    assert {r["doc_id"] for r in hits.collect()} == {1}  # 5-gram 'the quick brown fox jumps'
+    clean = decontaminate(corpus, evalset, n=5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+    assert clean.columns == corpus.columns
+
+
+def test_ngram_overlap_window_count_edges(spark):
+    from dataframe_kotlin_spark.operators.textpipe import ngram_overlap_hits
+
+    # doc shorter than n never explodes a window; exact-n doc has one
+    corpus = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    evalset = spark.createDataFrame([(9, "a b c")], "doc_id int, text string")
+    assert ngram_overlap_hits(corpus, evalset, n=4).count() == 0
+    hits = ngram_overlap_hits(corpus, evalset, n=3).collect()
+    assert [(r["doc_id"], r["n_hit_grams"]) for r in hits] == [(1, 1)]
