@@ -43,7 +43,7 @@ _PRIORITY = [
     "q1_pricing_summary", "select_project", "filter_predicates",
     "top_k_orders", "agg_minmax_count", "count_conditional", "argmax_row",
     "median_quantity", "rollup_region_nation", "cube_flag_status",
-    "update_convert", "merge_upsert_customers",
+    "update_convert", "decimal_exact_ledger", "merge_upsert_customers",
     # joins & set ops
     "q3_shipping_priority", "q5_local_supplier", "join_left_nulls",
     "semi_join_customers", "anti_join_customers", "outer_join_nations",
@@ -63,9 +63,11 @@ _PRIORITY = [
     "diff_lag", "moving_average", "tumbling_window", "sessionize",
     "sliding_window", "asof_last_purchase", "funnel_conversion",
     "cohort_retention",
-    # training-data pipeline
-    "dedup_exact", "minhash_signatures", "simhash_values",
-    "jaccard_pairs", "language_id", "text_stats",
+    # training-data pipeline (round-3 flagships rotated into the
+    # gate-checked window; the displaced entries stay registered below)
+    "dedup_exact", "minhash_signatures", "semdedup_survivors",
+    "dsir_log_weights", "decontamination_hits",
+    "simhash_values", "jaccard_pairs", "language_id", "text_stats",
 ]
 
 
