@@ -47,7 +47,7 @@ _PRIORITY = [
     # joins & set ops
     "q3_shipping_priority", "q5_local_supplier", "join_left_nulls",
     "semi_join_customers", "anti_join_customers", "outer_join_nations",
-    "union_widen", "intersect_keys",
+    "union_widen",
     # grouping sets
     "grouping_sets_qty",
     # TPC-H breadth
