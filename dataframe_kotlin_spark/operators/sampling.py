@@ -309,3 +309,46 @@ def dsir_log_weights(
         )
     )
     return scored.groupBy(id_col).agg(F.sum("__term__").alias("log_weight"))
+
+
+def mixture_plan(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict,
+    budget: float,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """Token-budget mixture allocation across sources: given target mix
+    ``weights`` (source -> fraction of the training budget) and a repeat
+    cap, compute per source the requested tokens, the achievable
+    allocation ``min(weight·budget, available·max_epochs)``, the epoch
+    count that implies, and the deficit the cap leaves unfilled — the
+    planning step before `mix_weighted` materializes a mixture (how
+    LLM data recipes budget Wikipedia×N + crawl×M under repetition
+    limits).
+
+    One groupBy(source) aggregate — output is |sources| rows; the weight
+    table is a literal broadcast. Sources absent from ``weights`` get
+    weight 0 (reported with their availability, nothing allocated).
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], f"{source_col} string, weight double"
+    )
+    avail = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col)).cast("double").alias("available_tokens")
+    )
+    req = F.coalesce(F.col("weight"), F.lit(0.0)) * budget
+    alloc = F.least(req, F.col("available_tokens") * max_epochs)
+    return (
+        avail.join(F.broadcast(wdf), source_col, "left")
+        .select(
+            source_col,
+            "available_tokens",
+            req.alias("requested_tokens"),
+            alloc.alias("allocated_tokens"),
+            (alloc / F.col("available_tokens")).alias("epochs"),
+            (req - alloc).alias("deficit_tokens"),
+        )
+    )

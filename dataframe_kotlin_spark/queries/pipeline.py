@@ -1894,3 +1894,81 @@ def decontamination_hits(spark, sf_dir):
         "doc_id",
         n=5,
     )
+
+
+@query(
+    "psi_drift_priority",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, o_orderpriority AS v
+      FROM orders
+    ),
+    counts AS (SELECT yr, v, CAST(COUNT(*) AS DOUBLE) AS n FROM base GROUP BY 1, 2),
+    cats AS (SELECT DISTINCT v FROM counts),
+    yrs AS (SELECT DISTINCT yr FROM counts),
+    dense AS (
+      SELECT yrs.yr, cats.v, COALESCE(counts.n, 0.0) AS n
+      FROM yrs CROSS JOIN cats LEFT JOIN counts USING (yr, v)
+    ),
+    probs AS (
+      SELECT yr, v,
+             (n + 0.5) / (SUM(n) OVER (PARTITION BY yr)
+                          + 0.5 * COUNT(*) OVER (PARTITION BY yr)) AS p
+      FROM dense
+    ),
+    ref AS (SELECT v, p AS q FROM probs WHERE yr = 1995)
+    SELECT probs.yr,
+           ROUND(SUM((p - q) * ln(p / q)) + 1e-9, 6) AS psi
+    FROM probs JOIN ref USING (v)
+    WHERE yr <> 1995
+    GROUP BY probs.yr
+    """,
+)
+def psi_drift_priority(spark, sf_dir):
+    """Distribution-drift monitoring (quality.distribution_drift): PSI of
+    the order-priority mix in every order year against 1995 as the
+    reference — the ingest-gate statistic for 'did this slice of the
+    feed change shape'. One scan; the (slice x category) aggregate is
+    tiny and every derived stat stays relational."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate").cast("bigint")
+    )
+    from dataframe_kotlin_spark.operators.quality import distribution_drift
+
+    out = distribution_drift(o, "o_orderpriority", "yr", ref_slice=1995)
+    return out.select("yr", F.round(F.col("psi") + 1e-9, 6).alias("psi"))
+
+
+@query(
+    "mixture_plan_langs",
+    oracle="""
+    WITH w(lang, weight) AS (
+      VALUES ('en', 0.5), ('de', 0.125), ('es', 0.125), ('fr', 0.125), ('zh', 0.125)
+    ),
+    avail AS (
+      SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS available_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT avail.lang,
+           available_tokens,
+           COALESCE(weight, 0.0) * 200000 AS requested_tokens,
+           LEAST(COALESCE(weight, 0.0) * 200000, available_tokens * 2.0) AS allocated_tokens,
+           ROUND(LEAST(COALESCE(weight, 0.0) * 200000, available_tokens * 2.0)
+                 / available_tokens + 1e-9, 6) AS epochs,
+           COALESCE(weight, 0.0) * 200000
+             - LEAST(COALESCE(weight, 0.0) * 200000, available_tokens * 2.0) AS deficit_tokens
+    FROM avail LEFT JOIN w USING (lang)
+    """,
+)
+def mixture_plan_langs(spark, sf_dir):
+    """Training-mixture budgeting (sampling.mixture_plan): allocate a
+    200k-token budget across languages at a 50/12.5×4 target mix with a
+    2-epoch repetition cap; reports the achievable allocation and the
+    deficit the cap leaves. One aggregate over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_plan(
+        docs, "lang", "n_chars",
+        {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125},
+        budget=200000, max_epochs=2.0,
+    )
+    return out.withColumn("epochs", F.round(F.col("epochs") + 1e-9, 6))

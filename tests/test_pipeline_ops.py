@@ -688,3 +688,43 @@ def test_ngram_overlap_window_count_edges(spark):
     assert ngram_overlap_hits(corpus, evalset, n=4).count() == 0
     hits = ngram_overlap_hits(corpus, evalset, n=3).collect()
     assert [(r["doc_id"], r["n_hit_grams"]) for r in hits] == [(1, 1)]
+
+
+def test_distribution_drift_detects_shift(spark):
+    from dataframe_kotlin_spark.operators.quality import distribution_drift
+
+    rows = [("ref", "a")] * 50 + [("ref", "b")] * 50
+    rows += [("same", "a")] * 50 + [("same", "b")] * 50
+    rows += [("shifted", "a")] * 90 + [("shifted", "b")] * 10
+    rows += [("novel", "c")] * 100  # category unseen in ref
+    df = spark.createDataFrame(rows, "slc string, v string")
+    psi = {r["slc"]: r["psi"] for r in distribution_drift(df, "v", "slc", "ref").collect()}
+    assert set(psi) == {"same", "shifted", "novel"}
+    assert psi["same"] < 0.01
+    assert psi["shifted"] > 0.25
+    assert psi["novel"] > psi["shifted"]  # disjoint support drifts hardest
+    assert all(v >= 0 for v in psi.values())  # PSI is non-negative
+
+
+def test_mixture_plan_caps_and_deficit(spark):
+    from dataframe_kotlin_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("wiki", 100), ("wiki", 100), ("crawl", 1000), ("junk", 50)],
+        "src string, toks int",
+    )
+    out = {
+        r["src"]: r
+        for r in mixture_plan(
+            df, "src", "toks", {"wiki": 0.5, "crawl": 0.5}, budget=1000, max_epochs=2.0
+        ).collect()
+    }
+    # wiki: wants 500 but only 200 tokens * 2 epochs = 400 -> deficit 100
+    assert out["wiki"]["allocated_tokens"] == 400.0
+    assert out["wiki"]["epochs"] == 2.0
+    assert out["wiki"]["deficit_tokens"] == 100.0
+    # crawl: wants 500, has 1000 -> 0.5 epochs, no deficit
+    assert out["crawl"]["allocated_tokens"] == 500.0
+    assert out["crawl"]["epochs"] == 0.5
+    # unweighted source reported but unallocated
+    assert out["junk"]["allocated_tokens"] == 0.0
