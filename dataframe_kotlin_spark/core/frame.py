@@ -562,14 +562,32 @@ class KDataFrame:
 
     # -- column tree (SURVEY §2.9) ----------------------------------------
     def group_cols(self, cols: Sequence[str], into: str) -> "KDataFrame":
-        """Nest columns under a struct. Reference: api/group.kt:10-18."""
-        others = [c for c in self.df.columns if c not in cols]
-        return self._wrap(self.df.select(*others, F.struct(*_cols(cols)).alias(into)))
+        """Nest columns under a struct, placed AT the first grouped
+        column's position (reference group{}.into delegates to
+        move().under — api/group.kt:16-18 — which inserts at the first
+        removed column's index)."""
+        out, placed = [], False
+        for c in self.df.columns:
+            if c in cols:
+                if not placed:
+                    out.append(F.struct(*_cols(cols)).alias(into))
+                    placed = True
+            else:
+                out.append(F.col(c))
+        return self._wrap(self.df.select(*out))
 
     def ungroup_col(self, col: str) -> "KDataFrame":
-        """Splice struct fields up one level. Reference: api/ungroup.kt:11-15."""
-        others = [c for c in self.df.columns if c != col]
-        return self._wrap(self.df.select(*others, f"{col}.*"))
+        """Splice struct fields up one level, in place of the group
+        (reference api/ungroup.kt:11-15 replaces the group with its
+        children at the same position)."""
+        out = []
+        for c in self.df.columns:
+            if c == col:
+                for f in self.df.schema[col].dataType.names:
+                    out.append(F.col(f"{col}.{f}").alias(f))
+            else:
+                out.append(F.col(c))
+        return self._wrap(self.df.select(*out))
 
     def flatten(self, sep: str = "_") -> "KDataFrame":
         """Fully flatten nested structs, joining path segments with sep.

@@ -279,3 +279,81 @@ def test_union_with_self(person):
     res = person.union(person).union(person)
     assert res.nrow() == 21
     assert res.columns == person.columns
+
+
+# --- DataFrameTreeTests.kt: nested column-group semantics over the
+# grouped person frame (name + info{age, city} + weight) ---
+
+
+@pytest.fixture(scope="module")
+def tree(person):
+    return person.group_cols(["age", "city"], into="info")
+
+
+def test_tree_group_cols(tree, person):
+    # `group cols`: nested group created, leaves preserved
+    assert tree.columns == ["name", "info", "weight"]
+    assert tree.df.schema["info"].dataType.names == ["age", "city"]
+
+
+def test_tree_select_nested_path(tree):
+    # `select`: nested path projection
+    res = tree.select("info.age")
+    assert [f.name for f in res.df.schema.fields] == ["age"]
+    assert sorted(r[0] for r in res.df.collect()) == [15, 20, 20, 30, 30, 40, 45]
+
+
+def test_tree_filter_on_nested(tree):
+    # `filter` through the group
+    res = tree.filter(F.col("info.age") > 30)
+    assert sorted(r["name"] for r in res.df.collect()) == ["Bob", "Mark"]
+
+
+def test_tree_update_nested(tree):
+    # `update`: rewrite a leaf inside the group
+    res = tree.update("info.age", with_expr=F.col("info.age") + 1)
+    assert res.df.schema["info"].dataType.names == ["age", "city"]
+    assert sorted(r["info"]["age"] for r in res.df.collect()) == [16, 21, 21, 31, 31, 41, 46]
+
+
+def test_tree_sort_by_nested(tree):
+    # `sort`: order by a leaf under the group
+    ages = [r["info"]["age"] for r in tree.sort_by("info.age").df.collect()]
+    assert ages == sorted(ages)
+
+
+def test_tree_distinct_at_column_group(tree):
+    # `distinct at column group`: distinct over the struct column
+    assert tree.select("info").distinct().nrow() == 7  # all (age, city) unique
+    two = tree.select("name").distinct()
+    assert two.nrow() == 3
+
+
+def test_tree_ungroup_roundtrip(tree, person):
+    # `column ungroup`: splice leaves back to the top level
+    back = tree.ungroup_col("info")
+    assert set(back.columns) == set(person.columns)
+    assert sorted(map(tuple, back.select("name", "age", "city", "weight").df.collect())) == sorted(
+        map(tuple, person.df.collect())
+    )
+
+
+def test_tree_flatten_prefixes(tree):
+    # flatten with minimal-prefix dedup
+    flat = tree.flatten()
+    assert "name" in flat.columns and "weight" in flat.columns
+    assert not any("." in c for c in flat.columns)
+
+
+def test_tree_join_with_path(tree, spark):
+    # `join with left path`: join keyed on a nested column
+    ages = spark.createDataFrame([(15, "minor"), (45, "adult")], "age int, cls string")
+    joined = tree.df.join(ages, tree.df["info.age"] == ages["age"], "inner")
+    assert sorted(r["cls"] for r in joined.collect()) == ["adult", "minor"]
+
+
+def test_tree_move_under(person):
+    # `move and group`: move a top-level col under a group path
+    res = person.group_cols(["age"], into="info").move("city").under("info")
+    assert res.df.schema["info"].dataType.names == ["age", "city"]
+    assert res.columns == ["name", "info", "weight"]
