@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -548,6 +548,68 @@ def count_min_stream(
 
     (
         stream_df.writeStream.foreachBatch(merge_cells)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(300)
+    )
+
+
+def drift_stream(
+    stream_df: DataFrame,
+    value_col: str,
+    ref_counts: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    alpha: float = 0.5,
+) -> None:
+    """Streaming distribution-drift monitor: every micro-batch computes
+    the PSI of its ``value_col`` category mix against a STATIC reference
+    distribution and appends one (batch_id, n_rows, psi) row to the
+    parquet target — the continuous twin of quality.distribution_drift
+    (same smoothed-PSI formula over the union of categories, so a batch
+    category the reference never saw still contributes a finite term).
+
+    ``ref_counts`` is a (value, n) frame — e.g. the category counts of
+    last month's vetted corpus. It is category-cardinality sized and
+    broadcast into each batch's aggregate; per-batch state beyond it is
+    ZERO (no state store, no watermark), and the output is one row per
+    batch regardless of batch size. Alert on psi > 0.25 downstream.
+
+    Idempotence: the parquet row carries batch_id, so replayed batches
+    (at-least-once foreachBatch) write duplicate rows that readers
+    drop with distinct_by(batch_id) — monitor rows are observations,
+    not accumulating state, so last-write-wins is safe (unlike
+    count_min_stream's summed cells, which need the versioned merge).
+    """
+    ref = ref_counts.select(
+        F.col(ref_counts.columns[0]).alias("__v__"),
+        F.col(ref_counts.columns[1]).cast("double").alias("__nr__"),
+    )
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bc = (
+            batch_df.groupBy(F.col(value_col).alias("__v__"))
+            .agg(F.count(F.lit(1)).cast("double").alias("__nb__"))
+        )
+        full = bc.join(ref, "__v__", "full").fillna({"__nb__": 0.0, "__nr__": 0.0})
+        k = F.count(F.lit(1)).over(Window.partitionBy())
+        nb = F.sum("__nb__").over(Window.partitionBy())
+        nr = F.sum("__nr__").over(Window.partitionBy())
+        p = (F.col("__nb__") + alpha) / (nb + alpha * k)
+        q = (F.col("__nr__") + alpha) / (nr + alpha * k)
+        out = (
+            full.select(((p - q) * F.log(p / q)).alias("__t__"), F.col("__nb__"))
+            .agg(
+                F.lit(batch_id).alias("batch_id"),
+                F.sum("__nb__").cast("bigint").alias("n_rows"),
+                F.round(F.sum("__t__") + 1e-9, 6).alias("psi"),
+            )
+        )
+        out.write.mode("append").parquet(target_dir)
+
+    (
+        stream_df.writeStream.foreachBatch(score_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
