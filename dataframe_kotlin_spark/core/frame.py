@@ -312,6 +312,32 @@ class KDataFrame:
         api/sort.kt:42-50)."""
         return self._wrap(self.df.orderBy(*[F.col(k).desc_nulls_last() for k in keys]))
 
+    def sort_with(self, cmp, limit: int = 100_000) -> "KDataFrame":
+        """sortWith(comparator) — reference api/sort.kt:35-40.
+
+        An opaque pairwise comparator CANNOT distribute (no key to range-
+        partition on; Spark would need the comparator JVM-side), so this
+        is by contract a DRIVER-SIDE op for bounded frames: collect, sort
+        with ``functools.cmp_to_key``, rebuild. ``limit`` is a hard cap —
+        the collect refuses beyond it rather than silently OOMing the
+        driver; for large data express the ordering as computed sort
+        keys (`add` + `sort_by`), which is the distributable form of
+        every total order a comparator can encode. cmp(row_a, row_b) ->
+        negative/zero/positive over pyspark Rows.
+        """
+        from functools import cmp_to_key
+
+        rows = self.df.limit(limit + 1).collect()
+        if len(rows) > limit:
+            raise ValueError(
+                f"sort_with: frame exceeds the {limit}-row driver cap; "
+                "express the order as computed sort keys instead"
+            )
+        ordered = sorted(rows, key=cmp_to_key(cmp))
+        return self._wrap(
+            self.df.sparkSession.createDataFrame(ordered, self.df.schema)
+        )
+
     # -- joins (SURVEY §2.3) ----------------------------------------------
     def join(
         self,

@@ -357,3 +357,23 @@ def test_tree_move_under(person):
     res = person.group_cols(["age"], into="info").move("city").under("info")
     assert res.df.schema["info"].dataType.names == ["age", "city"]
     assert res.columns == ["name", "info", "weight"]
+
+
+def test_sort_with_comparator(person):
+    # `sortWith` (api/sort.kt:35-40): opaque comparator, driver-side by
+    # contract — order by name length desc, then age asc
+    def cmp(a, b):
+        return (len(b["name"]) - len(a["name"])) or (a["age"] - b["age"])
+
+    res = person.sort_with(cmp)
+    got = [(r["name"], r["age"]) for r in res.df.collect()]
+    assert got == [
+        ("Alice", 15), ("Alice", 20),
+        ("Mark", 20), ("Mark", 30), ("Mark", 40),
+        ("Bob", 30), ("Bob", 45),
+    ]
+
+
+def test_sort_with_row_cap(person):
+    with pytest.raises(ValueError, match="driver cap"):
+        person.sort_with(lambda a, b: 0, limit=3)
