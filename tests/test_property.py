@@ -285,3 +285,45 @@ def test_add_scan_sum_matches_prefix_sums(spark, vals):
         acc += v
         exp.append(acc)
     assert got == exp
+
+
+# --- round-3 ops: PSI and DSIR invariants on generated inputs ---
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    counts=st.lists(
+        st.tuples(st.sampled_from("abcde"), st.integers(1, 40), st.integers(1, 40)),
+        min_size=2, max_size=5, unique_by=lambda t: t[0],
+    )
+)
+def test_psi_nonnegative_and_zero_on_identical(spark, counts):
+    """PSI(slice, ref) >= 0 for ANY pair of category distributions
+    (Gibbs' inequality on both KL directions), and == 0 when the slice
+    duplicates the reference exactly."""
+    from dataframe_kotlin_spark.operators.quality import distribution_drift
+
+    rows = []
+    for v, n_ref, n_other in counts:
+        rows += [("ref", v)] * n_ref + [("other", v)] * n_other + [("twin", v)] * n_ref
+    df = spark.createDataFrame(rows, "slc string, v string")
+    psi = {r["slc"]: r["psi"] for r in distribution_drift(df, "v", "slc", "ref").collect()}
+    assert psi["other"] >= -1e-12
+    assert abs(psi["twin"]) < 1e-12
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 10_000))
+def test_dsir_weight_zero_when_target_is_raw(spark, seed):
+    """If the target distribution IS the raw corpus, every document's
+    importance log-weight is exactly 0 (p == q term-by-term)."""
+    from dataframe_kotlin_spark.operators.sampling import dsir_log_weights
+
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = [
+        (i, " ".join(words[(i * 7 + j + seed) % 4] for j in range(5)))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dsir_log_weights(df, df, buckets=32)
+    assert all(abs(r["log_weight"]) < 1e-12 for r in out.collect())
