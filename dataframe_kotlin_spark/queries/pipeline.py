@@ -1972,3 +1972,96 @@ def mixture_plan_langs(spark, sf_dir):
         budget=200000, max_epochs=2.0,
     )
     return out.withColumn("epochs", F.round(F.col("epochs") + 1e-9, 6))
+
+
+@query(
+    "training_mix_report",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, source, n_chars,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    -- stage 1: decontamination vs the src0 benchmark slice (5-gram rule)
+    g AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(t) - 3), i -> array_to_string(t[i:i+4], ' '))) AS gram
+      FROM tok WHERE len(t) >= 5
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.source <> 'src0'
+    ),
+    pool AS (
+      SELECT * FROM tok
+      WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    -- stage 2: DSIR selection toward the English slice of the pool
+    pg AS (
+      SELECT doc_id, lang,
+             unnest(t || CASE WHEN len(t) >= 2
+                              THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                              ELSE [] END) AS gr
+      FROM pool
+    ),
+    pb AS (SELECT doc_id, lang, (('0x' || substr(md5(gr), 1, 5))::BIGINT) % 256 AS b FROM pg),
+    feat AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM pb GROUP BY 1, 2),
+    dq AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM pb GROUP BY b),
+    dt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM pb WHERE lang = 'en' GROUP BY b),
+    nq AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM dq),
+    nt AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM dt),
+    w AS (
+      SELECT feat.doc_id,
+             SUM(feat.c * (ln((COALESCE(dt.n, 0) + 1.0) / (nt.N + 256.0))
+                         - ln((dq.n + 1.0) / (nq.N + 256.0)))) AS lw
+      FROM feat JOIN dq USING (b) LEFT JOIN dt USING (b)
+      CROSS JOIN nq CROSS JOIN nt
+      GROUP BY feat.doc_id
+    ),
+    selected AS (
+      SELECT pool.* FROM pool JOIN w USING (doc_id) WHERE w.lw > -1.0
+    ),
+    -- stage 3: exact dedup, keep smallest doc_id per normalized text
+    kept AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+        FROM selected
+      ) WHERE rn = 1
+    )
+    -- stage 4: per-language mix report
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang
+    """,
+)
+def training_mix_report(spark, sf_dir):
+    """End-to-end training-data assembly as ONE lazy DAG composing the
+    round-3 operators: decontaminate the non-benchmark pool against the
+    src0 eval slice (textpipe.ngram_overlap_hits, 5-gram), select docs
+    whose DSIR importance weight toward the English slice clears the
+    -1.0 threshold (sampling.dsir_log_weights — drops roughly the least
+    target-like quartile), exact-dedup keep-smallest-id
+    (distinct_by over the md5 fingerprint), and report the surviving
+    per-language mix. Nothing collects; every stage is a bucketed join
+    or broadcast, so the same plan runs at crawl scale."""
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    pool = textpipe.decontaminate(corpus, evalset, "text", "doc_id", n=5)
+    w = sampling.dsir_log_weights(pool, pool.filter(F.col("lang") == "en"), buckets=256)
+    selected = pool.join(w.filter(F.col("log_weight") > -1.0).select("doc_id"), "doc_id")
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+    from dataframe_kotlin_spark.functions.text import normalize
+
+    kept = KDataFrame(selected.withColumn("__fp__", F.md5(normalize(F.col("text"))))).distinct_by(
+        ["__fp__"], order_by=["doc_id"]
+    )
+    return (
+        kept.df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
