@@ -180,3 +180,31 @@ def test_funnel_single_scan_two_exchanges(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") <= 2
+
+
+ROUND3 = [
+    "semdedup_survivors",
+    "dsir_log_weights",
+    "decontamination_hits",
+    "psi_drift_priority",
+    "mixture_plan_langs",
+    "training_mix_report",
+    "decimal_exact_ledger",
+]
+
+
+@pytest.mark.parametrize("name", ROUND3)
+def test_round3_no_cartesian_no_python(spark, name):
+    # the round-3 pipeline queries are pure JVM relational plans: no
+    # cartesian blow-ups and no Python evals anywhere in the DAG
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_dsir_distributions_are_broadcast(spark):
+    # the two <=buckets-row feature distributions must ride as
+    # broadcasts; only the corpus-side feature bags shuffle
+    plan = _plan(spark, "dsir_log_weights")
+    assert plan.count("BroadcastExchange") >= 2
