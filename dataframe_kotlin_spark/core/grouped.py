@@ -215,32 +215,43 @@ class KPivotClause:
 
         if not nested or len(aggs) < 2:
             return KDataFrame(out)
-        keys = [c._jc.toString() if hasattr(c, "_jc") else str(c) for c in self.grouped.keys]
+        # key columns lead the pivot output in grouping order — read them
+        # from the result schema (robust for computed/aliased keys, where
+        # the Column expression string is NOT the output name)
+        keys = out.columns[: len(self.grouped.keys)]
         vals = [str(v) for v in self._value_list()]
-        # Spark names multi-agg pivot columns "<value>_<aggAlias>"
-        suffixes = []
+        # Spark names multi-agg pivot columns "<value>_<aggAlias>". Assign
+        # each column to exactly ONE (value, suffix) pair, matching the
+        # LONGEST value first so a value that is an underscore-prefix of
+        # another ("New" vs "New_York") cannot claim the longer value's
+        # columns.
+        vals_by_len = sorted(vals, key=len, reverse=True)
+        assign: dict[str, tuple[str, str]] = {}
+        suffixes: list[str] = []
         for c in out.columns:
             if c in keys:
                 continue
-            for v in vals:
+            for v in vals_by_len:
                 if c.startswith(v + "_"):
                     s = c[len(v) + 1 :]
+                    assign[c] = (v, s)
                     if s not in suffixes:
                         suffixes.append(s)
                     break
         if group_by_value:
             groups = [
                 F.struct(
-                    *[F.col(f"`{v}_{s}`").alias(v) for v in vals if f"{v}_{s}" in out.columns]
+                    *[F.col(f"`{c}`").alias(cv) for c, (cv, cs) in assign.items() if cs == s]
                 ).alias(s)
                 for s in suffixes
             ]
         else:
             groups = [
                 F.struct(
-                    *[F.col(f"`{v}_{s}`").alias(s) for s in suffixes if f"{v}_{s}" in out.columns]
+                    *[F.col(f"`{c}`").alias(cs) for c, (cv, cs) in assign.items() if cv == v]
                 ).alias(v)
                 for v in vals
+                if any(cv == v for cv, _ in assign.values())
             ]
         return KDataFrame(out.select(*[F.col(f"`{k}`") for k in keys], *groups))
 
@@ -257,7 +268,9 @@ class KPivotClause:
         out = self._pivoted().agg(F.count(F.lit(1)))
         from dataframe_kotlin_spark.core.frame import KDataFrame
 
-        keys = [c._jc.toString() if hasattr(c, "_jc") else str(c) for c in self.grouped.keys]
+        # output schema leads with the grouping columns (robust for
+        # computed/aliased keys)
+        keys = out.columns[: len(self.grouped.keys)]
 
         def cell(c):
             hit = F.coalesce(F.col(f"`{c}`"), F.lit(0)) > 0

@@ -105,15 +105,17 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_words: int = 1,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join within bands.
 
     Returns candidate pairs (id_a < id_b) that share >= 1 band. The only
     shuffles are the groupBy on (band, band_key) — never an all-pairs
-    join. rows_per_band = num_hashes // bands. Buckets larger than
-    ``max_bucket`` are dropped (_cap_buckets) so one degenerate band key
-    can never turn the join quadratic; pass None to disable.
+    join. rows_per_band = num_hashes // bands. ``max_bucket`` is an
+    OPT-IN guard (default None = exact semantics): set it at scale so a
+    degenerate band key (e.g. every empty doc's sentinel signature)
+    cannot turn the join quadratic — enabling it is an explicit recall
+    trade, never a silent default.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, num_hashes, shingle_words)
@@ -172,7 +174,7 @@ def hamming_pairs(
     sim_col: str,
     max_dist: int,
     bits: int = 16,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_dist, with FULL
     recall: the signature's `bits` are split into max_dist+1 disjoint
@@ -184,10 +186,11 @@ def hamming_pairs(
     more than one block. Same blocked-join shape the reference would need
     for its near-dup pass; signature semantics per simhash() above.
 
-    Block keys holding more than ``max_bucket`` rows are dropped
-    (_cap_buckets) — a short block (few bits) over skewed text can go
-    near-universal and quadratic; full recall then holds for every pair
-    agreeing on at least one NON-degenerate block. None disables."""
+    ``max_bucket`` is an OPT-IN guard (default None preserves the
+    documented FULL-recall contract exactly): set it at scale when a
+    short block over skewed text goes near-universal — recall then
+    holds for every pair agreeing on a NON-degenerate block, an
+    explicit trade the caller makes, never a silent default."""
     nblocks = max_dist + 1
     assert bits >= nblocks, "need at least one bit per block"
     blocks = []

@@ -109,10 +109,16 @@ def distribution_drift(
     continuous columns, bucket first (F.width_bucket / digitize) and
     pass the bucket as ``value_col``.
 
+    NULL categories COUNT: a feed whose missing-value rate shifts is
+    drifting, so NULL folds into an explicit ``__null__`` category
+    before the (null-unsafe) grid joins — otherwise that mass would
+    silently vanish from both distributions.
+
     Returns (slice, psi) for every non-reference slice.
     """
+    v = F.coalesce(F.col(value_col).cast("string"), F.lit("__null__"))
     counts = (
-        df.groupBy(F.col(slice_col).alias("__s__"), F.col(value_col).alias("__v__"))
+        df.groupBy(F.col(slice_col).alias("__s__"), v.alias("__v__"))
         .agg(F.count(F.lit(1)).cast("double").alias("__n__"))
     )
     cats = counts.select("__v__").distinct()

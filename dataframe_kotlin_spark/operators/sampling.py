@@ -218,9 +218,13 @@ def weighted_sample_per_group(
 
 
 def _gram_bucket(gram: Column, buckets: int) -> Column:
-    """Deterministic engine-portable feature hash: first 5 md5 hex chars
-    as an int, mod buckets (same recipe as dedup.hash20 / hash_split)."""
-    return (F.conv(F.substring(F.md5(gram), 1, 5), 16, 10).cast("bigint") % buckets)
+    """Deterministic engine-portable feature hash: dedup.hash20 (first 5
+    md5 hex chars as an int) mod buckets — ONE hash recipe across the
+    engine, so a change to it cannot silently desync DSIR bucketing
+    from the dedup/split hashing."""
+    from dataframe_kotlin_spark.operators.dedup import hash20
+
+    return hash20(gram) % buckets
 
 
 def hashed_ngram_buckets(
@@ -277,12 +281,11 @@ def dsir_log_weights(
     """
     feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
 
-    def dist(df: DataFrame, logp_name: str) -> DataFrame:
-        counts = (
-            hashed_ngram_buckets(df, text_col, id_col, buckets)
-            .groupBy("__b__")
-            .agg(F.sum("__c__").alias("__n__"))
-        )
+    def dist_from_feats(f: DataFrame, logp_name: str) -> DataFrame:
+        counts = f.groupBy("__b__").agg(F.sum("__c__").alias("__n__"))
+        return _logprobs(counts, logp_name)
+
+    def _logprobs(counts: DataFrame, logp_name: str) -> DataFrame:
         tot = counts.agg(F.sum("__n__").alias("__tot__"))  # distinct name: resolution is case-insensitive
         return (
             counts.crossJoin(F.broadcast(tot))
@@ -293,8 +296,14 @@ def dsir_log_weights(
             )
         )
 
-    pt = dist(target, "__lpt__")
-    pq = dist(raw, "__lpq__")
+    pt = dist_from_feats(
+        hashed_ngram_buckets(target, text_col, id_col, buckets), "__lpt__"
+    )
+    # the raw distribution derives from the SAME feature-bag subtree the
+    # scoring pass consumes, so Spark's ReuseExchange collapses the
+    # corpus-wide tokenize+explode+shuffle to one physical execution
+    # (verified: ReusedExchange in the executed plan)
+    pq = dist_from_feats(feats, "__lpq__")
     # unseen-bucket default rides every pt/pq row; first() of the
     # broadcast side after the join keeps it without a separate action
     scored = (

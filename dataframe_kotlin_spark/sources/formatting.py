@@ -192,7 +192,12 @@ class FormattedFrame:
                 v = row.get(c)
                 txt = escape("" if v is None else str(v))
                 if attrs:
-                    css = "; ".join(f"{k}: {v}" for k, v in attrs)
+                    # quote=True: attribute values may derive from cell
+                    # data — a stray double quote must not break out of
+                    # the style attribute
+                    css = escape(
+                        "; ".join(f"{k}: {v}" for k, v in attrs), quote=True
+                    )
                     out.append(f'<td style="{css}">{txt}</td>')
                 else:
                     out.append(f"<td>{txt}</td>")

@@ -582,14 +582,23 @@ def drift_stream(
     not accumulating state, so last-write-wins is safe (unlike
     count_min_stream's summed cells, which need the versioned merge).
     """
-    ref = ref_counts.select(
-        F.col(ref_counts.columns[0]).alias("__v__"),
-        F.col(ref_counts.columns[1]).cast("double").alias("__nr__"),
+    # NULL categories fold into an explicit label on BOTH sides: the
+    # outer join's null-unsafe equality would otherwise score matching
+    # NULL mass as two disjoint maximally-diverged categories
+    ref = (
+        ref_counts.select(
+            F.coalesce(F.col(ref_counts.columns[0]).cast("string"), F.lit("__null__")).alias("__v__"),
+            F.col(ref_counts.columns[1]).cast("double").alias("__nr__"),
+        )
+        .groupBy("__v__")  # re-fold in case NULL and the literal label coexist
+        .agg(F.sum("__nr__").alias("__nr__"))
     )
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         bc = (
-            batch_df.groupBy(F.col(value_col).alias("__v__"))
+            batch_df.groupBy(
+                F.coalesce(F.col(value_col).cast("string"), F.lit("__null__")).alias("__v__")
+            )
             .agg(F.count(F.lit(1)).cast("double").alias("__nb__"))
         )
         full = bc.join(ref, "__v__", "full").fillna({"__nb__": 0.0, "__nr__": 0.0})

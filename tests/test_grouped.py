@@ -279,3 +279,43 @@ def test_merge_rows_keep_nulls(spark):
     assert dropped == {"a": [1], "b": [2]}
     kept = {r["k"]: r["v"] for r in df.merge_rows(["v"], drop_nulls=False).collect()}
     assert kept == {"a": [None, 1], "b": [2]}  # sort_array: nulls first
+
+
+def test_pivot_nested_underscore_prefix_values(spark):
+    # a pivot value that is an underscore-prefix of another ("New" vs
+    # "New_York") must not claim the longer value's columns: assignment
+    # matches the longest value first
+    from pyspark.sql import types as T
+
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [("g1", "New", 1), ("g1", "New_York", 10), ("g2", "New", 3)],
+            "g string, city string, v int",
+        )
+    )
+    out = df.group_by("g").pivot("city", ["New", "New_York"]).aggregate(
+        F.min("v").alias("min_v"), F.max("v").alias("max_v"), nested=True
+    )
+    assert out.columns == ["g", "New", "New_York"]
+    for v in ("New", "New_York"):
+        assert [f.name for f in out.df.schema[v].dataType.fields] == ["min_v", "max_v"]
+    d = {r["g"]: r for r in out.collect()}
+    assert d["g1"]["New"]["min_v"] == 1
+    assert d["g1"]["New_York"]["max_v"] == 10
+    assert d["g2"]["New_York"]["min_v"] is None
+
+
+def test_pivot_nested_computed_group_key(person):
+    # computed/aliased grouping keys resolve through the output schema,
+    # not the Column expression string
+    out = (
+        person.group_by(F.substring("name", 1, 1).alias("initial"))
+        .pivot("city", ["Moscow", "London"])
+        .aggregate(F.min("age").alias("min_age"), F.max("age").alias("max_age"), nested=True)
+    )
+    assert out.columns == ["initial", "Moscow", "London"]
+    d = {r["initial"]: r for r in out.collect()}
+    assert d["M"]["Moscow"]["min_age"] == 20
+    assert d["A"]["London"]["max_age"] == 15

@@ -728,3 +728,14 @@ def test_mixture_plan_caps_and_deficit(spark):
     assert out["crawl"]["epochs"] == 0.5
     # unweighted source reported but unallocated
     assert out["junk"]["allocated_tokens"] == 0.0
+
+
+def test_distribution_drift_counts_null_category(spark):
+    # a slice whose missing-value rate collapses is a MASSIVE shift and
+    # must register: NULL folds into an explicit category, never dropped
+    from dataframe_kotlin_spark.operators.quality import distribution_drift
+
+    rows = [("ref", "a")] * 50 + [("ref", None)] * 50 + [("cur", "a")] * 100
+    df = spark.createDataFrame(rows, "slc string, v string")
+    psi = {r["slc"]: r["psi"] for r in distribution_drift(df, "v", "slc", "ref").collect()}
+    assert psi["cur"] > 0.25  # half the reference mass vanished
