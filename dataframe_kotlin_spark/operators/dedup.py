@@ -117,6 +117,13 @@ def lsh_candidate_pairs(
     cannot turn the join quadratic — enabling it is an explicit recall
     trade, never a silent default.
     """
+    if not 1 <= bands <= num_hashes:
+        raise ValueError(f"bands must be in 1..num_hashes, got {bands}/{num_hashes}")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands}) "
+            "— trailing hashes would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signature(df, text_col, num_hashes, shingle_words)
     band_cols = []

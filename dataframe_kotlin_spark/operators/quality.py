@@ -88,6 +88,20 @@ def dq_check(
     )
 
 
+# Reserved fold label for NULL categories/slices: NUL-delimited so no
+# legitimate string value can collide with it (a plain "__null__" literal
+# in the data would otherwise merge with true NULL mass).
+NULL_LABEL = "\x00__null__\x00"
+
+
+def null_folded(col) -> "F.Column":
+    """Cast to string and fold NULL into the reserved NULL_LABEL — the
+    ONE recipe shared by batch drift (here) and streaming drift
+    (stream_jobs.drift_stream), so batch and stream scores can never
+    diverge on NULL handling."""
+    return F.coalesce(col.cast("string"), F.lit(NULL_LABEL))
+
+
 def distribution_drift(
     df: DataFrame,
     value_col: str,
@@ -109,16 +123,20 @@ def distribution_drift(
     continuous columns, bucket first (F.width_bucket / digitize) and
     pass the bucket as ``value_col``.
 
-    NULL categories COUNT: a feed whose missing-value rate shifts is
-    drifting, so NULL folds into an explicit ``__null__`` category
-    before the (null-unsafe) grid joins — otherwise that mass would
-    silently vanish from both distributions.
+    NULL mass COUNTS on BOTH axes: a feed whose missing-value rate
+    shifts is drifting, and a slice whose key went NULL must still get
+    a PSI row — so value AND slice fold into the reserved NULL_LABEL
+    (collision-proof: NUL-delimited) before the null-unsafe grid joins.
+    The returned slice column is STRING (labels, not the original
+    type), so a NULL slice has a printable identity.
 
     Returns (slice, psi) for every non-reference slice.
     """
-    v = F.coalesce(F.col(value_col).cast("string"), F.lit("__null__"))
     counts = (
-        df.groupBy(F.col(slice_col).alias("__s__"), v.alias("__v__"))
+        df.groupBy(
+            null_folded(F.col(slice_col)).alias("__s__"),
+            null_folded(F.col(value_col)).alias("__v__"),
+        )
         .agg(F.count(F.lit(1)).cast("double").alias("__n__"))
     )
     cats = counts.select("__v__").distinct()
@@ -135,11 +153,12 @@ def distribution_drift(
         "__s__", "__v__",
         ((F.col("__n__") + alpha) / (tot + alpha * ncats)).alias("__p__"),
     )
-    ref = probs.filter(F.col("__s__") == ref_slice).select(
+    ref_label = F.lit(ref_slice).cast("string")
+    ref = probs.filter(F.col("__s__") == ref_label).select(
         "__v__", F.col("__p__").alias("__q__")
     )
     return (
-        probs.filter(F.col("__s__") != ref_slice)
+        probs.filter(F.col("__s__") != ref_label)
         .join(F.broadcast(ref), "__v__")
         .groupBy(F.col("__s__").alias(slice_col))
         .agg(

@@ -283,9 +283,6 @@ def dsir_log_weights(
 
     def dist_from_feats(f: DataFrame, logp_name: str) -> DataFrame:
         counts = f.groupBy("__b__").agg(F.sum("__c__").alias("__n__"))
-        return _logprobs(counts, logp_name)
-
-    def _logprobs(counts: DataFrame, logp_name: str) -> DataFrame:
         tot = counts.agg(F.sum("__n__").alias("__tot__"))  # distinct name: resolution is case-insensitive
         return (
             counts.crossJoin(F.broadcast(tot))

@@ -1917,7 +1917,7 @@ def decontamination_hits(spark, sf_dir):
       FROM dense
     ),
     ref AS (SELECT v, p AS q FROM probs WHERE yr = 1995)
-    SELECT probs.yr,
+    SELECT CAST(probs.yr AS VARCHAR) AS yr,
            ROUND(SUM((p - q) * ln(p / q)) + 1e-9, 6) AS psi
     FROM probs JOIN ref USING (v)
     WHERE yr <> 1995

@@ -582,12 +582,14 @@ def drift_stream(
     not accumulating state, so last-write-wins is safe (unlike
     count_min_stream's summed cells, which need the versioned merge).
     """
-    # NULL categories fold into an explicit label on BOTH sides: the
-    # outer join's null-unsafe equality would otherwise score matching
-    # NULL mass as two disjoint maximally-diverged categories
+    # NULL categories fold into the SHARED reserved label on both sides
+    # (quality.null_folded): the outer join's null-unsafe equality would
+    # otherwise score matching NULL mass as two disjoint categories
+    from dataframe_kotlin_spark.operators.quality import null_folded
+
     ref = (
         ref_counts.select(
-            F.coalesce(F.col(ref_counts.columns[0]).cast("string"), F.lit("__null__")).alias("__v__"),
+            null_folded(F.col(ref_counts.columns[0])).alias("__v__"),
             F.col(ref_counts.columns[1]).cast("double").alias("__nr__"),
         )
         .groupBy("__v__")  # re-fold in case NULL and the literal label coexist
@@ -596,9 +598,7 @@ def drift_stream(
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         bc = (
-            batch_df.groupBy(
-                F.coalesce(F.col(value_col).cast("string"), F.lit("__null__")).alias("__v__")
-            )
+            batch_df.groupBy(null_folded(F.col(value_col)).alias("__v__"))
             .agg(F.count(F.lit(1)).cast("double").alias("__nb__"))
         )
         full = bc.join(ref, "__v__", "full").fillna({"__nb__": 0.0, "__nr__": 0.0})

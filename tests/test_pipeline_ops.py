@@ -739,3 +739,26 @@ def test_distribution_drift_counts_null_category(spark):
     df = spark.createDataFrame(rows, "slc string, v string")
     psi = {r["slc"]: r["psi"] for r in distribution_drift(df, "v", "slc", "ref").collect()}
     assert psi["cur"] > 0.25  # half the reference mass vanished
+
+
+def test_distribution_drift_null_slice_still_reported(spark):
+    # a slice whose KEY went null must still get a PSI row (review fix)
+    from dataframe_kotlin_spark.operators.quality import NULL_LABEL, distribution_drift
+
+    rows = [(None, "a")] * 100 + [("ref", "a")] * 50 + [("ref", "b")] * 50
+    df = spark.createDataFrame(rows, "slc string, v string")
+    psi = {r["slc"]: r["psi"] for r in distribution_drift(df, "v", "slc", "ref").collect()}
+    assert set(psi) == {NULL_LABEL}
+    assert psi[NULL_LABEL] > 0.25  # 100% 'a' vs 50/50 is a real shift
+
+
+def test_lsh_rejects_invalid_band_split(spark, docs=None):
+    import pytest as _pytest
+
+    from dataframe_kotlin_spark.operators.dedup import lsh_candidate_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="bands"):
+        lsh_candidate_pairs(df, "doc_id", "text", num_hashes=4, bands=8)
+    with _pytest.raises(ValueError, match="divide evenly"):
+        lsh_candidate_pairs(df, "doc_id", "text", num_hashes=8, bands=3)
