@@ -207,11 +207,13 @@ class KDataFrame:
 
     def remove(self, *cols: str) -> "KDataFrame":
         """Drop columns (nested via dotted path -> dropFields).
+        A literal flat column whose NAME contains a dot drops as itself
+        (same guard as update/rename — MoveTests cover dotted flat names).
         Reference: api/remove.kt:13-22."""
-        flat = [c for c in cols if "." not in c]
+        flat = [c for c in cols if "." not in c or c in self.df.columns]
         out = self.df.drop(*flat) if flat else self.df
         for c in cols:
-            if "." in c:
+            if "." in c and c not in self.df.columns:
                 top, rest = c.split(".", 1)
                 out = out.withColumn(top, F.col(top).dropFields(rest))
         return self._wrap(out)
@@ -383,7 +385,9 @@ class KDataFrame:
             joined = left_a.join(right_a, cond, how)
             if keep_right_cols:
                 # collapse duplicated key columns like the USING form does
-                keep = [F.col(f"__l__.{c}") if c in on else F.col(f"__l__.{c}") for c in self.df.columns]
+                # (inner/left take every column from the left side; the
+                # key coalescing below only matters for right/full)
+                keep = [F.col(f"__l__.{c}") for c in self.df.columns]
                 if how in ("right", "full"):
                     keep = [
                         F.coalesce(F.col(f"__l__.{c}"), F.col(f"__r__.{c}")).alias(c)
@@ -775,7 +779,8 @@ class KDataFrame:
         names = self.df.columns
         args = []
         for c in names:
-            args += [f"'{c}'", f"CAST(`{c}` AS STRING)"]
+            lit = c.replace("\\", "\\\\").replace("'", "\\'")  # SQL literal escape
+            args += [f"'{lit}'", f"CAST(`{c}` AS STRING)"]
         df = self.df if order_by is None else self.df.orderBy(*_cols(order_by))
         return self._wrap(
             df.limit(1).select(
@@ -887,13 +892,18 @@ class KDataFrame:
         """Pairwise Pearson correlation of numeric columns in ONE aggregate
         pass (n² corr exprs, single job). Reference: api/corr.kt:6-30."""
         nums = self.numeric_columns()
+        # index-keyed aliases: name-derived aliases collide for column
+        # names containing the separator (e.g. "a" + "a__a")
         aggs = [
-            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"{a}__{b}")
-            for a in nums
-            for b in nums
+            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(f"__c{i}_{j}__")
+            for i, a in enumerate(nums)
+            for j, b in enumerate(nums)
         ]
         r = self.df.agg(*aggs).collect()[0]
-        rows = [tuple([a] + [r[f"{a}__{b}"] for b in nums]) for a in nums]
+        rows = [
+            tuple([a] + [r[f"__c{i}_{j}__"] for j in range(len(nums))])
+            for i, a in enumerate(nums)
+        ]
         schema = T.StructType(
             [T.StructField("column", T.StringType())]
             + [T.StructField(b, T.DoubleType()) for b in nums]
@@ -1056,6 +1066,12 @@ def _common_type(a: T.DataType, b: T.DataType) -> T.DataType:
         if {type(a), type(b)} & {T.FloatType, T.DoubleType} and isinstance(wide, T.FloatType):
             return T.DoubleType()
         return wide
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        # two decimals: keep exactness — cover both scales and both
+        # integer-digit widths, capped at Spark's 38-digit maximum
+        scale = max(a.scale, b.scale)
+        intd = max(a.precision - a.scale, b.precision - b.scale)
+        return T.DecimalType(min(intd + scale, 38), scale)
     if isinstance(a, T.DecimalType) or isinstance(b, T.DecimalType):
         if wa is not None or wb is not None:
             return T.DecimalType(38, 18)

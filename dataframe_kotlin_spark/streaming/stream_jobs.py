@@ -22,11 +22,23 @@ extensions planned in SURVEY §7 P6. Design notes for cluster scale:
 from __future__ import annotations
 
 import os
-from typing import Iterator
+from typing import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+DEFAULT_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 
 def _events_schema(spark: SparkSession, path: str) -> T.StructType:
     """Resolve the source schema from ONE batch metadata read of the path.
@@ -38,8 +50,22 @@ def _events_schema(spark: SparkSession, path: str) -> T.StructType:
     TIMESTAMP(MICROS). A footer-only batch read costs O(files) metadata,
     no data scan.
     """
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(path).schema
+    try:
+        return spark.read.parquet(path).schema
+    except Exception:
+        # source directory empty / not yet populated: fall back to the
+        # canonical events schema so the stream can start BEFORE the
+        # producer drops its first file (the standard deployment order)
+        return DEFAULT_EVENTS_SCHEMA
+    finally:
+        # conf is scoped to this one metadata read — leaving it set would
+        # silently change how UNRELATED batch reads decode TIMESTAMP(NANOS)
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def read_event_stream(
@@ -169,8 +195,12 @@ def _session_fn_factory(gap_seconds: int, max_events: int):
 
         rows = []
         start_us, last_us, n, total = state.get if state.exists else (None, None, 0, 0.0)
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
+        # a group larger than one Arrow batch arrives as MULTIPLE chunks
+        # with no cross-chunk ordering guarantee: concatenate before the
+        # single time-ordered pass, or session boundaries go wrong
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 ts_us = int(pd.Timestamp(ts).value // 1000)
                 closes = last_us is not None and (
@@ -260,6 +290,49 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on, "left")
 
 
+def _latest_committed(target_dir: str) -> int | None:
+    """Last COMMITTED batch id of a versioned-pointer target, or None."""
+    import os as _os
+
+    ptr = _os.path.join(target_dir, "_LATEST")
+    if not _os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        txt = f.read().strip()
+    return int(txt) if txt else None
+
+
+def _publish_version(target_dir: str, batch_id: int, prune_below: int | None) -> None:
+    """Atomically commit v<batch_id> via the _LATEST pointer (os.replace,
+    atomic on POSIX) and best-effort prune versions older than the
+    PREVIOUS commit (kept for readers that resolved the pointer just
+    before the swap). On object stores without atomic rename, use a
+    transactional table format instead of this filesystem formulation."""
+    import os as _os
+    import shutil as _shutil
+
+    tmp = _os.path.join(target_dir, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+        f.flush()
+        _os.fsync(f.fileno())
+    _os.replace(tmp, _os.path.join(target_dir, "_LATEST"))
+    for name in _os.listdir(target_dir):
+        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < (prune_below or 0):
+            _shutil.rmtree(_os.path.join(target_dir, name), ignore_errors=True)
+
+
+def read_versioned(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Read the committed version of a versioned-pointer target (upsert
+    sink / count-min sketch) — never a half-written one."""
+    import os as _os
+
+    v = _latest_committed(target_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {target_dir}")
+    return spark.read.parquet(_os.path.join(target_dir, f"v{v}"))
+
+
 def run_upsert_sink(
     stream_df: DataFrame,
     target_dir: str,
@@ -270,8 +343,15 @@ def run_upsert_sink(
     """foreachBatch upsert sink: each micro-batch MERGEs into a parquet
     target via KDataFrame.merge_upsert (anti-join + union). This is the
     idempotent-sink pattern for engines without a transactional table
-    format; with Delta/Iceberg the body becomes MERGE INTO. Batch
-    replays are safe: upserting the same batch twice is a no-op.
+    format; with Delta/Iceberg the body becomes MERGE INTO.
+
+    Crash safety uses the same versioned-pointer protocol as
+    count_min_stream: each merge writes a NEW version dir and atomically
+    swaps the _LATEST pointer, so a crash mid-write leaves the previous
+    commit intact (an overwrite-in-place sink would lose ALL accumulated
+    rows if it died between delete and commit). Replayed batches
+    (foreachBatch is at-least-once) with batch_id <= committed are
+    no-ops. Read the result with read_versioned, not a raw parquet read.
 
     `reduce` (optional, DataFrame -> DataFrame) collapses the micro-batch
     to one row per key first (e.g. latest-by-timestamp) — batch-local
@@ -283,19 +363,18 @@ def run_upsert_sink(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        last = _latest_committed(target_dir)
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed batch
         if reduce is not None:
             batch_df = reduce(batch_df)
-        if _os.path.exists(_os.path.join(target_dir, "_SUCCESS")):
-            base = KDataFrame(spark.read.parquet(target_dir))
+        if last is not None:
+            base = KDataFrame(spark.read.parquet(_os.path.join(target_dir, f"v{last}")))
             merged = base.merge_upsert(KDataFrame(batch_df), keys=keys).df
         else:
             merged = batch_df
-        # stage-then-swap: the base read above must complete before the
-        # target is overwritten (parquet has no transactions; a table
-        # format would make this one atomic MERGE)
-        tmp = target_dir + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(target_dir)
+        merged.write.mode("overwrite").parquet(_os.path.join(target_dir, f"v{batch_id}"))
+        _publish_version(target_dir, batch_id, prune_below=last)
 
     (
         stream_df.writeStream.foreachBatch(upsert)
@@ -447,25 +526,13 @@ def run_to_parquet(
 
 def _count_min_latest(target_dir: str) -> int | None:
     """Last COMMITTED batch id of a count_min_stream target, or None."""
-    import os as _os
-
-    ptr = _os.path.join(target_dir, "_LATEST")
-    if not _os.path.exists(ptr):
-        return None
-    with open(ptr) as f:
-        txt = f.read().strip()
-    return int(txt) if txt else None
+    return _latest_committed(target_dir)
 
 
 def read_count_min(spark: SparkSession, target_dir: str) -> DataFrame:
     """Read the committed cell table of a count_min_stream target (the
     version the _LATEST pointer names — never a half-written one)."""
-    import os as _os
-
-    v = _count_min_latest(target_dir)
-    if v is None:
-        raise FileNotFoundError(f"no committed count-min sketch at {target_dir}")
-    return spark.read.parquet(_os.path.join(target_dir, f"v{v}"))
+    return read_versioned(spark, target_dir)
 
 
 def merge_count_min_batch(
@@ -490,7 +557,6 @@ def merge_count_min_batch(
       (d, bucket)) instead of this filesystem formulation.
     """
     import os as _os
-    import shutil as _shutil
 
     from dataframe_kotlin_spark.operators.sketches import count_min_sketch
 
@@ -508,17 +574,7 @@ def merge_count_min_batch(
         )
     vdir = _os.path.join(target_dir, f"v{batch_id}")
     cells.write.mode("overwrite").parquet(vdir)
-    tmp = _os.path.join(target_dir, "_LATEST.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(batch_id))
-        f.flush()
-        _os.fsync(f.fileno())
-    _os.replace(tmp, _os.path.join(target_dir, "_LATEST"))
-    # prune versions older than the PREVIOUS commit (kept for readers
-    # that resolved the pointer just before the swap); best-effort
-    for name in _os.listdir(target_dir):
-        if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < (last or 0):
-            _shutil.rmtree(_os.path.join(target_dir, name), ignore_errors=True)
+    _publish_version(target_dir, batch_id, prune_below=last)
 
 
 def count_min_stream(

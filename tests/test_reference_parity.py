@@ -377,3 +377,47 @@ def test_sort_with_comparator(person):
 def test_sort_with_row_cap(person):
     with pytest.raises(ValueError, match="driver cap"):
         person.sort_with(lambda a, b: 0, limit=3)
+
+
+# --- review-fix regressions (core) ---
+
+
+def test_union_widen_two_decimals_stays_decimal(spark):
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+
+    a = KDataFrame(spark.sql("SELECT CAST(1.25 AS DECIMAL(10,2)) AS amt"))
+    b = KDataFrame(spark.sql("SELECT CAST(2.0001 AS DECIMAL(12,4)) AS amt"))
+    out = a.union(b)
+    assert out.df.schema["amt"].dataType == T.DecimalType(12, 4)
+    assert sorted(str(r["amt"]) for r in out.df.collect()) == ["1.2500", "2.0001"]
+
+
+def test_remove_flat_column_with_dot_in_name(spark):
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+
+    df = KDataFrame(
+        spark.createDataFrame([(1, 2)], "id int, `a.b` int")
+    )
+    out = df.remove("a.b")
+    assert out.columns == ["id"]
+
+
+def test_corr_matrix_separator_collision(spark):
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+
+    rows = [(1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 5.0, -4.0)]
+    df = KDataFrame(spark.createDataFrame(rows, "`a` double, `a__a` double, `b` double"))
+    m = {r["column"]: r for r in df.corr_matrix().df.collect()}
+    assert abs(m["a"]["a"] - 1.0) < 1e-12
+    # the (a, a__a) and (a__a, a) cells must be the SAME value and not
+    # leak from a colliding alias
+    assert abs(m["a"]["a__a"] - m["a__a"]["a"]) < 1e-12
+    assert m["a"]["b"] < 0  # negative correlation preserved
+
+
+def test_transpose_row_quote_in_name(spark):
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+
+    df = KDataFrame(spark.createDataFrame([(5,)], ["it's"]))
+    out = df.transpose_row().df.collect()
+    assert [(r["name"], r["value"]) for r in out] == [("it's", "5")]

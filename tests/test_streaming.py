@@ -203,7 +203,10 @@ def test_foreach_batch_upsert_sink(spark, ckpt, batch_events, tmp_path_factory):
         .select(*latest_cols)
     )
     from dataframe_kotlin_spark.core.frame import KDataFrame
-    from dataframe_kotlin_spark.streaming.stream_jobs import run_upsert_sink
+    from dataframe_kotlin_spark.streaming.stream_jobs import (
+        read_versioned,
+        run_upsert_sink,
+    )
 
     run_upsert_sink(
         stream,
@@ -215,7 +218,7 @@ def test_foreach_batch_upsert_sink(spark, ckpt, batch_events, tmp_path_factory):
         .df,
     )
 
-    got = spark.read.parquet(target)
+    got = read_versioned(spark, target)
     exp = (
         batch_events.select(*latest_cols)
         .withColumn(
@@ -490,3 +493,50 @@ def sj_drift_batch_psi(batch_df, ref):
     p = (F.col("__nb__") + 0.5) / (nb + 0.5 * k)
     q = (F.col("__nr__") + 0.5) / (nr + 0.5 * k)
     return full.select(((p - q) * F.log(p / q)).alias("t")).agg(F.sum("t")).collect()[0][0]
+
+
+def test_upsert_sink_crash_mid_publish_keeps_committed(spark, tmp_path, batch_events):
+    """The upsert sink uses the versioned-pointer protocol: a crash after
+    writing a new version dir but BEFORE the pointer swap must leave the
+    previous commit fully readable (an overwrite-in-place sink would
+    have deleted it)."""
+    import os
+
+    from dataframe_kotlin_spark.core.frame import KDataFrame
+    from dataframe_kotlin_spark.streaming.stream_jobs import (
+        _latest_committed,
+        read_versioned,
+    )
+
+    target = str(tmp_path / "ups")
+    base = batch_events.select("user_id", "event_type", "value").limit(50)
+    os.makedirs(target, exist_ok=True)
+    base.write.parquet(os.path.join(target, "v0"))
+    with open(os.path.join(target, "_LATEST"), "w") as f:
+        f.write("0")
+    committed = read_versioned(spark, target).count()
+
+    # crash: half-written v1, no pointer swap
+    os.makedirs(os.path.join(target, "v1"), exist_ok=True)
+    with open(os.path.join(target, "v1", "part-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert _latest_committed(target) == 0
+    assert read_versioned(spark, target).count() == committed
+
+
+def test_read_event_stream_empty_dir_and_conf_restore(spark, tmp_path):
+    """The stream must start on a not-yet-populated source directory
+    (falls back to the canonical events schema) and the nanosAsLong conf
+    must not leak out of the metadata read."""
+    import os
+
+    from dataframe_kotlin_spark.streaming import stream_jobs as sj
+
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src, exist_ok=True)
+    stream = sj.read_event_stream(spark, src)
+    assert stream.isStreaming
+    assert "ts" in stream.columns and "event_type" in stream.columns
+    after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    assert after == before
