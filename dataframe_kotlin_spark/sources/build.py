@@ -15,16 +15,30 @@ def dataframe_of(spark: SparkSession, columns: Sequence[str], *values: Any) -> D
     if len(values) % n:
         raise ValueError(f"{len(values)} values do not fill rows of {n} columns")
     rows = [tuple(values[i : i + n]) for i in range(0, len(values), n)]
+    if not rows:
+        from pyspark.sql import types as T
+
+        # empty literal frame keeps declared columns (string-typed)
+        schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+        return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, list(columns))
 
 
 def from_map(spark: SparkSession, data: dict[str, Sequence[Any]]) -> DataFrame:
-    """Reference Map<String,List>.toDataFrame() (Build.kt:120)."""
+    """Reference Map<String,List>.toDataFrame() (Build.kt:120). Empty
+    value lists build an empty frame with the declared columns (string-
+    typed, since no values constrain the type) — the reference supports
+    empty frames, and schema inference cannot."""
     names = list(data)
     lengths = {len(v) for v in data.values()}
     if len(lengths) > 1:
         raise ValueError(f"unequal column lengths: { {k: len(v) for k, v in data.items()} }")
     rows = list(zip(*[data[n] for n in names])) if names else []
+    if not rows and names:
+        from pyspark.sql import types as T
+
+        schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        return spark.createDataFrame([], schema)
     return spark.createDataFrame(rows, names)
 
 

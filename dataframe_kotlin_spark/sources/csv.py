@@ -105,12 +105,22 @@ def read_csv(
     if skip_lines == 0:
         df = reader().option("header", header).csv(path)
     else:
-        # skip N physical lines: filter on a per-file line index. At scale
-        # skip_lines is a file-head concern (metadata), so the index join
-        # touches only ordering within each file via zipWithIndex.
-        rdd = spark.sparkContext.textFile(path).zipWithIndex()
+        # skip N physical lines PER FILE: a single global zipWithIndex
+        # would skip only the first file's preamble in a multi-file read,
+        # leaking every other file's junk + header lines into the data.
+        # One RDD per file, unioned — still one job, one task set.
         start = skip_lines + (1 if header else 0)
-        lines = rdd.filter(lambda t: t[1] >= start).map(lambda t: t[0])
+        sc = spark.sparkContext
+        rdds = [
+            sc.textFile(f)
+            .zipWithIndex()
+            .filter(lambda t, s_=start: t[1] >= s_)
+            .map(lambda t: t[0])
+            for f in _list_input_files(spark, path)
+        ]
+        if not rdds:
+            raise FileNotFoundError(f"read_csv: no input files at {path!r}")
+        lines = sc.union(rdds) if len(rdds) > 1 else rdds[0]
         df = reader().csv(lines)
     if names:
         if headers and len(names) > len(df.columns):
@@ -132,24 +142,62 @@ def read_csv(
     return _finalize(df, null_strings, infer_types, col_types)
 
 
+def _qc(c: str) -> Column:
+    """Backtick-quoted column ref: header names may contain dots (or any
+    punctuation) and F.col would read them as struct-field paths."""
+    return F.col("`" + c.replace("`", "``") + "`")
+
+
+def _list_input_files(spark: SparkSession, path: str) -> list[str]:
+    """Resolve a path/glob/directory to its data files via the Hadoop
+    FileSystem API (works for any supported FS, not just local)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stack = list(fs.globStatus(p) or [])
+    out = []
+    while stack:
+        st = stack.pop()
+        if st.isDirectory():
+            stack.extend(fs.listStatus(st.getPath()))
+        else:
+            name = st.getPath().getName()
+            if not name.startswith(("_", ".")):
+                out.append(st.getPath().toString())
+    return sorted(out)
+
+
 def _finalize(
     df: DataFrame,
     null_strings: Sequence[str],
     infer_types: bool,
     col_types: dict[str, str] | None,
 ) -> DataFrame:
-    # null normalization (reference io/csv.kt:261,276-281)
-    nulls = [s for s in null_strings]
-    for c in df.columns:
-        df = df.withColumn(c, F.when(F.col(c).isin(nulls) | F.col(c).isNull(), None).otherwise(F.col(c)))
-
+    # null normalization (reference io/csv.kt:261,276-281) as ONE
+    # projection: a withColumn per column nests O(n) Projects and makes
+    # Catalyst analysis quadratic on wide files
+    nulls = [x for x in null_strings]
+    df = df.select(
+        *[
+            F.when(_qc(c).isin(nulls) | _qc(c).isNull(), None)
+            .otherwise(_qc(c))
+            .alias(c)
+            for c in df.columns
+        ]
+    )
     explicit = {
         c: _COLTYPE_ALIASES.get(t, t) for c, t in (col_types or {}).items()
     }
     if infer_types:
         df = infer_column_types(df, skip=set(explicit))
-    for c, t in explicit.items():
-        df = df.withColumn(c, F.col(c).cast(t))
+    if explicit:
+        df = df.select(
+            *[
+                (_qc(c).cast(explicit[c]).alias(c) if c in explicit else _qc(c))
+                for c in df.columns
+            ]
+        )
     return df
 
 
@@ -165,35 +213,46 @@ def read_delim_str(
     escape: str = '"',
 ) -> DataFrame:
     """Reference readDelimStr (io/csv.kt readDelimStr; CsvTests.readNulls):
-    parse a CSV literal held in memory. The literal is parallelized to an
-    RDD so parsing still runs executor-side — driver memory holds only the
-    original string, which is by definition small (a literal).
+    parse a CSV literal held in memory with the stdlib RFC-4180 parser —
+    quoted fields may contain embedded newlines and separators, exactly
+    as the reference's Commons-CSV parser accepts (a line-split + Spark
+    csv-on-RDD approach tears multi-line records apart). The literal is
+    by definition driver-sized; the resulting frame is distributed.
+
+    The header defines the arity (commons-csv withHeader): longer data
+    rows truncate, shorter rows pad with nulls (CsvTests.readNulls:
+    "2,," under two headers is a 2-column row).
     """
     import csv as _csv
+    import io as _io
 
-    lines = [ln for ln in text.splitlines() if ln.strip() != ""]
-    if header and lines:
-        raw_names = next(_csv.reader([lines[0]], delimiter=sep, quotechar=quote), [])
-        names = _dedupe([n.strip() or f"c{i}" for i, n in enumerate(raw_names)])
-        lines = lines[1:]
+    from pyspark.sql import types as T
+
+    rows = [
+        r
+        for r in _csv.reader(_io.StringIO(text), delimiter=sep, quotechar=quote)
+        if any(cell.strip() != "" for cell in r)
+    ]
+    if header and rows:
+        names = _dedupe([n.strip() or f"c{i}" for i, n in enumerate(rows[0])])
+        data = rows[1:]
     else:
         names = None
-    rdd = spark.sparkContext.parallelize(lines)
-    df = (
-        spark.read.option("sep", sep)
-        .option("quote", quote)
-        .option("escape", escape)
-        .option("mode", "PERMISSIVE")
-        .csv(rdd)
+        data = rows
+    arity = (
+        len(names)
+        if names is not None
+        else (max((len(r) for r in data), default=0))
     )
-    if names:
-        # the header defines the arity (commons-csv withHeader): trailing
-        # unnamed cells are dropped (CsvTests.readNulls: "2,," under two
-        # headers is a 2-column row)
-        if len(names) < len(df.columns):
-            df = df.select(*df.columns[: len(names)])
-        if len(names) == len(df.columns):
-            df = df.toDF(*names)
+    names = names if names is not None else [f"_c{i}" for i in range(arity)]
+    norm = [
+        tuple(
+            (r[i] if i < len(r) and r[i] != "" else None) for i in range(arity)
+        )
+        for r in data
+    ]
+    schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+    df = spark.createDataFrame(norm, schema)
     return _finalize(df, null_strings, infer_types, col_types)
 
 
@@ -203,7 +262,7 @@ def read_tsv(spark: SparkSession, path: str, **kw) -> DataFrame:
 
 def _acceptance_exprs(c: str) -> dict[str, Column]:
     """Per-parser 'accepts every non-null value' flags for one column."""
-    col = F.col(c)
+    col = _qc(c)
     nn = col.isNotNull()
 
     def all_ok(ok: Column) -> Column:
@@ -312,8 +371,8 @@ def infer_column_types(
     for c in str_cols:
         aggs.update(_acceptance_exprs(c))
         for i, fmt in enumerate(custom):
-            ok = F.try_to_timestamp(F.col(c), F.lit(fmt)).isNotNull()
-            nn = F.col(c).isNotNull()
+            ok = F.try_to_timestamp(_qc(c), F.lit(fmt)).isNotNull()
+            nn = _qc(c).isNotNull()
             aggs[f"{c}__tsfmt{i}"] = (
                 F.coalesce(F.min(F.when(nn, ok.cast("int"))), F.lit(1)) == 1
             )
@@ -324,7 +383,9 @@ def infer_column_types(
         order.remove("decimal")
         order.insert(order.index("double"), "decimal")
     cascade = order + [f"tsfmt{i}" for i in range(len(custom))]
-    out = df
+    # decide every column, then apply them in ONE projection (chained
+    # withColumn would nest O(n) Projects — quadratic analysis on wide files)
+    casts: dict[str, Column] = {}
     for c in str_cols:
         if row[f"{c}__allnull"]:
             continue  # all-null column stays string (reference keeps String?)
@@ -333,28 +394,26 @@ def infer_column_types(
             if row[f"{c}__{parser}"]:
                 matched = parser
                 if parser == "bool":
-                    out = out.withColumn(
-                        c,
-                        F.when(F.col(c).isNull(), None).otherwise(
-                            F.lower(F.col(c)).isin(*_BOOL_TRUE)
-                        ),
+                    casts[c] = F.when(_qc(c).isNull(), None).otherwise(
+                        F.lower(_qc(c)).isin(*_BOOL_TRUE)
                     )
                 elif parser == "time":
                     pass  # Spark has no TIME type: keep string HH:mm:ss (SURVEY §1.3)
                 elif parser.startswith("tsfmt"):
                     fmt = custom[int(parser[5:])]
-                    out = out.withColumn(
-                        c,
-                        F.to_timestamp(F.col(c), fmt).cast("timestamp_ntz"),
-                    )
+                    casts[c] = F.to_timestamp(_qc(c), fmt).cast("timestamp_ntz")
                 else:
-                    out = out.withColumn(c, F.col(c).cast(_CAST[parser]))
+                    casts[c] = _qc(c).cast(_CAST[parser])
                 break
         if strict and matched is None:
             raise ValueError(
                 f"parse: column {c!r} matched no parser in the cascade"
             )
-    return out
+    if not casts:
+        return df
+    return df.select(
+        *[(casts[c].alias(c) if c in casts else _qc(c)) for c in df.columns]
+    )
 
 
 def write_csv(

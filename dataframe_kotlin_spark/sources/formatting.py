@@ -105,6 +105,8 @@ class FormattingDSL:
             return ca
         if x > float(b):
             return cb
+        if float(a) == float(b):
+            return ca  # degenerate range (constant column): flat color
         t = (x - float(a)) / (float(b) - float(a))
         comp = lambda lo, hi: int(lo + t * (hi - lo))  # noqa: E731 (toInt truncation)
         return RGBColor(comp(ca.r, cb.r), comp(ca.g, cb.g), comp(ca.b, cb.b))

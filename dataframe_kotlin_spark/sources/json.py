@@ -44,12 +44,36 @@ def read_json_str(spark: SparkSession, content: str) -> DataFrame:
 
 def normalize_heterogeneous(df: DataFrame) -> DataFrame:
     """Reference behavior for mixed-type JSON arrays (io/json.kt:60-99):
-    scalars land in a ``value`` column, nested arrays in ``array``; here we
-    rename Spark's corrupt-record/scalar columns to the reference names
-    when present."""
+    non-object elements that Spark parks in ``_corrupt_record`` split
+    into the reference's two columns — scalars land in ``value`` (the
+    scalar itself, quote-stripped via from_json) and nested arrays in
+    ``array`` (array<string>, nested objects kept as their JSON text).
+    Pure Column expressions, map-only."""
     out = df
     if "_corrupt_record" in out.columns:
-        out = out.withColumnRenamed("_corrupt_record", "value")
+        txt = F.trim(F.col("_corrupt_record"))
+        is_arr = txt.startswith("[")
+        out = (
+            out.withColumn(
+                # from_json needs a container schema: wrap the scalar in a
+                # one-element array to quote-strip/normalize it
+                "value",
+                F.when(
+                    txt.isNotNull() & ~is_arr,
+                    F.element_at(
+                        F.from_json(
+                            F.concat(F.lit("["), txt, F.lit("]")), "array<string>"
+                        ),
+                        1,
+                    ),
+                ),
+            )
+            .withColumn(
+                "array",
+                F.when(txt.isNotNull() & is_arr, F.from_json(txt, "array<string>")),
+            )
+            .drop("_corrupt_record")
+        )
     return out
 
 

@@ -103,8 +103,13 @@ def _spread_bits16(x):
 def morton_code(col_a, col_b, range_a, range_b, bits: int = 16):
     """Z-order curve value for two numeric columns, each linearly
     bucketized to ``bits`` bits over its [min, max] range. Pure Column
-    expression — JVM-side, codegen-friendly."""
+    expression — JVM-side, codegen-friendly. ``bits`` is capped at 16
+    (the spread ladder's lane width): more would silently truncate high
+    bucket bits and produce OUT-OF-ORDER codes."""
     from pyspark.sql import functions as F
+
+    if not 1 <= bits <= 16:
+        raise ValueError(f"morton_code supports 1..16 bits per dimension, got {bits}")
 
     def bucket(c, lo, hi):
         span = (hi - lo) or 1
@@ -143,9 +148,11 @@ def write_zordered(
     r = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).collect()[0]
-    z = morton_code(
-        F.col(col_a), F.col(col_b), (r[0], r[1]), (r[2], r[3])
-    ).alias("__z__")
+    # an all-null dimension has no range: degrade it to a constant 0
+    # bucket (layout falls back to clustering the other dimension)
+    ra = (r[0], r[1]) if r[0] is not None else (0, 0)
+    rb = (r[2], r[3]) if r[2] is not None else (0, 0)
+    z = morton_code(F.col(col_a), F.col(col_b), ra, rb).alias("__z__")
     (
         df.withColumn("__z__", z)
         .repartitionByRange(num_files, "__z__")

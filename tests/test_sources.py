@@ -493,3 +493,85 @@ def test_convert_to_decimal_roundtrip(spark):
         "n", T.DecimalType(38, 18)
     )
     assert str(ints.df.collect()[0]["n"]) == "7.000000000000000000"
+
+
+# --- review-fix regressions (sources) ---
+
+
+def test_csv_dotted_header_names(spark, tmp_path):
+    p = tmp_path / "dotted.csv"
+    p.write_text("price.usd,qty\n1.5,2\n2.5,3\n")
+    df = read_csv(spark, str(p))
+    assert df.columns == ["price.usd", "qty"]
+    assert dict(df.dtypes)["`price.usd`".strip("`")] == "double"
+    assert df.count() == 2
+
+
+def test_csv_skip_lines_per_file(spark, tmp_path):
+    d = tmp_path / "multi"
+    d.mkdir()
+    for i in range(2):
+        (d / f"part{i}.csv").write_text(f"#junk{i}\na,b\n{i}0,{i}1\n")
+    df = read_csv(spark, str(d), skip_lines=1, header=True)
+    rows = sorted(map(tuple, df.collect()))
+    # every file's preamble AND header must be skipped, not just the first's
+    assert rows == [(0, 1), (10, 11)]
+    assert df.columns == ["a", "b"]
+
+
+def test_read_delim_str_embedded_newline(spark):
+    df = read_delim_str(spark, 'a,b\n"x\ny",2\n')
+    assert df.columns == ["a", "b"]
+    assert [tuple(r) for r in df.collect()] == [("x\ny", 2)]
+
+
+def test_read_delim_str_header_defines_arity(spark):
+    # more header names than cells: short rows pad with nulls
+    df = read_delim_str(spark, "a,b,c\n1,2\n3,4\n")
+    assert df.columns == ["a", "b", "c"]
+    assert sorted(map(tuple, df.collect())) == [(1, 2, None), (3, 4, None)]
+
+
+def test_from_map_empty_lists(spark):
+    df = from_map(spark, {"x": [], "y": []})
+    assert df.columns == ["x", "y"]
+    assert df.count() == 0
+    assert dataframe_of(spark, ["a", "b"]).columns == ["a", "b"]
+
+
+def test_json_heterogeneous_value_and_array_split(spark):
+    from dataframe_kotlin_spark.sources.json import normalize_heterogeneous, read_json_str
+
+    df = normalize_heterogeneous(read_json_str(spark, '[1, "a", [1, 2], {"k": 5}]'))
+    assert "value" in df.columns and "array" in df.columns
+    rows = df.collect()
+    values = sorted(r["value"] for r in rows if r["value"] is not None)
+    arrays = [r["array"] for r in rows if r["array"] is not None]
+    assert values == ["1", "a"]
+    assert arrays == [["1", "2"]]
+
+
+def test_morton_code_rejects_wide_bits(spark):
+    import pytest as _pytest
+
+    from dataframe_kotlin_spark.sources.layout import morton_code
+
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="16 bits"):
+        morton_code(F.col("a"), F.col("b"), (0, 10), (0, 10), bits=20)
+
+
+def test_write_zordered_all_null_column(spark, tmp_path):
+    from dataframe_kotlin_spark.sources.layout import write_zordered
+
+    df = spark.createDataFrame([(None, 1.0), (None, 2.0)], "a double, b double")
+    out = str(tmp_path / "z")
+    write_zordered(df, out, "a", "b", num_files=2)  # must not raise
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_formatting_linear_constant_range():
+    from dataframe_kotlin_spark.sources.formatting import FormattingDSL as dsl
+
+    assert dsl.linear(5.0, (5.0, dsl.red), (5.0, dsl.blue)) == dsl.red
