@@ -821,3 +821,49 @@ def rolling_dedup_events(spark, sf_dir):
         tiebreak="event_id",
     )
     return out.select("event_id", "user_id", "event_type", "ts")
+
+
+@query(
+    "asof_nearest_purchase",
+    oracle="""
+    WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+    r AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT l.event_id, l.user_id, l.ts, r.value AS bv, r.ts AS bts
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ),
+    f AS (
+      SELECT l.event_id, r.value AS fv, r.ts AS fts
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CAST(FLOOR(EPOCH(b.ts)) AS BIGINT) AS ts_epoch,
+           CASE WHEN f.fts IS NULL THEN b.bv
+                WHEN b.bts IS NULL THEN f.fv
+                WHEN EPOCH(b.ts) - EPOCH(b.bts) <= EPOCH(f.fts) - EPOCH(b.ts) THEN b.bv
+                ELSE f.fv END AS nearest_value
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def asof_nearest_purchase(spark, sf_dir):
+    """Nearest as-of join (direction='nearest', ties -> backward, the
+    pandas merge_asof contract): for every click, the user's closest
+    purchase in either time direction. Both window frames evaluate over
+    the SAME single shuffle (operators/temporal.py asof_join); the
+    oracle composes DuckDB's two native ASOF directions and picks the
+    closer match."""
+    from dataframe_kotlin_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").df
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks, purchases, keys=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"], direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("bigint").alias("ts_epoch"),
+        F.col("r_value").alias("nearest_value"),
+    )
