@@ -130,22 +130,9 @@ def extract_features(media: DataFrame, decode_stub: bool = True, feat_dim: int =
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-RESIZED_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("payload", T.BinaryType(), True),
-        T.StructField(
-            "meta",
-            T.StructType(
-                [
-                    T.StructField("mime", T.StringType()),
-                    T.StructField("width", T.IntegerType()),
-                    T.StructField("height", T.IntegerType()),
-                ]
-            ),
-        ),
-    ]
-)
+# resize preserves the media schema ("same media schema in and out") —
+# one definition, so a new MEDIA_SCHEMA field cannot silently diverge
+RESIZED_SCHEMA = MEDIA_SCHEMA
 
 
 def resize_media(
@@ -176,7 +163,11 @@ def resize_media(
             if decode_stub:
                 payload = pdf["payload"].map(rz_stub)
                 meta = pdf["meta"].map(
-                    lambda m: {"mime": m["mime"], "width": width, "height": height}
+                    lambda m: {
+                        "mime": m["mime"] if m is not None else None,
+                        "width": width,
+                        "height": height,
+                    }
                 )
             else:
 
@@ -192,7 +183,7 @@ def resize_media(
                 )
                 meta = pdf["meta"].map(
                     lambda m: {
-                        "mime": "image/x-portable-pixmap",
+                        "mime": "image/x-portable-pixmap" if m is not None else None,
                         "width": width,
                         "height": height,
                     }
@@ -238,10 +229,14 @@ def sample_frames(
                 b = bytes(b)
                 if decode_stub:
                     step = max(len(b) // n_frames, 1)
-                    for i in range(min(n_frames, len(b))):
+                    k = min(n_frames, len(b))
+                    for i in range(k):
                         ids.append(mid)
                         idxs.append(i)
-                        frames.append(b[i * step : (i + 1) * step])
+                        # last frame takes the remainder so the frames
+                        # concatenate back to the full payload
+                        end = (i + 1) * step if i < k - 1 else len(b)
+                        frames.append(b[i * step : end])
                     continue
                 mime = m["mime"] if m is not None else None
                 if mime not in mc.AUDIO_MIMES:
@@ -252,10 +247,13 @@ def sample_frames(
                 rate, _, samples = mc.parse_wav(b)
                 n = samples.shape[0]
                 seg = max(n // n_frames, 1)
-                for i in range(min(n_frames, n)):
+                k = min(n_frames, n)
+                for i in range(k):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(mc.write_wav(rate, samples[i * seg : (i + 1) * seg]))
+                    # last segment takes the tail samples (lossless split)
+                    end = (i + 1) * seg if i < k - 1 else n
+                    frames.append(mc.write_wav(rate, samples[i * seg : end]))
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": pd.array(idxs, dtype="int32"), "frame": frames}
             )
@@ -286,9 +284,12 @@ def chunk_pcm_audio(
     assert chunk_bytes > 0
     plen = F.length(F.col(payload_col))
     n_chunks = F.ceil(plen / chunk_bytes).cast("int")
-    idx = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))))
-    out = df.withColumn("chunk_idx", idx)
-    start_byte = F.col("chunk_idx") * chunk_bytes
+    # NULL/empty payloads emit ZERO chunk rows (ceil(len/chunk_bytes)
+    # row-count contract): greatest() would skip the NULL and fabricate
+    # a phantom full-duration chunk
+    out = df.filter(n_chunks > 0).withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
     chunk = F.expr(f"substring({payload_col}, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})")
     dur = float(chunk_seconds)
     return out.select(

@@ -81,8 +81,22 @@ def hll_deterministic(
     m = 2**p
     wv = 20 - p
     scale = wv + 1
-    alpha_num = 0.709 * m * m * (1 << scale)  # one Python double, inlined
+    # classic HLL bias constants by register count (Flajolet et al. 2007)
+    if m <= 16:
+        alpha = 0.673
+    elif m <= 32:
+        alpha = 0.697
+    elif m <= 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    alpha_num = alpha * m * m * (1 << scale)  # one Python double, inlined
 
+    # NULLs don't count as a distinct value (count_distinct semantics);
+    # unfiltered they'd hash to a phantom NULL register that inflates
+    # the denominator's occupied-register count. Groups whose values are
+    # ALL null are absent from the output (grouped-agg-on-filtered).
+    df = df.filter(F.col(col).isNotNull())
     h = hash20(F.col(col).cast("string"))
     v = F.floor(h / m).cast("bigint")
     bitlen = None

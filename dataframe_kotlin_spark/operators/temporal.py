@@ -50,20 +50,29 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
+    # The matched right row travels as ONE struct: per-column
+    # last/first(ignorenulls) windows would stitch the output from
+    # DIFFERENT right rows whenever the matched row holds a NULL in one
+    # column (ignorenulls falls through to an older row for just that
+    # column). A struct is non-null as a whole even when fields are
+    # null, so the pick is atomic. Right rows with a NULL timestamp are
+    # not matchable (pandas merge_asof requires non-null keys).
+    rv = F.struct(
+        F.col(right_ts).alias("__rts__"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    rv_type = right.select(rv.alias("__rv__")).schema["__rv__"].dataType
     l_tag = left.select(
         *keys,
         F.col(left_ts).alias("__ts__"),
         F.lit(1).alias("__side__"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}__") for c in right_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts__"),
+        F.lit(None).cast(rv_type).alias("__rv__"),
         F.struct(*left.columns).alias("__row__"),
     )
-    r_tag = right.select(
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts__"),
         F.lit(0).alias("__side__"),
-        *[F.col(c).alias(f"__r_{c}__") for c in right_cols],
-        F.col(right_ts).alias("__rts__"),
+        rv.alias("__rv__"),
         F.lit(None).cast(l_tag.schema["__row__"].dataType).alias("__row__"),
     )
     # backward: right rows sort BEFORE left at equal ts => <= ties match
@@ -80,61 +89,47 @@ def asof_join(
     )
     unioned = l_tag.unionByName(r_tag)
 
-    def picks(w, agg):
-        return [agg("__rts__", w).alias("__mts__")] + [
-            agg(f"__r_{c}__", w).alias(f"__r_{c}__") for c in right_cols
-        ]
-
-    last_ = lambda c, w: F.last(c, ignorenulls=True).over(w)  # noqa: E731
-    first_ = lambda c, w: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     tol_us = None if tolerance_seconds is None else tolerance_seconds * 1_000_000
 
+    def outs(mv):
+        return [mv[c].alias(f"r_{c}") for c in right_cols]
+
     if direction in ("backward", "forward"):
-        cols = picks(w_b, last_) if direction == "backward" else picks(w_f, first_)
-        filled = unioned.select("__side__", "__row__", "__ts__", *cols).filter(
-            F.col("__side__") == 1
+        pick = (
+            F.last("__rv__", ignorenulls=True).over(w_b)
+            if direction == "backward"
+            else F.first("__rv__", ignorenulls=True).over(w_f)
         )
+        filled = unioned.select(
+            "__side__", "__row__", "__ts__", pick.alias("__mv__")
+        ).filter(F.col("__side__") == 1)
+        mv = F.col("__mv__")
         if tol_us is not None:
             gap = (
-                us(F.col("__ts__")) - us(F.col("__mts__"))
+                us(F.col("__ts__")) - us(mv["__rts__"])
                 if direction == "backward"
-                else us(F.col("__mts__")) - us(F.col("__ts__"))
+                else us(mv["__rts__"]) - us(F.col("__ts__"))
             )
-            within = F.col("__mts__").isNotNull() & (gap <= tol_us)
-            filled = filled.select(
-                "__row__",
-                *[F.when(within, F.col(f"__r_{c}__")).alias(f"__r_{c}__") for c in right_cols],
-            )
-        return filled.select(
-            "__row__.*", *[F.col(f"__r_{c}__").alias(f"r_{c}") for c in right_cols]
-        )
+            mv = F.when(mv.isNotNull() & (gap <= tol_us), mv)
+        return filled.select("__row__.*", *outs(mv))
 
     # nearest: materialize both candidates, choose per row
     both = unioned.select(
         "__side__",
         "__row__",
         "__ts__",
-        F.last("__rts__", ignorenulls=True).over(w_b).alias("__bts__"),
-        F.first("__rts__", ignorenulls=True).over(w_f).alias("__fts__"),
-        *[F.last(f"__r_{c}__", ignorenulls=True).over(w_b).alias(f"__b_{c}__") for c in right_cols],
-        *[F.first(f"__r_{c}__", ignorenulls=True).over(w_f).alias(f"__f_{c}__") for c in right_cols],
+        F.last("__rv__", ignorenulls=True).over(w_b).alias("__bv__"),
+        F.first("__rv__", ignorenulls=True).over(w_f).alias("__fv__"),
     ).filter(F.col("__side__") == 1)
-    gap_b = us(F.col("__ts__")) - us(F.col("__bts__"))
-    gap_f = us(F.col("__fts__")) - us(F.col("__ts__"))
-    ok_b = F.col("__bts__").isNotNull() & (F.lit(True) if tol_us is None else gap_b <= tol_us)
-    ok_f = F.col("__fts__").isNotNull() & (F.lit(True) if tol_us is None else gap_f <= tol_us)
+    bv, fv = F.col("__bv__"), F.col("__fv__")
+    gap_b = us(F.col("__ts__")) - us(bv["__rts__"])
+    gap_f = us(fv["__rts__"]) - us(F.col("__ts__"))
+    ok_b = bv.isNotNull() & (F.lit(True) if tol_us is None else gap_b <= tol_us)
+    ok_f = fv.isNotNull() & (F.lit(True) if tol_us is None else gap_f <= tol_us)
     use_b = ok_b & (~ok_f | (gap_b <= gap_f))  # tie -> backward (pandas)
-    return both.select(
-        "__row__.*",
-        *[
-            F.when(use_b, F.col(f"__b_{c}__"))
-            .when(ok_f, F.col(f"__f_{c}__"))
-            .alias(f"r_{c}")
-            for c in right_cols
-        ],
-    )
+    mv = F.when(use_b, bv).when(ok_f, fv)
+    return both.select("__row__.*", *outs(mv))
 
 
 def interval_join(

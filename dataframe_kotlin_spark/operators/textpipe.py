@@ -40,8 +40,9 @@ def text_stats(df: DataFrame, text_col: str) -> DataFrame:
     approx_bpe_tokens (chars/4 heuristic), mean_word_len."""
     t = F.col(text_col)
     toks = tokens(t)
-    n_tok = F.size(toks)
-    n_chars = F.length(normalize(t))
+    # size(NULL array) is -1 under legacy sizeOfNull: NULL text counts 0
+    n_tok = F.when(t.isNull(), 0).otherwise(F.size(toks))
+    n_chars = F.coalesce(F.length(normalize(t)), F.lit(0))
     return (
         df.withColumn("n_tokens", n_tok.cast("bigint"))
         .withColumn("n_chars_norm", n_chars.cast("bigint"))
@@ -144,8 +145,11 @@ def pii_counts(df: DataFrame, text_col: str) -> DataFrame:
     rewriting a corpus."""
     out = df
     for name, pattern, _ in PII_RULES:
+        matches = F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        # size(NULL array) is -1 under legacy sizeOfNull: NULL text has 0 hits
         out = out.withColumn(
-            f"n_{name}", F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0)))
+            f"n_{name}",
+            F.when(F.col(text_col).isNull(), 0).otherwise(F.size(matches)),
         )
     return out
 

@@ -762,3 +762,50 @@ def test_lsh_rejects_invalid_band_split(spark, docs=None):
         lsh_candidate_pairs(df, "doc_id", "text", num_hashes=4, bands=8)
     with _pytest.raises(ValueError, match="divide evenly"):
         lsh_candidate_pairs(df, "doc_id", "text", num_hashes=8, bands=3)
+
+
+def test_chunk_pcm_null_and_empty_payloads_emit_no_rows(spark):
+    from dataframe_kotlin_spark.operators.multimodal import chunk_pcm_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh")), (2, None), (3, bytearray(b""))],
+        "media_id long, payload binary",
+    )
+    out = chunk_pcm_audio(df, "media_id", "payload", sample_rate=2, bytes_per_sample=1, chunk_seconds=2.0)
+    rows = out.collect()
+    assert {r["media_id"] for r in rows} == {1}  # null/empty emit nothing
+    assert len(rows) == 2  # ceil(8/4)
+
+
+def test_sample_frames_lossless_tail(spark):
+    from dataframe_kotlin_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"0123456789"))], "media_id long, payload binary"
+    )
+    out = sample_frames(df, n_frames=3).collect()
+    frames = [bytes(r["frame"]) for r in sorted(out, key=lambda r: r["frame_idx"])]
+    assert b"".join(frames) == b"0123456789"  # byte 9 no longer dropped
+
+
+def test_resize_media_null_meta_row(spark):
+    from dataframe_kotlin_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc"), None)],
+        "media_id long, payload binary, meta struct<mime:string,width:int,height:int>",
+    )
+    out = resize_media(df, 2, 2).collect()  # must not raise
+    assert len(bytes(out[0]["payload"])) == 4
+
+
+def test_hll_deterministic_null_values_dont_count(spark):
+    from dataframe_kotlin_spark.operators.sketches import hll_deterministic
+
+    rows = [("g", str(i)) for i in range(50)] + [("g", None)] * 50
+    df = spark.createDataFrame(rows, "k string, v string")
+    with_nulls = hll_deterministic(df, ["k"], "v").collect()[0]["hll_nd"]
+    clean = hll_deterministic(
+        spark.createDataFrame(rows[:50], "k string, v string"), ["k"], "v"
+    ).collect()[0]["hll_nd"]
+    assert with_nulls == clean  # NULLs contribute nothing

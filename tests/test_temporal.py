@@ -254,3 +254,46 @@ def test_rolling_dedup_burst_semantics(spark):
     # id1 starts burst; 2,3 inside 30s of predecessor; 4 after 80s silence;
     # 5 within 30s of 4 -> dropped; 6 within 30s of 5 -> dropped; 7 other key
     assert kept == [1, 4, 7]
+
+
+def test_asof_null_right_value_not_stitched(spark):
+    """A matched right row with a NULL payload column must yield NULL —
+    never an older row's value stitched in per-column (pandas parity)."""
+    import datetime as dt
+
+    from dataframe_kotlin_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, t(10))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, t(1), 5.0), (1, t(10), None)], "k int, ts timestamp, a double"
+    )
+    out = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["a"], direction="backward", tolerance_seconds=2,
+    ).collect()
+    assert out[0]["r_a"] is None  # matched row (ts=10) has NULL a
+
+    # without tolerance the matched row is still ts=10 -> NULL a
+    out2 = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["a"], direction="backward",
+    ).collect()
+    assert out2[0]["r_a"] is None
+
+
+def test_asof_null_right_ts_rows_ignored(spark):
+    import datetime as dt
+
+    from dataframe_kotlin_spark.operators.temporal import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, t(5))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, 99.0)], "k int, ts timestamp, a double"
+    )
+    out = asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="ts",
+        right_cols=["a"], direction="backward",
+    ).collect()
+    assert out[0]["r_a"] is None  # null-ts right row is not matchable
