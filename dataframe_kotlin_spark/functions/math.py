@@ -18,11 +18,15 @@ def digitize(col: Column, bins: Sequence[float], right: bool = False) -> Column:
     ``when`` expression, which whole-stage codegen compiles to a branch
     ladder; for large bin lists this is O(bins) per row but stays JVM-side.
     right=False: bins[i-1] <= x < bins[i] (bin 0 = below first edge).
+    NULL input stays NULL (a missing measurement is not "above every
+    edge"); empty bins return 0 for every value (numpy.digitize parity).
     """
-    expr = None
+    if not bins:
+        return F.when(col.isNull(), None).otherwise(F.lit(0))
+    expr = F.when(col.isNull(), None)
     for i, edge in enumerate(bins):
         cond = (col <= edge) if right else (col < edge)
-        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+        expr = expr.when(cond, i)
     return expr.otherwise(len(bins))
 
 

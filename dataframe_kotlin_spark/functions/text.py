@@ -28,7 +28,13 @@ def normalize(col: Column) -> Column:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization -> array<string>."""
+    """Whitespace tokenization -> array<string>.
+
+    NOTE: split('') yields [''] (one empty token) — the SAME quirk as
+    DuckDB's string_split, and every oracle query replays it, so the
+    cross-engine hash parity of the text pipeline DEPENDS on keeping
+    this behavior. Filter empty docs upstream when 0-token semantics
+    matter (curate_corpus's length gate does)."""
     return F.split(normalize(col), " ")
 
 

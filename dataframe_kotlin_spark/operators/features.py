@@ -23,6 +23,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _stats_join(df: DataFrame, keys: Sequence[str], aggs: list) -> DataFrame:
+    """Broadcast the per-group stats back onto the rows. NULL group keys
+    join null-safely (eqNullSafe) so rows in the NULL group are clipped/
+    scaled within it rather than silently dropped by a plain equi-join
+    (a row-preserving transform must preserve rows)."""
+    if not keys:
+        return df.crossJoin(F.broadcast(df.agg(*aggs)))
+    stats = df.groupBy(*keys).agg(*aggs)
+    renamed = stats.select(
+        *[F.col(k).alias(f"__k_{k}__") for k in keys],
+        *[c for c in stats.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(f"__k_{k}__"))
+        cond = e if cond is None else cond & e
+    return df.join(F.broadcast(renamed), cond, "left").drop(
+        *[f"__k_{k}__" for k in keys]
+    )
+
+
 def winsorize(
     df: DataFrame,
     cols: Sequence[str],
@@ -41,14 +62,9 @@ def winsorize(
     """
     aggs = []
     for c in cols:
-        aggs.append(F.expr(f"percentile({c}, {lower})").alias(f"__{c}_lo__"))
-        aggs.append(F.expr(f"percentile({c}, {upper})").alias(f"__{c}_hi__"))
-    if keys:
-        stats = df.groupBy(*keys).agg(*aggs)
-        out = df.join(F.broadcast(stats), list(keys))
-    else:
-        stats = df.agg(*aggs)
-        out = df.crossJoin(F.broadcast(stats))
+        aggs.append(F.percentile(F.col(c), F.lit(lower)).alias(f"__{c}_lo__"))
+        aggs.append(F.percentile(F.col(c), F.lit(upper)).alias(f"__{c}_hi__"))
+    out = _stats_join(df, keys, aggs)
     for c in cols:
         lo, hi = F.col(f"__{c}_lo__"), F.col(f"__{c}_hi__")
         out = out.withColumn(f"{c}_w", F.least(F.greatest(F.col(c), lo), hi))
@@ -69,12 +85,7 @@ def standardize(
     for c in cols:
         aggs.append(F.avg(c).alias(f"__{c}_mu__"))
         aggs.append(fn(c).alias(f"__{c}_sd__"))
-    if keys:
-        stats = df.groupBy(*keys).agg(*aggs)
-        out = df.join(F.broadcast(stats), list(keys))
-    else:
-        stats = df.agg(*aggs)
-        out = df.crossJoin(F.broadcast(stats))
+    out = _stats_join(df, keys, aggs)
     for c in cols:
         mu, sd = F.col(f"__{c}_mu__"), F.col(f"__{c}_sd__")
         out = out.withColumn(

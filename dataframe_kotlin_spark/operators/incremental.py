@@ -32,7 +32,6 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_STATE_COLS = ("cnt", "sum_val", "min_val", "max_val")
 
 
 def increment(df: DataFrame, keys: Sequence[str], value_col: str) -> DataFrame:

@@ -79,16 +79,65 @@ def scd2_merge(
     whose key received updates are closed at the first update's ts; new
     versions are appended; the latest becomes the open row.
 
-    Closed rows never rewrite — only the open slice and the batch are
-    shuffled. Updates older than a key's open version raise no error but
-    sort into place (late data lands as a closed version)."""
-    closed = current.filter(F.col(valid_to).isNotNull()).drop(current_flag)
-    open_hist = current.filter(F.col(valid_to).isNull()).select(
+    On-time updates (ts >= the key's open valid_from, or a new key)
+    rewrite only the open slice — closed rows pass through untouched.
+    LATE updates (ts inside a key's already-closed history) cannot be
+    spliced without touching closed ranges, so those keys — and only
+    those keys — take a full per-key rebuild from their version history;
+    the non-overlap invariant holds for every key either way (tests
+    assert merge == full rebuild, late data included)."""
+    open_from = current.filter(F.col(valid_to).isNull()).select(
+        *keys, F.col(valid_from).alias("__open_from__")
+    )
+    # FRESH column names for the late-key set: it derives from BOTH input
+    # frames, so a name-based (USING) join back against either one is an
+    # ambiguous self-join that Spark can resolve to the wrong attribute
+    # (observed: per-occurrence inconsistent semi/anti results). Aliased
+    # keys + explicit conditions are unambiguous.
+    late_keys = (
+        updates.join(open_from, list(keys))
+        .filter(F.col(ts_col) < F.col("__open_from__"))
+        .select(*[F.col(k).alias(f"__lk_{k}__") for k in keys])
+        .distinct()
+    )
+    # LINEAGE BARRIER: late_keys embeds attribute ids from BOTH inputs;
+    # joining it back against them is a self-referential plan that Spark
+    # can mis-resolve per occurrence (observed: the same semi/anti join
+    # evaluating inconsistently inside the composed plan). The RDD
+    # round-trip assigns fresh ids — late_keys is |late keys|-sized, so
+    # the extra evaluation is negligible.
+    late_keys = updates.sparkSession.createDataFrame(late_keys.rdd, late_keys.schema)
+
+    def _against_late(df: DataFrame, how: str) -> DataFrame:
+        cond = None
+        for k in keys:
+            e = df[k] == F.col(f"__lk_{k}__")
+            cond = e if cond is None else cond & e
+        return df.join(late_keys, cond, how)
+
+    # fast path: keys with only on-time updates
+    cur_fast = _against_late(current, "left_anti")
+    upd_fast = _against_late(updates, "left_anti")
+    closed = cur_fast.filter(F.col(valid_to).isNotNull()).drop(current_flag)
+    open_hist = cur_fast.filter(F.col(valid_to).isNull()).select(
         *keys, F.col(valid_from).alias(ts_col), *attr_cols
     )
-    hist = open_hist.unionByName(updates.select(*keys, ts_col, *attr_cols))
+    hist = open_hist.unionByName(upd_fast.select(*keys, ts_col, *attr_cols))
     rebuilt = scd2_from_history(
         hist, keys, ts_col, attr_cols, valid_from, valid_to, current_flag, tie_cols
     ).drop(current_flag)
     out = closed.unionByName(rebuilt)
-    return out.withColumn(current_flag, F.col(valid_to).isNull())
+
+    # slow path: late-update keys rebuild from their FULL version history
+    cur_late = _against_late(current, "semi")
+    upd_late = _against_late(updates, "semi")
+    late_hist = cur_late.select(
+        *keys, F.col(valid_from).alias(ts_col), *attr_cols
+    ).unionByName(upd_late.select(*keys, ts_col, *attr_cols))
+    late_rebuilt = scd2_from_history(
+        late_hist, keys, ts_col, attr_cols, valid_from, valid_to, current_flag, tie_cols
+    ).drop(current_flag)
+
+    return out.unionByName(late_rebuilt).withColumn(
+        current_flag, F.col(valid_to).isNull()
+    )

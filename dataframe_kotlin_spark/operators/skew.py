@@ -102,10 +102,9 @@ def bloom_prefilter(
     Probe: per row, `probes` xxhash64 positions test bits via
     element_at + shiftright — all whole-stage codegen.
     """
-    import pyspark.sql.functions as _F
-
     m = int(m_bits)
-    assert m % 64 == 0
+    if m % 64 != 0:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m}")
     pos_cols = [
         F.pmod(F.xxhash64(F.col(key), F.lit(seed + i)), F.lit(m)).alias(f"p{i}")
         for i in range(probes)
@@ -123,7 +122,7 @@ def bloom_prefilter(
     for i in range(probes):
         pos = F.pmod(F.xxhash64(F.col(key), F.lit(seed + i)), F.lit(m)).cast("int")
         word = F.element_at(warr, (pos / F.lit(64)).cast("int") + F.lit(1))
-        bit = _F.call_function("shiftright", word, F.pmod(pos, F.lit(64))).bitwiseAND(
+        bit = F.call_function("shiftright", word, F.pmod(pos, F.lit(64))).bitwiseAND(
             F.lit(1)
         )
         c = bit == 1

@@ -809,3 +809,28 @@ def test_hll_deterministic_null_values_dont_count(spark):
         spark.createDataFrame(rows[:50], "k string, v string"), ["k"], "v"
     ).collect()[0]["hll_nd"]
     assert with_nulls == clean  # NULLs contribute nothing
+
+
+def test_digitize_null_and_empty_bins(spark):
+    from dataframe_kotlin_spark.functions.math import digitize
+
+    df = spark.createDataFrame([(5.0,), (None,), (20.0,)], "x double")
+    out = df.select(digitize(F.col("x"), [1.0, 10.0]).alias("b")).collect()
+    got = [r["b"] for r in out]
+    assert got == [1, None, 2]  # NULL stays NULL, not the overflow bin
+    empty = df.select(digitize(F.col("x"), []).alias("b")).collect()
+    assert [r["b"] for r in empty] == [0, None, 0]  # numpy parity
+
+
+def test_winsorize_standardize_keep_null_key_rows(spark):
+    from dataframe_kotlin_spark.operators.features import standardize, winsorize
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), ("a", 3.0), (None, 4.0)], "g string, x double"
+    )
+    w = winsorize(df, ["x"], keys=["g"], lower=0.0, upper=1.0)
+    assert w.count() == 4  # NULL-key rows clipped within their own group
+    z = standardize(df, ["x"], keys=["g"])
+    assert z.count() == 4
+    nulls = {r["x"]: r["x_z"] for r in z.collect() if r["g"] is None}
+    assert abs(nulls[4.0] - 0.7071067811865475) < 1e-9  # z within the NULL group

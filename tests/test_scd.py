@@ -85,3 +85,31 @@ def test_scd2_merge_closed_rows_untouched(spark):
     assert rows["a"]["valid_to"] == date(2024, 2, 1)
     assert rows["b"]["valid_to"] == date(2024, 3, 1) and not rows["b"]["is_current"]
     assert rows["c"]["is_current"]
+
+
+def test_scd2_merge_late_update_no_overlap(spark):
+    """A late update whose ts falls inside a CLOSED range must not
+    create overlapping validity intervals: merge == full rebuild."""
+    import datetime as dt
+
+    from dataframe_kotlin_spark.operators.scd import scd2_from_history, scd2_merge
+
+    t = lambda d: dt.datetime(2024, 1, d)  # noqa: E731
+    hist = spark.createDataFrame(
+        [(1, t(1), "v1"), (1, t(5), "v2")], "k int, ts timestamp, attr string"
+    )
+    current = scd2_from_history(hist, ["k"], "ts", ["attr"])
+    late = spark.createDataFrame([(1, t(3), "X")], "k int, ts timestamp, attr string")
+
+    merged = scd2_merge(current, late, ["k"], "ts", ["attr"])
+    expected = scd2_from_history(
+        hist.unionByName(late), ["k"], "ts", ["attr"]
+    )
+    got = sorted(map(tuple, merged.collect()))
+    exp = sorted(map(tuple, expected.collect()))
+    assert got == exp
+    # non-overlap invariant: each valid_to equals the next valid_from
+    rows = sorted(merged.collect(), key=lambda r: r["valid_from"])
+    for a, b in zip(rows, rows[1:]):
+        assert a["valid_to"] == b["valid_from"]
+    assert rows[-1]["valid_to"] is None
