@@ -130,6 +130,13 @@ def distribution_drift(
     The returned slice column is STRING (labels, not the original
     type), so a NULL slice has a printable identity.
 
+    ``ref_slice`` addressing: pass the slice's VALUE (compared after the
+    string fold). To use the NULL slice as the reference, pass
+    ``quality.NULL_LABEL`` — `lit(None)` can never compare equal. A
+    ``ref_slice`` matching no data is an error by construction (a typo'd
+    label would otherwise read as "no drift"): ``psi_check`` raises on
+    it; this lazy builder documents it and the returned frame is empty.
+
     Returns (slice, psi) for every non-reference slice.
     """
     counts = (
@@ -167,3 +174,32 @@ def distribution_drift(
             ).alias("psi")
         )
     )
+
+
+def psi_check(
+    df: DataFrame,
+    value_col: str,
+    slice_col: str,
+    ref_slice,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Validated, eager form of ``distribution_drift``: raises
+    ``ValueError`` when ``ref_slice`` matches zero rows (typo'd label, or
+    ``None`` passed instead of ``NULL_LABEL``) instead of returning a
+    silently empty frame — "reference missing" must not read as "no
+    drift". Costs one tiny probe job (limit-1 on the folded slice key,
+    filter pushed to the scan) before handing back the same lazy plan.
+    """
+    ref_label = F.lit(ref_slice).cast("string")
+    probe = (
+        df.select(null_folded(F.col(slice_col)).alias("__s__"))
+        .filter(F.col("__s__") == ref_label)
+        .limit(1)
+    )
+    if not probe.take(1):
+        raise ValueError(
+            f"distribution_drift: reference slice {ref_slice!r} matches no "
+            f"rows of {slice_col!r}. For the NULL slice pass quality."
+            "NULL_LABEL (lit(None) never compares equal)."
+        )
+    return distribution_drift(df, value_col, slice_col, ref_slice, alpha)

@@ -277,7 +277,11 @@ def dsir_log_weights(
     the final sum; nothing about the corpora ever reaches the driver.
     All hashing is the md5 recipe, so weights are engine-reproducible.
 
-    Returns (id_col, log_weight) for every raw document.
+    Returns (id_col, log_weight) for every raw document. A document whose
+    text is NULL (or tokenizes to nothing) carries no feature evidence, so
+    its importance ratio is the empty product: log_weight 0.0 — such docs
+    are kept in the output (left join back onto the raw ids) rather than
+    silently dropped, so downstream joins on the weights see every id.
     """
     feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
 
@@ -314,7 +318,12 @@ def dsir_log_weights(
             * (F.coalesce("__lpt__", "__dt__") - F.coalesce("__lpq__", "__dq__")),
         )
     )
-    return scored.groupBy(id_col).agg(F.sum("__term__").alias("log_weight"))
+    weights = scored.groupBy(id_col).agg(F.sum("__term__").alias("log_weight"))
+    return (
+        raw.select(id_col)
+        .join(weights, id_col, "left")
+        .select(id_col, F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"))
+    )
 
 
 def mixture_plan(
@@ -336,7 +345,10 @@ def mixture_plan(
 
     One groupBy(source) aggregate — output is |sources| rows; the weight
     table is a literal broadcast. Sources absent from ``weights`` get
-    weight 0 (reported with their availability, nothing allocated).
+    weight 0 (reported with their availability, nothing allocated); a
+    source named in ``weights`` but absent from ``df`` still gets a plan
+    row (full outer join, availability 0) so its unmet budget share shows
+    up as deficit instead of vanishing.
     """
     spark = df.sparkSession
     wdf = spark.createDataFrame(
@@ -346,15 +358,16 @@ def mixture_plan(
         F.sum(F.col(token_col)).cast("double").alias("available_tokens")
     )
     req = F.coalesce(F.col("weight"), F.lit(0.0)) * budget
-    alloc = F.least(req, F.col("available_tokens") * max_epochs)
+    av = F.coalesce(F.col("available_tokens"), F.lit(0.0))
+    alloc = F.least(req, av * max_epochs)
     return (
-        avail.join(F.broadcast(wdf), source_col, "left")
+        avail.join(wdf, source_col, "full_outer")
         .select(
             source_col,
-            "available_tokens",
+            av.alias("available_tokens"),
             req.alias("requested_tokens"),
             alloc.alias("allocated_tokens"),
-            (alloc / F.col("available_tokens")).alias("epochs"),
+            F.when(av > 0, alloc / av).otherwise(F.lit(0.0)).alias("epochs"),
             (req - alloc).alias("deficit_tokens"),
         )
     )

@@ -94,9 +94,12 @@ def hll_deterministic(
 
     # NULLs don't count as a distinct value (count_distinct semantics);
     # unfiltered they'd hash to a phantom NULL register that inflates
-    # the denominator's occupied-register count. Groups whose values are
-    # ALL null are absent from the output (grouped-agg-on-filtered).
-    df = df.filter(F.col(col).isNotNull())
+    # the denominator's occupied-register count. count_distinct keeps a
+    # group whose values are ALL null and reports 0, so after the
+    # filtered aggregate we restore such groups via a left join from the
+    # distinct group keys (estimate coalesced to 0.0) — callers joining
+    # the estimates against a group list see every group.
+    nn = df.filter(F.col(col).isNotNull())
     h = hash20(F.col(col).cast("string"))
     v = F.floor(h / m).cast("bigint")
     bitlen = None
@@ -104,13 +107,27 @@ def hll_deterministic(
         t = (v >= 2**j).cast("int")
         bitlen = t if bitlen is None else bitlen + t
     rho = F.lit(wv) - bitlen + 1  # v=0 -> wv+1
-    regs = df.select(*keys, (h % m).alias("__b__"), rho.alias("__rho__")).groupBy(
+    regs = nn.select(*keys, (h % m).alias("__b__"), rho.alias("__rho__")).groupBy(
         *keys, "__b__"
     ).agg(F.max("__rho__").alias("M"))
     term = F.expr(f"cast(shiftleft(1, {scale} - M) as bigint)")
     denom = (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << scale) + F.sum(term)
-    return regs.groupBy(*keys).agg(
+    est = regs.groupBy(*keys).agg(
         F.round(F.lit(alpha_num) / denom, 4).alias(name)
+    )
+    if not keys:
+        return est
+    groups = df.select(*keys).distinct()
+    # null-safe key equality: a NULL-keyed group is still a group
+    cond = None
+    for k in keys:
+        c = groups[k].eqNullSafe(est[k])
+        cond = c if cond is None else cond & c
+    # both sides are |groups| rows; leave the join pick to AQE (a forced
+    # broadcast would be wrong for a high-cardinality key)
+    return groups.join(est, cond, "left").select(
+        *[groups[k] for k in keys],
+        F.coalesce(est[name], F.lit(0.0)).alias(name),
     )
 
 

@@ -1832,14 +1832,20 @@ def semdedup_survivors(spark, sf_dir):
     dq AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM bkt GROUP BY b),
     dt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM bkt WHERE lang = 'en' GROUP BY b),
     nq AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM dq),
-    nt AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM dt)
-    SELECT feat.doc_id,
-           ROUND(SUM(feat.c * (ln((COALESCE(dt.n, 0) + 1.0) / (nt.N + 256.0))
-                             - ln((dq.n + 1.0) / (nq.N + 256.0)))) + 1e-9, 5) AS log_weight
-    FROM feat
-    JOIN dq USING (b) LEFT JOIN dt USING (b)
-    CROSS JOIN nq CROSS JOIN nt
-    GROUP BY feat.doc_id
+    nt AS (SELECT CAST(SUM(n) AS DOUBLE) AS N FROM dt),
+    w AS (
+      SELECT feat.doc_id,
+             ROUND(SUM(feat.c * (ln((COALESCE(dt.n, 0) + 1.0) / (nt.N + 256.0))
+                               - ln((dq.n + 1.0) / (nq.N + 256.0)))) + 1e-9, 5) AS log_weight
+      FROM feat
+      JOIN dq USING (b) LEFT JOIN dt USING (b)
+      CROSS JOIN nq CROSS JOIN nt
+      GROUP BY feat.doc_id
+    )
+    -- contract: every raw doc gets a weight; feature-less (NULL/empty
+    -- text) docs carry the empty-product weight 0.0
+    SELECT d.doc_id, COALESCE(w.log_weight, 0.0) AS log_weight
+    FROM (SELECT doc_id FROM documents) d LEFT JOIN w USING (doc_id)
     """,
 )
 def dsir_log_weights(spark, sf_dir):
@@ -1948,16 +1954,23 @@ def psi_drift_priority(spark, sf_dir):
     avail AS (
       SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS available_tokens
       FROM documents GROUP BY lang
+    ),
+    -- full outer: a weighted source absent from the corpus still reports
+    -- its unmet budget share as deficit (availability 0)
+    j AS (
+      SELECT lang,
+             COALESCE(available_tokens, 0.0) AS av,
+             COALESCE(weight, 0.0) * 200000 AS req
+      FROM avail FULL OUTER JOIN w USING (lang)
     )
-    SELECT avail.lang,
-           available_tokens,
-           COALESCE(weight, 0.0) * 200000 AS requested_tokens,
-           LEAST(COALESCE(weight, 0.0) * 200000, available_tokens * 2.0) AS allocated_tokens,
-           ROUND(LEAST(COALESCE(weight, 0.0) * 200000, available_tokens * 2.0)
-                 / available_tokens + 1e-9, 6) AS epochs,
-           COALESCE(weight, 0.0) * 200000
-             - LEAST(COALESCE(weight, 0.0) * 200000, available_tokens * 2.0) AS deficit_tokens
-    FROM avail LEFT JOIN w USING (lang)
+    SELECT lang,
+           av AS available_tokens,
+           req AS requested_tokens,
+           LEAST(req, av * 2.0) AS allocated_tokens,
+           CASE WHEN av > 0 THEN ROUND(LEAST(req, av * 2.0) / av + 1e-9, 6)
+                ELSE 0.0 END AS epochs,
+           req - LEAST(req, av * 2.0) AS deficit_tokens
+    FROM j
     """,
 )
 def mixture_plan_langs(spark, sf_dir):

@@ -228,10 +228,14 @@ def read_delim_str(
 
     from pyspark.sql import types as T
 
+    # Commons-CSV DEFAULT only ignores physically empty lines; a multi-field
+    # all-empty record like ",," still parses to a row of nulls (reference
+    # io/csv.kt DEFAULT format). A blank line reaches us as a single empty
+    # cell from the stdlib reader — drop exactly those.
     rows = [
         r
         for r in _csv.reader(_io.StringIO(text), delimiter=sep, quotechar=quote)
-        if any(cell.strip() != "" for cell in r)
+        if r and not (len(r) == 1 and r[0].strip() == "")
     ]
     if header and rows:
         names = _dedupe([n.strip() or f"c{i}" for i, n in enumerate(rows[0])])

@@ -811,6 +811,69 @@ def test_hll_deterministic_null_values_dont_count(spark):
     assert with_nulls == clean  # NULLs contribute nothing
 
 
+def test_hll_deterministic_all_null_group_reports_zero(spark):
+    # count_distinct keeps an all-NULL group with 0; so do we (advice fix)
+    from dataframe_kotlin_spark.operators.sketches import hll_deterministic
+
+    rows = [("a", "x"), ("a", "y"), ("b", None), ("b", None), (None, "z")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = {r["k"]: r["hll_nd"] for r in hll_deterministic(df, ["k"], "v").collect()}
+    assert set(out) == {"a", "b", None}  # every group present, incl. NULL key
+    assert out["b"] == 0.0
+    assert out["a"] > 0.0 and out[None] > 0.0
+
+
+def test_mixture_plan_missing_source_reports_full_deficit(spark):
+    # a weighted source absent from the corpus must surface as deficit,
+    # not silently vanish from the plan (advice fix: full outer join)
+    from dataframe_kotlin_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame([("crawl", 1000)], "src string, toks int")
+    out = {
+        r["src"]: r
+        for r in mixture_plan(
+            df, "src", "toks", {"crawl": 0.5, "books": 0.5}, budget=1000
+        ).collect()
+    }
+    assert set(out) == {"crawl", "books"}
+    assert out["books"]["available_tokens"] == 0.0
+    assert out["books"]["requested_tokens"] == 500.0
+    assert out["books"]["allocated_tokens"] == 0.0
+    assert out["books"]["deficit_tokens"] == 500.0
+    assert out["books"]["epochs"] == 0.0
+
+
+def test_dsir_null_text_doc_gets_zero_weight(spark):
+    # contract: (id, log_weight) for EVERY raw document — feature-less
+    # (NULL text) docs carry the empty-product weight 0.0 (advice fix)
+    from dataframe_kotlin_spark.operators.sampling import dsir_log_weights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    target = raw.filter("doc_id = 1")
+    out = {r["doc_id"]: r["log_weight"] for r in dsir_log_weights(raw, target).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == 0.0
+
+
+def test_psi_check_raises_on_missing_reference_slice(spark):
+    import pytest as _pytest
+
+    from dataframe_kotlin_spark.operators.quality import NULL_LABEL, psi_check
+
+    rows = [("ref", "a")] * 5 + [("cur", "b")] * 5 + [(None, "a")] * 5
+    df = spark.createDataFrame(rows, "slc string, v string")
+    with _pytest.raises(ValueError, match="matches no"):
+        psi_check(df, "v", "slc", "tpyo")
+    with _pytest.raises(ValueError, match="NULL_LABEL"):
+        psi_check(df, "v", "slc", None)  # lit(None) never compares equal
+    # the NULL slice is addressable via the reserved label
+    psi = {r["slc"]: r["psi"] for r in psi_check(df, "v", "slc", NULL_LABEL).collect()}
+    assert set(psi) == {"ref", "cur"}
+
+
 def test_digitize_null_and_empty_bins(spark):
     from dataframe_kotlin_spark.functions.math import digitize
 

@@ -150,6 +150,17 @@ def test_read_delim_str_nulls(spark):
     assert all(r["second"] is None for r in df.collect())
 
 
+def test_read_delim_str_all_empty_record_is_null_row(spark):
+    # Commons-CSV DEFAULT only skips physically EMPTY lines; a ',,'
+    # record parses to a row of nulls (advice fix: was silently dropped)
+    df = read_delim_str(spark, "a,b,c\n1,2,3\n,,\n\n4,5,6\n")
+    rows = df.collect()
+    assert len(rows) == 3  # blank line skipped, ',,' kept
+    null_rows = [r for r in rows if r["a"] is None]
+    assert len(null_rows) == 1
+    assert null_rows[0]["b"] is None and null_rows[0]["c"] is None
+
+
 def test_read_delim_str_types(spark):
     df = read_delim_str(spark, "a,b,c\n1,x,2020-01-01\n2,y,2020-06-15\n")
     t = dict(df.dtypes)
