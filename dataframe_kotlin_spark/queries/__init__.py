@@ -38,36 +38,40 @@ def query(name: str, oracle: str | None = None):
 # through joins, grouping, pivot/reshape, window analytics, TPC-H shapes,
 # dedup/similarity/text pipeline — instead of exhausting the budget on one
 # module's block.
+# Round-4 rotation: all 50 window slots go to registry entries that have
+# NEVER appeared in a CORRECTNESS_r*.json (79 names were driver-checked
+# across r1-r3; the union of r1-r3 files was diffed against the registry
+# to build this set), so driver-visible evidence accumulates across
+# rounds instead of re-proving the same queries. Everything previously
+# gate-checked stays registered below the window.
 _PRIORITY = [
-    # core projection / aggregation
-    "q1_pricing_summary", "select_project", "filter_predicates",
-    "top_k_orders", "agg_minmax_count", "count_conditional", "argmax_row",
-    "median_quantity", "rollup_region_nation", "cube_flag_status",
-    "update_convert", "decimal_exact_ledger", "merge_upsert_customers",
-    # joins & set ops
-    "q3_shipping_priority", "q5_local_supplier", "join_left_nulls",
-    "semi_join_customers", "anti_join_customers", "outer_join_nations",
-    "union_widen",
-    # grouping sets
-    "grouping_sets_qty",
-    # TPC-H breadth
-    "q6_revenue_band", "q4_priority_exists", "q10_returned_items",
-    "q14_type_share", "q18_large_orders", "q9_profit_nation_year",
-    # P6 scale extensions with bit-exact oracles
-    "count_min_term_counts", "pii_redaction", "curate_corpus",
-    # pivot / reshape
-    "pivot_sum_segments", "pivot_counts", "gather_melt",
-    "explode_embeddings", "split_into_rows", "struct_roundtrip",
-    "flatten_nested",
-    # window / event analytics
-    "diff_lag", "moving_average", "tumbling_window", "sessionize",
-    "sliding_window", "asof_last_purchase", "funnel_conversion",
-    "cohort_retention",
-    # training-data pipeline (round-3 flagships rotated into the
-    # gate-checked window; the displaced entries stay registered below)
-    "dedup_exact", "minhash_signatures", "semdedup_survivors",
-    "dsir_log_weights", "decontamination_hits",
-    "simhash_values", "jaccard_pairs", "language_id", "text_stats",
+    # TPC-H breadth (the 13 shapes never in a gate window)
+    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
+    "q11_important_value", "q12_late_priority", "q13_order_distribution",
+    "q15_top_supplier", "q16_supplier_relation", "q17_small_quantity",
+    "q19_brand_bands", "q20_promotion_suppliers", "q21_waiting_supplier",
+    "q22_idle_balance",
+    # ANN / IVF / k-means similarity stack
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivf_trained",
+    "kmeans_det_assignments", "neardup_embedding",
+    "quantize_embeddings_int8",
+    # sampling / splits
+    "hash_split_counts", "mix_weighted_counts", "reservoir_counts",
+    "weighted_sample_langs", "pack_sequences_stats", "split_leakage_pairs",
+    # sketches + text analysis
+    "hll_deterministic_customers", "text_stats", "quality_filter",
+    "repetition_filter", "doc_fingerprints", "term_frequency_topk",
+    "tfidf_top_terms", "collocations_pmi", "bm25_topk", "inverted_index",
+    # dedup escalation + graph resolution
+    "fuzzy_pairs_editdist", "jaccard_prefix_pairs", "dedup_clusters",
+    "pagerank_parts",
+    # pipeline flagships not yet driver-checked
+    "training_mix_report", "psi_drift_priority", "mixture_plan_langs",
+    # positional / window / temporal
+    "chunked_groups", "scd2_status_timeline", "running_total_scan",
+    # reshape / column-tree / grouped extras
+    "move_restructure", "distinct_by_expr", "pivot_multi_agg",
+    "pivot_matches", "merge_rows_lists",
 ]
 
 
