@@ -707,9 +707,19 @@ class KDataFrame:
         (api/gather.kt:13-117): `where` filters gathered values,
         `map_values` transforms them, `map_names` transforms the key
         (e.g. strip a prefix). Uses Spark's native melt (whole-stage
-        codegen, no UDF); the clause callables receive/return Columns."""
+        codegen, no UDF); the clause callables receive/return Columns.
+
+        List-valued (reference ``Many``) cells re-explode to one row per
+        element (gather.kt:70-71 ``.explode(valuesColumn)``), with the
+        clause applying per element — equivalent to explode-then-filter/
+        map since every element row carries its cell's key. With
+        ``drop_nulls=False`` empty/null lists keep a null-value row
+        (explode_outer), mirroring the reference's non-filtering path."""
         ids = [c for c in self.df.columns if c not in value_cols]
         out = self.df.melt(ids=ids, values=list(value_cols), variableColumnName=key_name, valueColumnName=value_name)
+        if isinstance(out.schema[value_name].dataType, T.ArrayType):
+            ex = F.explode if drop_nulls else F.explode_outer
+            out = out.withColumn(value_name, ex(F.col(value_name)))
         if drop_nulls:
             out = out.filter(F.col(value_name).isNotNull())
         if where is not None:
@@ -719,6 +729,65 @@ class KDataFrame:
         if map_names is not None:
             out = out.withColumn(key_name, map_names(F.col(key_name)))
         return self._wrap(out)
+
+    def gather_groups(
+        self,
+        group_cols: Sequence[str],
+        key_name: str = "key",
+        drop_nulls: bool = True,
+    ) -> "KDataFrame":
+        """Gather STRUCT columns (reference ColumnGroup gather —
+        api/gather.kt:104-108 ungroups the value column when the
+        gathered columns are groups; GatherTests.gather): one row per
+        (row × group), key = group name, and the value struct splices
+        into one column per field. Fields union across the groups in
+        first-appearance order; a group missing a field yields null
+        (GatherTests: 'first' has only c1 -> c2/c3 null).
+
+        Implemented as a stack of schema-normalized structs — pure
+        expressions, codegen-friendly, no shuffle."""
+        if not group_cols:
+            raise ValueError("gather_groups: no columns given")
+        schema = self.df.schema
+        for c in group_cols:
+            if not isinstance(schema[c].dataType, T.StructType):
+                raise ValueError(f"gather_groups: {c!r} is not a struct column")
+        fields: dict[str, T.DataType] = {}
+        for c in group_cols:
+            for f in schema[c].dataType.fields:
+                fields.setdefault(f.name, f.dataType)
+        ids = [c for c in self.df.columns if c not in group_cols]
+        norm = []
+        for c in group_cols:
+            have = {f.name for f in schema[c].dataType.fields}
+            norm.append(
+                F.struct(
+                    *[
+                        (F.col(f"{c}.{n}") if n in have else F.lit(None).cast(dt)).alias(n)
+                        for n, dt in fields.items()
+                    ]
+                ).alias("__gv__")
+            )
+        stacked = self.df.select(
+            *ids,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(c).alias("__gk__"), nv)
+                        for c, nv in zip(group_cols, norm)
+                    ]
+                )
+            ).alias("__g__"),
+        ).select(*ids, F.col("__g__.__gk__").alias(key_name), "__g__.__gv__")
+        if drop_nulls:
+            # a row whose source group cell was a null struct has every
+            # spliced field null — drop it (reference dropNulls)
+            nn = functools.reduce(
+                lambda a, b: a | b,
+                [F.col(f"__gv__.{n}").isNotNull() for n in fields],
+            )
+            stacked = stacked.filter(nn)
+        return self._wrap(stacked.select(*ids, key_name, "__gv__.*"))
 
     def gather_presence(
         self,
@@ -786,27 +855,77 @@ class KDataFrame:
                 out.append(F.col(c))
         return self._wrap(self.df.select(*out))
 
-    def flatten(self, sep: str = "_") -> "KDataFrame":
-        """Fully flatten nested structs, joining path segments with sep.
-        Reference: api/flatten.kt:9-31 (minimal-prefix dedup approximated
-        by full-path naming, which is collision-free)."""
-        def leaves(prefix: str, dtype: T.DataType, path: str):
-            if isinstance(dtype, T.StructType):
-                out = []
-                for f in dtype.fields:
-                    out += leaves(
-                        f"{prefix}{sep}{f.name}" if prefix else f.name,
-                        f.dataType,
-                        f"{path}.{f.name}" if path else f.name,
-                    )
-                return out
-            return [(prefix, path)]
+    def flatten(
+        self, sep: str = "_", cols: Sequence[str] | None = None
+    ) -> "KDataFrame":
+        """Flatten struct columns, joining path segments with ``sep`` —
+        full reference semantics (api/flatten.kt:9-31; MoveTests
+        `flatten one/several/all`):
 
-        exprs = []
-        for f in self.df.schema.fields:
-            for name, path in leaves(f.name if isinstance(f.dataType, T.StructType) else f.name, f.dataType, f.name):
-                exprs.append(F.col(path).alias(name))
-        return self._wrap(self.df.select(*exprs))
+        - ``cols=None`` flattens every top-level group; otherwise only
+          the given dotted group paths (selective flatten), with paths
+          whose ancestor is also selected folding into the ancestor
+          (flatten.kt ``top()``);
+        - flattened leaves take their root group's position, depth-first;
+        - a leaf's name is its path FROM the root group joined with sep
+          (``a.c.d`` under root ``a`` -> ``a_c_d``); a NESTED root keeps
+          its leaves inside the root's parent struct, named relative to
+          that parent (flatten.kt getRootPrefix/dropLast);
+        - clashing names dedup with ``_k`` suffixes in encounter order,
+          shared across all flattened leaves (impl
+          ColumnNameGenerator.addUnique).
+
+        Pure projection — no shuffle, whole-stage codegen."""
+        schema = self.df.schema
+        if cols is None:
+            rootset = {
+                f.name
+                for f in schema.fields
+                if isinstance(f.dataType, T.StructType)
+            }
+        else:
+            paths = list(cols)
+            rootset = {
+                p
+                for p in paths
+                if not any(q != p and p.startswith(q + ".") for q in paths)
+            }
+        used: set[str] = set()
+
+        def unique(name: str) -> str:
+            n, k = name, 1
+            while n in used:
+                n = f"{name}_{k}"
+                k += 1
+            used.add(n)
+            return n
+
+        def leaves(dtype: T.StructType, path: str, rel: str):
+            out = []
+            for f in dtype.fields:
+                p, r = f"{path}.{f.name}", f"{rel}{sep}{f.name}"
+                if isinstance(f.dataType, T.StructType):
+                    out += leaves(f.dataType, p, r)
+                else:
+                    out.append((p, r))
+            return out
+
+        def expand(fields, path_prefix: str):
+            out = []
+            for f in fields:
+                p = f"{path_prefix}.{f.name}" if path_prefix else f.name
+                if p in rootset and isinstance(f.dataType, T.StructType):
+                    for lp, rel in leaves(f.dataType, p, f.name):
+                        out.append(F.col(lp).alias(unique(rel)))
+                elif isinstance(f.dataType, T.StructType) and any(
+                    r.startswith(p + ".") for r in rootset
+                ):
+                    out.append(F.struct(*expand(f.dataType.fields, p)).alias(f.name))
+                else:
+                    out.append(F.col(p).alias(f.name))
+            return out
+
+        return self._wrap(self.df.select(*expand(schema.fields, "")))
 
     def move(self, *cols: str | Sequence[str]):
         """Full move clause over the column tree (api/move.kt:13-139):

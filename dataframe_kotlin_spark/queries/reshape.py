@@ -311,3 +311,28 @@ def pivot_multi_agg(spark, sf_dir):
         F.col("`5-LOW_n`").alias("low_n"),
         F.col("`5-LOW_total`").alias("low_total"),
     )
+
+
+@query(
+    "gather_lists",
+    oracle="""
+    SELECT p_partkey, 'name_words' AS src, unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'type_words' AS src, unnest(string_split(p_type, ' ')) AS word
+    FROM part
+    """,
+)
+def gather_lists(spark, sf_dir):
+    """gather over list-valued (Many) cells re-explodes to one row per
+    element with the source column as the key (api/gather.kt:70-71
+    `.explode(valuesColumn)`; round-4 addition). Map-only: melt +
+    explode, no shuffle."""
+    p = _t(spark, sf_dir, "part").df.select(
+        "p_partkey",
+        F.split("p_name", " ").alias("name_words"),
+        F.split("p_type", " ").alias("type_words"),
+    )
+    return KDataFrame(p).gather(
+        ["name_words", "type_words"], key_name="src", value_name="word"
+    ).df

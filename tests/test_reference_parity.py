@@ -421,3 +421,145 @@ def test_transpose_row_quote_in_name(spark):
     df = KDataFrame(spark.createDataFrame([(5,)], ["it's"]))
     out = df.transpose_row().df.collect()
     assert [(r["name"], r["value"]) for r in out] == [("it's", "5")]
+
+
+# -- GatherTests parity (reference GatherTests.kt) ------------------------
+
+GATHER_JSON = """
+[
+  {"name": "abc",
+   "normal":   {"c1": "a", "c2": "b", "c3": "c"},
+   "reversed": {"c1": "c", "c2": "b", "c3": "a"},
+   "first":    {"c1": "c"}},
+  {"name": "qw",
+   "normal":   {"c1": "q", "c2": "w"},
+   "reversed": {"c1": "w", "c2": "q"},
+   "first":    {"c1": "q"}}
+]
+"""
+
+
+def test_gather_groups_reference_case(spark):
+    # GatherTests.gather: gather all struct columns except name; key =
+    # group name, struct fields splice into c1/c2/c3 with nulls where a
+    # group lacks the field
+    from dataframe_kotlin_spark.sources.json import read_json_str
+
+    df = KDataFrame(read_json_str(spark, GATHER_JSON))
+    out = df.gather_groups(["normal", "reversed", "first"], key_name="mode").df
+    assert out.columns == ["name", "mode", "c1", "c2", "c3"]
+    rows = {(r["name"], r["mode"]): (r["c1"], r["c2"], r["c3"]) for r in out.collect()}
+    assert rows[("abc", "normal")] == ("a", "b", "c")
+    assert rows[("abc", "reversed")] == ("c", "b", "a")
+    assert rows[("abc", "first")] == ("c", None, None)
+    assert rows[("qw", "normal")] == ("q", "w", None)
+    assert rows[("qw", "reversed")] == ("w", "q", None)
+    assert rows[("qw", "first")] == ("q", None, None)
+    assert len(rows) == 6
+
+
+def test_gather_groups_rejects_non_struct(spark):
+    import pytest as _pytest
+
+    df = KDataFrame(spark.createDataFrame([(1, 2)], "a int, b int"))
+    with _pytest.raises(ValueError, match="not a struct"):
+        df.gather_groups(["a"])
+
+
+def test_gather_list_cells_re_explode(spark):
+    # gather.kt:70-71: a Many (list) cell expands to one row per element
+    df = KDataFrame(
+        spark.createDataFrame(
+            [(1, ["a", "b"], ["x"]), (2, [], None)],
+            "id int, u array<string>, v array<string>",
+        )
+    )
+    out = df.gather(["u", "v"], key_name="k", value_name="val").df
+    rows = sorted((r["id"], r["k"], r["val"]) for r in out.collect())
+    assert rows == [(1, "u", "a"), (1, "u", "b"), (1, "v", "x")]
+    # drop_nulls=False keeps empty/null lists as null-value rows
+    out2 = df.gather(["u", "v"], key_name="k", value_name="val", drop_nulls=False).df
+    rows2 = sorted(
+        ((r["id"], r["k"], r["val"]) for r in out2.collect()),
+        key=lambda t: (t[0], t[1], t[2] or ""),
+    )
+    assert (2, "u", None) in rows2 and (2, "v", None) in rows2
+
+
+def test_gather_list_cells_where_and_map(spark):
+    df = KDataFrame(
+        spark.createDataFrame([(1, [1, 2, 3], [4])], "id int, u array<int>, v array<int>")
+    )
+    out = df.gather(
+        ["u", "v"],
+        key_name="k",
+        value_name="val",
+        where=F.col("val") >= 2,
+        map_values=lambda c: c * 10,
+    ).df
+    rows = sorted((r["id"], r["k"], r["val"]) for r in out.collect())
+    assert rows == [(1, "u", 20), (1, "u", 30), (1, "v", 40)]
+
+
+# -- MoveTests flatten parity (reference MoveTests.kt:53-72) ---------------
+
+
+@pytest.fixture
+def move_grouped(spark):
+    # MoveTests fixture: flat cols q,a.b,b.c,w,a.c.d,e.f,b.d,r grouped by
+    # dot-split -> columns q, a{b,c{d}}, b{c,d}, w, e{f}, r
+    row = (1, (2, (3,)), (4, 5), 6, (7,), 8)
+    schema = (
+        "q int, a struct<b:int,c:struct<d:int>>, b struct<c:int,d:int>, "
+        "w int, e struct<f:int>, r int"
+    )
+    return KDataFrame(spark.createDataFrame([row], schema))
+
+
+def test_flatten_one(move_grouped):
+    # MoveTests `flatten one`: only group a flattens; b and e stay groups
+    out = move_grouped.flatten(cols=["a"]).df
+    assert out.columns == ["q", "a_b", "a_c_d", "b", "w", "e", "r"]
+
+
+def test_flatten_several(move_grouped):
+    # MoveTests `flatten several`: selector {a.c and a and b} — a.c folds
+    # into root a (top()); e survives as a group
+    out = move_grouped.flatten(cols=["a.c", "a", "b"]).df
+    assert out.columns == ["q", "a_b", "a_c_d", "b_c", "b_d", "w", "e", "r"]
+
+
+def test_flatten_all_custom_sep(move_grouped):
+    # MoveTests `flatten all` with separator "."
+    out = move_grouped.flatten(".").df
+    assert out.columns == ["q", "a.b", "a.c.d", "b.c", "b.d", "w", "e.f", "r"]
+
+
+def test_flatten_nested_root_stays_in_parent(spark):
+    # a nested-only root keeps its leaves inside the parent struct, named
+    # relative to the parent (flatten.kt getRootPrefix path)
+    df = KDataFrame(
+        spark.createDataFrame(
+            [((1, (2, 3)),)], "a struct<x:int,c:struct<d:int,e:int>>"
+        )
+    )
+    out = df.flatten(cols=["a.c"]).df
+    assert out.columns == ["a"]
+    inner = out.schema["a"].dataType
+    assert [f.name for f in inner.fields] == ["x", "c_d", "c_e"]
+    r = out.collect()[0]["a"]
+    assert (r["x"], r["c_d"], r["c_e"]) == (1, 2, 3)
+
+
+def test_flatten_name_clash_dedup(spark):
+    # ColumnNameGenerator.addUnique: clashing flattened names take _k
+    # suffixes in encounter order
+    df = KDataFrame(
+        spark.createDataFrame(
+            [(((1,), 2),)], "a struct<b:struct<c:int>,b_c:int>"
+        )
+    )
+    out = df.flatten().df
+    assert out.columns == ["a_b_c", "a_b_c_1"]
+    r = out.collect()[0]
+    assert (r["a_b_c"], r["a_b_c_1"]) == (1, 2)
