@@ -74,7 +74,15 @@ def read_csv(
     `headers` arg): no header line is consumed from the data, and a list
     SHORTER than the file's arity keeps only the first len(headers)
     columns (CsvTests.kt `read with custom header`).
+
+    http(s)/ftp URLs and .zip archives localize driver-side first
+    (sources/fetch.py; reference io/csv.kt:160-196 URL + zip streams) —
+    size-capped with a copy-to-DFS error beyond 1 GiB.
     """
+    from dataframe_kotlin_spark.sources.fetch import is_url, localize_source
+
+    if is_url(path) or path.lower().endswith(".zip"):
+        path = localize_source(path)
     if headers:
         header = False
         names = _dedupe([str(n) for n in headers])

@@ -1,0 +1,103 @@
+"""URL + zip source localization (reference io/csv.kt:25-29,160-196).
+
+The reference reads http(s)/ftp URLs and ``.zip`` archives directly
+(java.net.URL streams + ZipInputStream). Spark natively reads neither:
+an http URL is not a Hadoop filesystem, and there is no zip compression
+codec (gzip/bz2 ARE transparent). The reference is a single-process
+engine, so any URL/zip it can read is by definition one-machine-sized —
+we therefore localize such sources on the DRIVER into a temp file and
+let Spark scan that, with a hard size cap that fails with a
+copy-to-DFS message instead of silently downloading tens of gigabytes
+through one machine. Cluster-scale data belongs on a distributed
+filesystem; these paths exist for the reference's notebook-style
+ingest parity.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import zipfile
+
+# 1 GiB: far above any notebook-style CSV, far below anything that
+# should be flowing through one driver.
+MAX_FETCH_BYTES = 1 << 30
+
+_URL_SCHEMES = ("http://", "https://", "ftp://")
+
+
+def is_url(path: str) -> bool:
+    """Reference io/csv.kt:196 isURL (http/https/ftp)."""
+    return path.startswith(_URL_SCHEMES)
+
+
+def _suffix(name: str) -> str:
+    """Keep the full compound extension (``.csv.gz``) so downstream
+    format sniffing and Spark's codec inference still work."""
+    base = os.path.basename(name.split("?")[0].split("#")[0])
+    parts = base.split(".")
+    return "." + ".".join(parts[1:]) if len(parts) > 1 else ""
+
+
+def fetch_url(url: str, max_bytes: int = MAX_FETCH_BYTES) -> str:
+    """Stream ``url`` to a driver-local temp file and return its path.
+    Raises ValueError past ``max_bytes`` (copy the data to DFS and read
+    the DFS path instead — a cluster must not ingest through one node).
+    """
+    import urllib.request
+
+    fd, tmp = tempfile.mkstemp(suffix=_suffix(url), prefix="kdf_fetch_")
+    seen = 0
+    try:
+        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                seen += len(chunk)
+                if seen > max_bytes:
+                    raise ValueError(
+                        f"URL source {url!r} exceeds the {max_bytes} byte "
+                        "driver-localization cap: unsupported at scale — "
+                        "copy the data to a distributed filesystem and "
+                        "read that path instead."
+                    )
+                out.write(chunk)
+    except Exception:
+        os.unlink(tmp)
+        raise
+    return tmp
+
+
+def extract_zip(path: str, max_bytes: int = MAX_FETCH_BYTES) -> str:
+    """Extract the FIRST entry of a zip archive (the reference's
+    ZipInputStream behavior) to a temp file and return its path."""
+    with zipfile.ZipFile(path) as zf:
+        entries = [i for i in zf.infolist() if not i.is_dir()]
+        if not entries:
+            raise ValueError(f"zip archive {path!r} contains no file entries")
+        entry = entries[0]
+        if entry.file_size > max_bytes:
+            raise ValueError(
+                f"zip entry {entry.filename!r} exceeds the {max_bytes} byte "
+                "driver-localization cap: unsupported at scale — store the "
+                "data uncompressed (or gzip) on a distributed filesystem."
+            )
+        fd, tmp = tempfile.mkstemp(
+            suffix=_suffix(entry.filename), prefix="kdf_zip_"
+        )
+        with zf.open(entry) as src, os.fdopen(fd, "wb") as out:
+            shutil.copyfileobj(src, out)
+    return tmp
+
+
+def localize_source(path: str, max_bytes: int = MAX_FETCH_BYTES) -> str:
+    """URL fetch and/or zip extraction; local non-zip paths pass through
+    untouched (gzip/bz2 stay as-is — Spark decompresses those natively).
+    """
+    if is_url(path):
+        path = fetch_url(path, max_bytes)
+    if path.lower().endswith(".zip"):
+        path = extract_zip(path, max_bytes)
+    return path

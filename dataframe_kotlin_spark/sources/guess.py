@@ -13,6 +13,13 @@ from dataframe_kotlin_spark.sources.json import read_json
 
 
 def read(spark: SparkSession, path: str, **kw) -> DataFrame:
+    from dataframe_kotlin_spark.sources.fetch import is_url, localize_source
+
+    if is_url(path) or path.lower().endswith(".zip"):
+        # URL fetch / zip extraction BEFORE sniffing, so a zip's inner
+        # file name drives the format dispatch (reference io/guess.kt
+        # works on the decompressed stream the same way)
+        path = localize_source(path)
     ext = os.path.splitext(path)[1].lower().lstrip(".")
     if ext in ("gz", "zip", "bz2"):
         ext = os.path.splitext(os.path.splitext(path)[0])[1].lower().lstrip(".")

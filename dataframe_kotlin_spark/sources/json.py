@@ -18,7 +18,13 @@ from pyspark.sql import types as T
 def read_json(spark: SparkSession, path: str, multi_line: bool = True) -> DataFrame:
     """Reference readJson (io/json.kt:27-131). multiLine=True matches the
     reference's whole-document parse; NDJSON sources pass False (the
-    scalable layout — one object per line splits across executors)."""
+    scalable layout — one object per line splits across executors).
+    URL / .zip sources localize driver-side (sources/fetch.py), exactly
+    as in read_csv."""
+    from dataframe_kotlin_spark.sources.fetch import is_url, localize_source
+
+    if is_url(path) or path.lower().endswith(".zip"):
+        path = localize_source(path)
     return spark.read.option("multiLine", multi_line).json(path)
 
 
