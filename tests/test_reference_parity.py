@@ -563,3 +563,170 @@ def test_flatten_name_clash_dedup(spark):
     assert out.columns == ["a_b_c", "a_b_c_1"]
     r = out.collect()[0]
     assert (r["a_b_c"], r["a_b_c_1"]) == (1, 2)
+
+
+# -- PivotTests parity (reference person/PivotTests.kt:64-410) -------------
+# The reference's heterogeneous Any `value` column lands as STRING here
+# (a relational column has one type); list (Many) cells come from
+# pivot.values(), nested layouts from aggregate(nested=True).
+
+
+@pytest.fixture
+def pivot_kv(spark):
+    rows = [
+        ("Alice", "age", "15"), ("Alice", "city", "London"),
+        ("Alice", "weight", "54"), ("Bob", "age", "45"),
+        ("Bob", "weight", "87"), ("Mark", "age", "20"),
+        ("Mark", "city", "Moscow"), ("Mark", "weight", None),
+        ("Alice", "age", "55"),
+    ]
+    return KDataFrame(
+        spark.createDataFrame(rows, "name string, key string, value string")
+    )
+
+
+def _drop_first_row(kdf):
+    # PivotTests `typed.drop(1)`: drops the ("Alice","age","15") row
+    return KDataFrame(
+        kdf.df.filter(
+            ~((F.col("name") == "Alice") & (F.col("key") == "age") & (F.col("value") == "15"))
+        )
+    )
+
+
+def test_pivottests_matches(pivot_kv):
+    filtered = _drop_first_row(pivot_kv)
+    res = filtered.group_by("name").pivot("key").matches().df
+    assert res.columns == ["name", "age", "city", "weight"]  # 1 + ndistinct keys
+    assert res.count() == 3  # ndistinct names
+    actual = {
+        (r["name"], c)
+        for r in res.collect()
+        for c in ("age", "city", "weight")
+        if r[c]
+    }
+    expected = {(r["name"], r["key"]) for r in filtered.df.collect()}
+    assert actual == expected
+    assert all(dict(res.dtypes)[c] == "boolean" for c in ("age", "city", "weight"))
+
+
+def test_pivottests_matches_yes_no(pivot_kv):
+    # `pivot matches yes no`: 8 yes cells, 1 no (Bob has no city)
+    res = _drop_first_row(pivot_kv).group_by("name").pivot("key").matches("yes", "no").df
+    cells = [r[c] for r in res.collect() for c in ("age", "city", "weight")]
+    assert cells.count("yes") == 8
+    assert cells.count("no") == 1
+
+
+def test_pivottests_simple_pivot_default(pivot_kv):
+    # `simple pivot` with default "-": the default fills MISSING cells
+    # (Bob×city) but NOT a present null value (Mark×weight) — reference
+    # defaultExpected keeps Mark.weight null while Bob.city becomes "-"
+    cell = F.when(F.count(F.lit(1)) > 0, F.first("value")).otherwise(F.lit("-"))
+    res = pivot_kv.group_by("name").pivot("key", ["age", "city", "weight"]).aggregate(cell).df
+    rows = {r["name"]: r for r in res.collect()}
+    assert rows["Bob"]["city"] == "-"
+    assert rows["Mark"]["weight"] is None
+    assert rows["Alice"]["city"] == "London"
+    # multi-match cell via values(): Alice has both ages
+    lists = pivot_kv.group_by("name").pivot("key", ["age"]).values("value").df
+    assert {tuple(r["age"]) for r in lists.collect()} == {("15", "55"), ("45",), ("20",)}
+
+
+def test_pivottests_key_transform(pivot_kv):
+    # `pivot with transform`: key.map { "_$it" } prefixes pivot columns
+    pre = KDataFrame(pivot_kv.df.withColumn("key", F.concat(F.lit("_"), F.col("key"))))
+    res = pre.group_by("name").pivot("key").count(default=0).df
+    assert set(res.columns[1:]) == {"_age", "_city", "_weight"}
+
+
+def test_pivottests_value_map(pivot_kv):
+    # `pivot with value map`: value.map { "_$it" } — null maps to "_null"
+    pre = KDataFrame(
+        pivot_kv.df.withColumn(
+            "value", F.concat(F.lit("_"), F.coalesce(F.col("value"), F.lit("null")))
+        )
+    )
+    res = pre.group_by("name").pivot("key", ["age", "city", "weight"]).values("value").df
+    rows = {r["name"]: r for r in res.collect()}
+    assert rows["Alice"]["age"] == ["_15", "_55"]
+    assert rows["Mark"]["weight"] == ["_null"]
+    assert rows["Bob"]["city"] == []  # missing cell, no value rows
+
+
+def test_pivottests_two_values_separate(pivot_kv):
+    # `pivot two values group by value` (values(separate = true)):
+    # ncol == 1 key + one group per AGGREGATE, pivot values inside
+    typed = KDataFrame(
+        pivot_kv.df.withColumn(
+            "type",
+            F.when(F.col("value").rlike("^[0-9]+$"), F.lit("Int")).otherwise(F.lit("String")),
+        )
+    )
+    res = typed.group_by("name").pivot("key", ["age", "city", "weight"]).aggregate(
+        F.first("value").alias("value"),
+        F.first("type").alias("type"),
+        nested=True,
+        group_by_value=True,
+    ).df
+    assert len(res.columns) == 3  # name + value group + type group
+    assert res.columns == ["name", "value", "type"]
+    assert [f.name for f in res.schema["value"].dataType.fields] == ["age", "city", "weight"]
+
+
+def test_pivottests_aggregate_several_into(pivot_kv):
+    # `pivot aggregate several into`: every pivot value becomes a group
+    # of the named aggregates
+    res = pivot_kv.group_by("name").pivot("key", ["age", "city", "weight"]).aggregate(
+        F.min("value").alias("first value"),
+        F.max("value").alias("last value"),
+        nested=True,
+    ).df
+    for c in ("age", "city", "weight"):
+        assert [f.name for f in res.schema[c].dataType.fields] == ["first value", "last value"]
+
+
+def test_pivottests_with_grouping(pivot_kv):
+    # `pivot with grouping` (withGrouping("keys")): pivot columns nest
+    # under one group
+    res = (
+        pivot_kv.group_by("name")
+        .pivot("key", ["age", "city", "weight"])
+        .count(default=0)
+        .group_cols(["age", "city", "weight"], "keys")
+        .df
+    )
+    assert res.columns == ["name", "keys"]
+    assert [f.name for f in res.schema["keys"].dataType.fields] == ["age", "city", "weight"]
+
+
+def test_pivottests_gather_roundtrip(pivot_kv):
+    # PivotTests.gather: pivot -> gather inverts back to the non-null
+    # rows; list (Many) cells re-explode one row per element
+    piv = pivot_kv.group_by("name").pivot("key", ["age", "city", "weight"]).values("value")
+    back = piv.gather(["age", "city", "weight"], key_name="key", value_name="value").df
+    got = sorted((r["name"], r["key"], r["value"]) for r in back.collect())
+    want = sorted(
+        (r["name"], r["key"], r["value"])
+        for r in pivot_kv.df.filter(F.col("value").isNotNull()).collect()
+    )
+    assert got == want
+
+
+def test_pivottests_gather_with_name_conversion(pivot_kv):
+    # `gather with name conversion`: keys pivoted as "__<key>", gathered
+    # back with mapNames { it.substring(2) }
+    pre = KDataFrame(pivot_kv.df.withColumn("key", F.concat(F.lit("__"), F.col("key"))))
+    piv = pre.group_by("name").pivot("key", ["__age", "__city", "__weight"]).values("value")
+    back = piv.gather(
+        ["__age", "__city", "__weight"],
+        key_name="key",
+        value_name="value",
+        map_names=lambda c: F.substring(c, 3, 10_000),
+    ).df
+    got = sorted((r["name"], r["key"], r["value"]) for r in back.collect())
+    want = sorted(
+        (r["name"], r["key"], r["value"])
+        for r in pivot_kv.df.filter(F.col("value").isNotNull()).collect()
+    )
+    assert got == want
