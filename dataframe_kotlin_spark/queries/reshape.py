@@ -336,3 +336,31 @@ def gather_lists(spark, sf_dir):
     return KDataFrame(p).gather(
         ["name_words", "type_words"], key_name="src", value_name="word"
     ).df
+
+
+@query(
+    "gather_groups_contacts",
+    oracle="""
+    SELECT c_custkey, 'ident' AS grp, c_name AS name,
+           CAST(NULL AS DOUBLE) AS bal, CAST(NULL AS VARCHAR) AS seg
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'account' AS grp, NULL AS name,
+           CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg
+    FROM customer
+    """,
+)
+def gather_groups_contacts(spark, sf_dir):
+    """Struct-column gather (reference ColumnGroup gather,
+    api/gather.kt:104-108 + GatherTests.gather; round-4 addition):
+    key = group name, fields union across groups, missing fields null.
+    Map-only stack of schema-normalized structs — no shuffle."""
+    c = _t(spark, sf_dir, "customer").df.select(
+        "c_custkey",
+        F.struct(F.col("c_name").alias("name")).alias("ident"),
+        F.struct(
+            F.col("c_acctbal").cast("double").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        ).alias("account"),
+    )
+    return KDataFrame(c).gather_groups(["ident", "account"], key_name="grp").df

@@ -867,3 +867,49 @@ def asof_nearest_purchase(spark, sf_dir):
         (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("bigint").alias("ts_epoch"),
         F.col("r_value").alias("nearest_value"),
     )
+
+
+@query(
+    "slice_rows_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn
+          FROM orders)
+    WHERE rn >= 2000 AND rn < 2100
+    """,
+)
+def slice_rows_page(spark, sf_dir):
+    """Positional page df[2000..2100) under explicit order
+    (DataFrame.kt:138-185 slicing; round-4: distributed two-pass row
+    number via value-derived order buckets — no single-task window)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .slice_rows(2000, 2100, order_by=["o_orderkey"])
+        .df
+    )
+
+
+@query(
+    "skip_last_tail",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(o_orderkey) AS max_key
+    FROM (SELECT o_orderkey,
+                 ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+                 COUNT(*) OVER () AS tot
+          FROM orders)
+    WHERE rn <= tot - 500
+    """,
+)
+def skip_last_tail(spark, sf_dir):
+    """skipLast(500) under explicit order (DataFrame.kt:182) — fully
+    lazy since round 4 (frame total rides the offsets aggregate, no
+    hidden count() action) and distributed (bucketed two-pass row
+    number)."""
+    o = _t(spark, sf_dir, "orders")
+    trimmed = o.select("o_orderkey").skip_last(500, order_by=["o_orderkey"])
+    return trimmed.df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -35,6 +35,7 @@ SCALED_KEYS = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 COPIED = ["region", "nation", "part"]
 
@@ -81,13 +82,19 @@ def main():
         "q3_shipping_priority",
         "q5_local_supplier",
         "minhash_signatures",
+        # round-3/4 pipeline flagships: the blocked-join claims that
+        # matter most at scale (100x documents = 500k docs)
+        "dsir_log_weights",
+        "decontamination_hits",
+        "training_mix_report",
     ]
+    reps = 1 if "--quick" in sys.argv else 3
     out = {}
     for name in workloads:
         qs[name](spark, DST).count()  # warm codegen/scan
         times = []
         last = None
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.time()
             last = qs[name](spark, DST)
             n = last.count()
@@ -95,6 +102,27 @@ def main():
         best = min(times)
         out[name] = best
         print(f"{name}: {best:.2f}s (rows={n}, joins={joins_in_plan(last)})")
+
+    # semdedup: the registry query pins k=4 k-means cells, which makes the
+    # within-cell cosine self-join quadratic in N/k — the correct scale
+    # posture (and the SemDeDup paper's) is k ∝ N so cell size stays
+    # bounded. Measure exactly that: 100x embeddings with k scaled 100x.
+    from dataframe_kotlin_spark.operators import dedup, similarity
+
+    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+    k_cells = 4 * FACTOR
+    t0 = time.time()
+    cents = similarity.train_ivf_centroids(
+        emb, "embedding", "vec_id", k=k_cells, iters=1
+    )
+    tagged = similarity.assign_cells(emb, cents, "embedding", "cell")
+    surv = dedup.semdedup_prune(tagged, "cell", "embedding", "vec_id", threshold=0.35)
+    n = surv.count()
+    out["semdedup_k_scaled"] = time.time() - t0
+    print(
+        f"semdedup_k_scaled (k={k_cells}, fast-path kmeans): "
+        f"{out['semdedup_k_scaled']:.2f}s (survivors={n}, joins={joins_in_plan(surv)})"
+    )
     print({k: round(v, 2) for k, v in out.items()})
 
 
