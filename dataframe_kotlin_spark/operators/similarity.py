@@ -451,12 +451,55 @@ def train_ivf_centroids(
 
 
 def assign_cells(
-    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding", out: str = "cell"
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out: str = "cell",
+    method: str = "auto",
 ) -> DataFrame:
     """Tag each vector with its nearest learned centroid (the write-time
     step: at scale, partition/bucket the table by this column so probes
-    read one partition per cell)."""
-    return df.withColumn(out, _nearest_cells(as_double(F.col(vec_col)), centroids, 1)[0])
+    read one partition per cell).
+
+    method='expr' is the pure-expression argmin (bit-exactly SQL
+    replayable — the oracle default, used by the registry queries);
+    'numpy' is a vectorized Arrow-batch dgemm argmin (||x-c||^2 =
+    -2 x.C^T + ||c||^2 per batch). The expression form is O(k*dim)
+    INTERPRETED eval per row (higher-order functions never reach
+    codegen), so it degrades linearly in k; the numpy form is the
+    100 TB posture once k grows past a few dozen cells. 'auto' picks
+    numpy at k >= 32. Ties (equidistant centroids) break to the
+    smallest cell index under both paths; float rounding between the
+    sequential expression fold and the BLAS dot can differ in the last
+    ulp, so razor-edge ties may land differently — keep 'expr' where
+    bit-exact replay matters."""
+    if method == "auto":
+        method = "numpy" if len(centroids) >= 32 else "expr"
+    if method == "expr":
+        return df.withColumn(out, _nearest_cells(as_double(F.col(vec_col)), centroids, 1)[0])
+
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(out, IntegerType(), False)])
+    cents = [list(map(float, c)) for c in centroids]
+
+    def tag(batches):
+        C = np.asarray(cents, dtype=np.float64)  # k x dim
+        c2 = (C * C).sum(axis=1)  # k
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out] = np.array([], dtype="int32")
+                yield pdf
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # n x dim
+            # +||x||^2 is constant per row: irrelevant to the argmin
+            d = c2 - 2.0 * (X @ C.T)  # n x k
+            pdf[out] = np.argmin(d, axis=1).astype("int32")  # first min = smallest idx
+            yield pdf
+
+    return df.mapInPandas(tag, out_schema)
 
 
 def ivf_topk_trained(

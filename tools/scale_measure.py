@@ -89,12 +89,18 @@ def main():
         "training_mix_report",
     ]
     reps = 1 if "--quick" in sys.argv else 3
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # minutes-long pipeline DAGs: warm reps add nothing at that duration
+    heavy = {"decontamination_hits", "training_mix_report"}
     out = {}
     for name in workloads:
-        qs[name](spark, DST).count()  # warm codegen/scan
+        if only and name not in only:
+            continue
+        if name not in heavy:
+            qs[name](spark, DST).count()  # warm codegen/scan
         times = []
         last = None
-        for _ in range(reps):
+        for _ in range(1 if name in heavy else reps):
             t0 = time.time()
             last = qs[name](spark, DST)
             n = last.count()
@@ -108,6 +114,10 @@ def main():
     # posture (and the SemDeDup paper's) is k ∝ N so cell size stays
     # bounded. Measure exactly that: 100x embeddings with k scaled 100x.
     from dataframe_kotlin_spark.operators import dedup, similarity
+
+    if only and "semdedup_k_scaled" not in only:
+        print({k: round(v, 2) for k, v in out.items()})
+        return
 
     emb = spark.read.parquet(f"{DST}/embeddings.parquet")
     k_cells = 4 * FACTOR
