@@ -38,40 +38,43 @@ def query(name: str, oracle: str | None = None):
 # through joins, grouping, pivot/reshape, window analytics, TPC-H shapes,
 # dedup/similarity/text pipeline — instead of exhausting the budget on one
 # module's block.
-# Round-4 rotation: all 50 window slots go to registry entries that have
-# NEVER appeared in a CORRECTNESS_r*.json (79 names were driver-checked
-# across r1-r3; the union of r1-r3 files was diffed against the registry
-# to build this set), so driver-visible evidence accumulates across
-# rounds instead of re-proving the same queries. Everything previously
-# gate-checked stays registered below the window.
+# Round-5 rotation: after r4, 32 registry names had NEVER appeared in
+# any CORRECTNESS_r*.json (union of r1-r4 diffed against the registry)
+# and 3 erred at the gate on list-typed output columns (now serialized
+# to delimited strings on both engines). The 50-slot window = the 32
+# never-checked (temporal/asof family first — the most API-novel surface
+# with no driver evidence) + the 3 re-serialized queries + 15 flagships
+# re-confirming the bench/pipeline core. This closes driver-visible
+# coverage: every one of the 161 registry names will have appeared in a
+# CORRECTNESS file across r1-r5.
 _PRIORITY = [
-    # TPC-H breadth (the 13 shapes never in a gate window)
-    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
-    "q11_important_value", "q12_late_priority", "q13_order_distribution",
-    "q15_top_supplier", "q16_supplier_relation", "q17_small_quantity",
-    "q19_brand_bands", "q20_promotion_suppliers", "q21_waiting_supplier",
-    "q22_idle_balance",
-    # ANN / IVF / k-means similarity stack
-    "ann_bruteforce_topk", "ann_ivf_topk", "ann_ivf_trained",
-    "kmeans_det_assignments", "neardup_embedding",
-    "quantize_embeddings_int8",
-    # sampling / splits
-    "hash_split_counts", "mix_weighted_counts", "reservoir_counts",
-    "weighted_sample_langs", "pack_sequences_stats", "split_leakage_pairs",
-    # sketches + text analysis
-    "hll_deterministic_customers", "text_stats", "quality_filter",
-    "repetition_filter", "doc_fingerprints", "term_frequency_topk",
-    "tfidf_top_terms", "collocations_pmi", "bm25_topk", "inverted_index",
-    # dedup escalation + graph resolution
-    "fuzzy_pairs_editdist", "jaccard_prefix_pairs", "dedup_clusters",
-    "pagerank_parts",
-    # pipeline flagships not yet driver-checked
-    "training_mix_report", "psi_drift_priority", "mixture_plan_langs",
-    # positional / window / temporal
-    "chunked_groups", "scd2_status_timeline", "running_total_scan",
-    # reshape / column-tree / grouped extras
-    "move_restructure", "distinct_by_expr", "pivot_multi_agg",
-    "pivot_matches", "merge_rows_lists",
+    # temporal / as-of family (never checked; most API-novel surface)
+    "asof_nearest_purchase", "asof_next_purchase", "interval_join_windows",
+    "resample_ffill_hours", "rolling_dedup_events",
+    "hypertable_rollup_events", "incremental_agg_state",
+    "rolling_range_revenue", "interarrival_quantiles", "first_last_events",
+    # windowed extras (never checked)
+    "lead_next", "row_number_rank", "cumulative_sum", "percent_rank_dist",
+    "nth_order_value", "neighbour_values",
+    # round-4 positional / gather additions (never checked)
+    "slice_rows_page", "skip_last_tail", "gather_lists",
+    "gather_groups_contacts",
+    # skew kit + feature prep + semi-structured (never checked)
+    "salted_join_agg", "bloom_prefilter_join", "winsorize_zscore_prices",
+    "json_extract_props", "json_props_extract",
+    # text/LM pipeline (never checked)
+    "bigram_lm_topk", "doc_surprisal_scores", "chunk_documents",
+    "dq_profile_orders", "multimodal_features",
+    # reshape stragglers (never checked)
+    "merge_cols_concat", "split_tokens",
+    # r4 canonicalizer errors, now string-serialized on both engines
+    "merge_rows_lists", "inverted_index", "quantize_embeddings_int8",
+    # flagship re-confirmation (bench + pipeline core)
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "filter_predicates", "pivot_sum_segments", "sessionize",
+    "minhash_signatures", "ann_bruteforce_topk", "dedup_exact",
+    "semdedup_survivors", "dsir_log_weights", "decontamination_hits",
+    "asof_last_purchase", "scd2_status_timeline", "lsh_candidate_pairs",
 ]
 
 

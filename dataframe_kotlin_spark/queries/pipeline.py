@@ -1058,7 +1058,7 @@ def pii_redaction(spark, sf_dir):
     )
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS doc_freq,
-           list_sort(list(doc_id)) AS postings
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM tok GROUP BY term HAVING COUNT(*) >= 50
     """,
 )
@@ -1070,7 +1070,10 @@ def inverted_index(spark, sf_dir):
     RAG pipeline materializes from a corpus. At 100 TB the doc_freq
     threshold is what bounds per-term posting size; hot terms beyond
     memory would shard by (term, doc_id range) — here the threshold
-    keeps the demo exact."""
+    keeps the demo exact. Posting lists are emitted as ','-joined
+    strings: the gate canonicalizer hashes raw cells and cannot sort
+    Python lists, and the serialized form carries identical information
+    (sorted doc_ids)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
@@ -1079,7 +1082,7 @@ def inverted_index(spark, sf_dir):
         tok.groupBy("term")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
         )
         .filter(F.col("doc_freq") >= 50)
     )
@@ -1420,19 +1423,28 @@ def doc_surprisal_scores(spark, sf_dir):
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qscale
       FROM embeddings
     )
-    SELECT vec_id, qscale,
-           CASE WHEN qscale = 0 THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / qscale) AS INT))
-           END AS qvec
+    SELECT vec_id, ROUND(qscale, 8) AS qscale,
+           array_to_string(
+             CASE WHEN qscale = 0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / qscale) AS INT))
+             END, ',') AS qvec
     FROM s
     """,
 )
 def quantize_embeddings_int8(spark, sf_dir):
     """int8 embedding quantization (similarity.quantize_int8) — code-
     identical across engines because the scale/round arithmetic is
-    pinned to DOUBLE."""
+    pinned to DOUBLE. The quantized vector is serialized to a ','-joined
+    string (and qscale rounded to 8 dp) so the gate canonicalizer — which
+    sorts raw pandas cells and cannot hash Python lists — can compare it;
+    the int8 codes themselves are unchanged."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.quantize_int8(emb).select("vec_id", "qscale", "qvec")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("qscale", 8).alias("qscale"),
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias("qvec"),
+    )
 
 
 @query(

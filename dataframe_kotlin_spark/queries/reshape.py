@@ -194,18 +194,29 @@ def merge_cols_concat(spark, sf_dir):
     "merge_rows_lists",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           LIST_SORT(LIST(DISTINCT CAST(o_orderkey % 97 AS BIGINT))) AS key_mods
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT CAST(o_orderkey % 97 AS BIGINT))), ',')
+             AS key_mods
     FROM orders GROUP BY o_orderstatus, o_orderpriority
     """,
 )
 def merge_rows_lists(spark, sf_dir):
     """mergeRows: collapse a column into list cells per group, sorted for
-    determinism (api/mergeRows.kt:13-33)."""
+    determinism (api/mergeRows.kt:13-33).
+
+    The list cells are serialized to a ','-joined string for the gate:
+    the driver's canonicalizer sorts raw pandas cells and cannot hash
+    Python lists, so both sides emit the same delimited-string form
+    (semantics unchanged — order and membership fully determined by
+    sort_array over distinct values)."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.select("o_orderstatus", "o_orderpriority", (F.col("o_orderkey") % 97).alias("key_mods"))
         .df.groupBy("o_orderstatus", "o_orderpriority")
-        .agg(F.sort_array(F.array_distinct(F.collect_list("key_mods"))).alias("key_mods"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.array_distinct(F.collect_list("key_mods"))), ","
+            ).alias("key_mods")
+        )
     )
 
 

@@ -699,9 +699,11 @@ def running_total_scan(spark, sf_dir):
     "neighbour_values",
     oracle="""
     SELECT event_id, user_id,
-           [COALESCE(ROUND(LAG(value)  OVER w, 4), 0),
-            ROUND(value, 4),
-            COALESCE(ROUND(LEAD(value) OVER w, 4), 0)] AS value_neighbours
+           array_to_string(
+             [printf('%.4f', COALESCE(ROUND(LAG(value)  OVER w, 4), 0)),
+              printf('%.4f', ROUND(value, 4)),
+              printf('%.4f', COALESCE(ROUND(LEAD(value) OVER w, 4), 0))], ',')
+             AS value_neighbours
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -712,14 +714,22 @@ def neighbour_values(spark, sf_dir):
     Out-of-partition offsets are null; coalesced to 0 on BOTH sides
     because float nulls inside arrays round-trip differently through
     Arrow on the two engines (NaN vs 0) — a representation issue, not a
-    semantic one."""
+    semantic one. The neighbour triple is serialized to a ','-joined
+    '%.4f' string (round-first, then fixed formatting, so both engines
+    emit identical digits): the gate canonicalizer sorts raw pandas
+    cells and cannot hash Python lists."""
     e = _t(spark, sf_dir, "events")
     rounded = e.df.withColumn("value", F.round(F.col("value"), 4))
     out = KDataFrame(rounded).neighbours(
         "value", [-1, 0, 1], order_by=["ts", "event_id"], partition_by=["user_id"]
     )
-    fixed = F.transform(F.col("value_neighbours"), lambda v: F.coalesce(v, F.lit(0.0)))
-    return out.df.select("event_id", "user_id", fixed.alias("value_neighbours"))
+    fixed = F.transform(
+        F.col("value_neighbours"),
+        lambda v: F.format_string("%.4f", F.coalesce(v, F.lit(0.0))),
+    )
+    return out.df.select(
+        "event_id", "user_id", F.array_join(fixed, ",").alias("value_neighbours")
+    )
 
 
 @query(
