@@ -90,9 +90,8 @@ def _leading_sort_key(order_by) -> tuple[Column | None, bool, bool]:
 def _orderable_numeric(df: DataFrame, col: Column) -> Column | None:
     """Map ``col`` to a DOUBLE that is monotone (non-strict) w.r.t. its
     sort order, or None for types without a cheap monotone embedding.
-    Strings embed their first two codepoints (Spark compares strings by
-    codepoint, so the embedding is order-compatible; granularity is two
-    characters — same-prefix strings simply share a bucket)."""
+    Strings are handled separately (``_string_order_embedding``) because
+    their embedding needs the frame-wide common prefix stripped first."""
     try:
         dt = df.select(col).schema[0].dataType
     except Exception:
@@ -105,12 +104,109 @@ def _orderable_numeric(df: DataFrame, col: Column) -> Column | None:
         return col.cast("timestamp").cast("double")
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return col.cast("double")
-    if isinstance(dt, T.StringType):
-        return (
-            F.ascii(F.substring(col, 1, 1)).cast("double") * 1114112.0
-            + F.ascii(F.substring(col, 2, 1)).cast("double")
-        )
     return None
+
+
+def _is_string_col(df: DataFrame, col: Column) -> bool:
+    try:
+        return isinstance(df.select(col).schema[0].dataType, T.StringType)
+    except Exception:
+        return False
+
+
+# string order-bucketing: leading char positions with per-position stats,
+# and the cap on the included-position radix product (exact in DOUBLE,
+# with a wide safety margin under 2^53)
+_STR_POS = 24
+_STR_CAP = float(2**45)
+
+
+def _string_bounds(df: DataFrame, lead: Column, asc: bool) -> tuple[DataFrame, list[str]]:
+    """1-row bounds frame for bucketing a STRING order key: per-position
+    codepoint minima ``__mn{i}__``, the mixed-radix weight array
+    ``__w__``, and the interpolation range ``__gmn__``/``__gmx__``.
+
+    The embedding (see ``_string_order_nk``) is mixed-radix over the
+    first ``_STR_POS`` character positions with DATA-DERIVED radix: one
+    aggregate pass collects each position's observed min/max codepoint;
+    radix_i = mx_i - mn_i + 1. Constant positions (a frame-wide common
+    prefix like "ORDER-00...") get radix 1 and therefore cost NO
+    granularity, and near-dense bands (digits: radix exactly 10) make
+    the embedding space dense, so min/max linear interpolation actually
+    populates buckets — the round-4 two-codepoint embedding collapsed
+    all common-prefix keys into one bucket. Weights are the standard
+    place values W_i = prod of later included radixes; positions are
+    included most-significant-first while the radix product stays under
+    ``_STR_CAP``, keeping every term and partial sum an exact integer in
+    DOUBLE (no rounding, hence no order inversions). Excluded / beyond-
+    cap positions contribute 0 — ties, exactly the non-strict contract.
+
+    ``__gmx__`` is the box bound (every position at its max): attained
+    or not, it always contains the data, and for positionally
+    independent keys (ids, zero-padded numbers, date strings) it is
+    tight."""
+    P = _STR_POS
+    aggs = []
+    for i in range(1, P + 1):
+        c = F.ascii(F.substring(lead, i, 1))
+        aggs += [F.min(c).alias(f"__mn{i}__"), F.max(c).alias(f"__mx{i}__")]
+    b = df.agg(*aggs)
+    b = b.select(
+        *[F.coalesce(F.col(f"__mn{i}__"), F.lit(0)).alias(f"__mn{i}__") for i in range(1, P + 1)],
+        *[F.coalesce(F.col(f"__mx{i}__"), F.lit(0)).alias(f"__mx{i}__") for i in range(1, P + 1)],
+        F.array(
+            *[
+                (F.coalesce(F.col(f"__mx{i}__") - F.col(f"__mn{i}__"), F.lit(0)) + F.lit(1)).cast(
+                    "double"
+                )
+                for i in range(1, P + 1)
+            ]
+        ).alias("__rad__"),
+    )
+    cums = F.expr(
+        f"transform(sequence(1, {P}), i -> "
+        f"aggregate(slice(__rad__, 1, i), CAST(1.0 AS DOUBLE), (a, x) -> a * x))"
+    )
+    b = b.withColumn("__cum__", cums)
+    cmax = F.array_max(F.filter(F.col("__cum__"), lambda c: c <= F.lit(_STR_CAP)))
+    b = b.withColumn(
+        "__w__",
+        F.transform(
+            F.col("__cum__"),
+            lambda c: F.when(c <= F.lit(_STR_CAP), cmax / c).otherwise(F.lit(0.0)),
+        ),
+    )
+    span = None
+    for i in range(1, P + 1):
+        term = (F.col(f"__mx{i}__") - F.col(f"__mn{i}__")).cast("double") * F.element_at(
+            F.col("__w__"), i
+        )
+        span = term if span is None else span + term
+    gmn = F.lit(0.0) if asc else -span
+    gmx = span if asc else F.lit(0.0)
+    bounds = b.select(
+        *[f"__mn{i}__" for i in range(1, P + 1)],
+        "__w__",
+        gmn.alias("__gmn__"),
+        gmx.alias("__gmx__"),
+    )
+    extra = [f"__mn{i}__" for i in range(1, P + 1)] + ["__w__"]
+    return bounds, extra
+
+
+def _string_order_nk(lead: Column, asc: bool) -> Column:
+    """Per-row mixed-radix embedding paired with ``_string_bounds``:
+    sum over positions of (codepoint_i - __mn{i}__) * __w__[i]. Monotone
+    (non-strict) w.r.t. Spark string order: the first differing
+    character position dominates all lower place values."""
+    emb = None
+    for i in range(1, _STR_POS + 1):
+        c = F.ascii(F.substring(lead, i, 1))
+        term = F.coalesce((c - F.col(f"__mn{i}__")).cast("double"), F.lit(0.0)) * F.element_at(
+            F.col("__w__"), i
+        )
+        emb = term if emb is None else emb + term
+    return emb if asc else -emb
 
 
 def _global_row_number(
@@ -152,7 +248,19 @@ def _global_row_number(
     (worst case — a constant key — degenerates to one task, which is
     the op's inherent semantics); keys without a monotone double
     embedding (structs, arrays, binary) fall back to a single bucket,
-    i.e. the documented small-frame contract.
+    i.e. the documented small-frame contract. String keys bucket via a
+    mixed-radix codepoint embedding with data-derived per-position
+    radix (``_string_bounds``): constant prefix positions get radix 1,
+    so "ORDER-00..."-style keys keep full granularity on their varying
+    characters instead of degenerating to one bucket.
+
+    Determinism requirement: the input plan is evaluated more than once
+    (bounds aggregate, bucket counts, final join). A non-deterministic
+    source (rand(), monotonically_increasing_id, unstable sampling)
+    could tag rows differently between passes and drop/duplicate rows
+    at the bucket join — callers must pass a deterministic frame (every
+    engine op that reaches here does; random ops in this repo are
+    hash-seeded, not rand()-based).
 
     ``total_name``: additionally attach the frame-wide row count as a
     column — it rides the same offsets aggregate, so ops that need
@@ -160,41 +268,10 @@ def _global_row_number(
     ``count()`` action.
     """
     cols = _cols(order_by)
-    lead, asc, nulls_first = _leading_sort_key(order_by)
-    nk = _orderable_numeric(df, lead) if lead is not None else None
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     # capped so the triangular offsets join stays metadata-sized
     nbuckets = min(nparts * 4, 8192)
-    if nk is None:
-        bucket = F.lit(0)
-        tagged = df.withColumn("__gbkt__", bucket)
-    else:
-        if not asc:
-            nk = -nk
-        # NaN is greatest under Spark ordering and would poison max();
-        # NaN-keyed rows get their own end bucket, so bound on non-NaN
-        nk_clean = F.when(~F.isnan(nk), nk)
-        bounds = df.agg(
-            F.min(nk_clean).alias("__gmn__"), F.max(nk_clean).alias("__gmx__")
-        )
-        step = F.when(
-            F.col("__gmx__") > F.col("__gmn__"),
-            (F.col("__gmx__") - F.col("__gmn__")) / nbuckets,
-        ).otherwise(F.lit(1.0))
-        interp = F.least(
-            F.lit(nbuckets - 1),
-            F.greatest(
-                F.lit(0), F.floor((nk - F.col("__gmn__")) / step).cast("int")
-            ),
-        )
-        bucket = (
-            F.when(F.isnull(lead), F.lit(-2 if nulls_first else nbuckets + 2))
-            .when(F.isnan(nk), F.lit(nbuckets + 1 if asc else -1))
-            .otherwise(interp)
-        )
-        tagged = df.crossJoin(F.broadcast(bounds)).withColumn(
-            "__gbkt__", bucket
-        ).drop("__gmn__", "__gmx__")
+    tagged = _order_bucket_tagged(df, order_by, nbuckets)
     counts = tagged.groupBy("__gbkt__").agg(F.count(F.lit(1)).alias("__gcnt__"))
     prior = counts.select(
         F.col("__gbkt__").alias("__gbkt2__"), F.col("__gcnt__").alias("__gcnt2__")
@@ -215,6 +292,53 @@ def _global_row_number(
     if total_name:
         out = out.withColumn(total_name, F.col("__gtot__"))
     return out.drop("__gbkt__", "__goff__", "__gtot__")
+
+
+def _order_bucket_tagged(df: DataFrame, order_by: Sequence, nbuckets: int) -> DataFrame:
+    """Tag every row with its value-derived order bucket ``__gbkt__``
+    (step 1 of ``_global_row_number``; split out so tests can assert
+    bucket spread directly — e.g. that constant-prefix string keys
+    populate more than one bucket)."""
+    lead, asc, nulls_first = _leading_sort_key(order_by)
+    nk = None
+    bounds = None
+    bounds_extra = []
+    if lead is not None and _is_string_col(df, lead):
+        bounds, bounds_extra = _string_bounds(df, lead, asc)
+        nk = _string_order_nk(lead, asc)
+    elif lead is not None:
+        nk = _orderable_numeric(df, lead)
+        if nk is not None:
+            if not asc:
+                nk = -nk
+            # NaN is greatest under Spark ordering and would poison max();
+            # NaN-keyed rows get their own end bucket, so bound on non-NaN
+            nk_clean = F.when(~F.isnan(nk), nk)
+            bounds = df.agg(
+                F.min(nk_clean).alias("__gmn__"), F.max(nk_clean).alias("__gmx__")
+            )
+    if nk is None:
+        return df.withColumn("__gbkt__", F.lit(0))
+    step = F.when(
+        F.col("__gmx__") > F.col("__gmn__"),
+        (F.col("__gmx__") - F.col("__gmn__")) / nbuckets,
+    ).otherwise(F.lit(1.0))
+    interp = F.least(
+        F.lit(nbuckets - 1),
+        F.greatest(
+            F.lit(0), F.floor((nk - F.col("__gmn__")) / step).cast("int")
+        ),
+    )
+    bucket = (
+        F.when(F.isnull(lead), F.lit(-2 if nulls_first else nbuckets + 2))
+        .when(F.isnan(nk), F.lit(nbuckets + 1 if asc else -1))
+        .otherwise(interp)
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("__gbkt__", bucket)
+        .drop("__gmn__", "__gmx__", *bounds_extra)
+    )
 
 
 class KDataFrame:

@@ -251,6 +251,46 @@ def test_positional_family_no_unpartitioned_window(spark):
             assert _is_partitioned_window(line), f"{name}: unpartitioned window: {line.strip()[:160]}"
 
 
+def test_string_key_buckets_spread_past_common_prefix(spark):
+    # round-4 caveat: string order keys bucketed on a 2-char prefix, so
+    # constant-prefix ids ("ORDER-00...") silently degenerated to ONE
+    # bucket — i.e. back to the single-task shape. The round-5 embedding
+    # strips the frame-wide common prefix (from the min/max bounds row)
+    # and buckets on the next 6 UTF-8 bytes: many populated buckets, and
+    # unchanged global ordering.
+    from dataframe_kotlin_spark.core.frame import (
+        _global_row_number,
+        _order_bucket_tagged,
+    )
+
+    df = spark.range(20000).selectExpr(
+        "format_string('ORDER-%012d', id) AS k", "id AS v"
+    )
+    tagged = _order_bucket_tagged(df, ["k"], nbuckets=128)
+    populated = tagged.select("__gbkt__").distinct().count()
+    assert populated > 16, f"constant-prefix keys collapsed to {populated} bucket(s)"
+
+    out = _global_row_number(df, ["k"], name="rn").collect()
+    assert sorted(r["rn"] for r in out) == list(range(1, 20001))
+    by_rn = sorted(out, key=lambda r: r["rn"])
+    assert [r["k"] for r in by_rn] == sorted(r["k"] for r in out)
+
+
+def test_string_key_buckets_unicode_desc(spark):
+    # order-compatibility of the UTF-8 byte embedding across multibyte
+    # codepoints, descending direction, and null placement
+    from dataframe_kotlin_spark.core.frame import _global_row_number
+
+    rows = [("id-é9",), ("id-a1",), (None,), ("id-z5",), ("id-a10",), ("id-ß2",)]
+    df = spark.createDataFrame(rows, ["k"])
+    from pyspark.sql import functions as FF
+
+    out = _global_row_number(df, [FF.col("k").desc_nulls_last()], name="rn")
+    got = [r["k"] for r in out.orderBy("rn").collect()]
+    expect = sorted([r[0] for r in rows if r[0] is not None], reverse=True) + [None]
+    assert got == expect
+
+
 def test_skip_last_is_lazy(spark):
     # building the plan must trigger no job: the frame total rides the
     # offsets aggregate as a column, not a hidden count() action
