@@ -897,20 +897,27 @@ class KDataFrame:
             F.explode(
                 F.array(
                     *[
-                        F.struct(F.lit(c).alias("__gk__"), nv)
+                        F.struct(
+                            F.lit(c).alias("__gk__"),
+                            F.col(c).isNotNull().alias("__nn__"),
+                            nv,
+                        )
                         for c, nv in zip(group_cols, norm)
                     ]
                 )
             ).alias("__g__"),
-        ).select(*ids, F.col("__g__.__gk__").alias(key_name), "__g__.__gv__")
+        ).select(
+            *ids,
+            F.col("__g__.__gk__").alias(key_name),
+            F.col("__g__.__nn__").alias("__nn__"),
+            "__g__.__gv__",
+        )
         if drop_nulls:
-            # a row whose source group cell was a null struct has every
-            # spliced field null — drop it (reference dropNulls)
-            nn = functools.reduce(
-                lambda a, b: a | b,
-                [F.col(f"__gv__.{n}").isNotNull() for n in fields],
-            )
-            stacked = stacked.filter(nn)
+            # drop only rows whose source group CELL was null — carried
+            # as per-group nullity, NOT inferred from the spliced fields
+            # (a non-null struct whose fields all happen to be null is a
+            # real row; the reference's dropNulls keeps it)
+            stacked = stacked.filter(F.col("__nn__"))
         return self._wrap(stacked.select(*ids, key_name, "__gv__.*"))
 
     def gather_presence(
@@ -996,8 +1003,12 @@ class KDataFrame:
           its leaves inside the root's parent struct, named relative to
           that parent (flatten.kt getRootPrefix/dropLast);
         - clashing names dedup with ``_k`` suffixes in encounter order,
-          shared across all flattened leaves (impl
-          ColumnNameGenerator.addUnique).
+          shared across all flattened leaves of the same namespace and
+          pre-seeded with that namespace's NON-flattened output names
+          (impl ColumnNameGenerator.addUnique starts from the existing
+          columns) — a flattened leaf ``a_b`` next to an untouched plain
+          column ``a_b`` becomes ``a_b_1``, never a duplicate name
+          (duplicates break downstream selects in Spark).
 
         Pure projection — no shuffle, whole-stage codegen."""
         schema = self.df.schema
@@ -1014,9 +1025,8 @@ class KDataFrame:
                 for p in paths
                 if not any(q != p and p.startswith(q + ".") for q in paths)
             }
-        used: set[str] = set()
 
-        def unique(name: str) -> str:
+        def unique(name: str, used: set[str]) -> str:
             n, k = name, 1
             while n in used:
                 n = f"{name}_{k}"
@@ -1035,12 +1045,23 @@ class KDataFrame:
             return out
 
         def expand(fields, path_prefix: str):
+            def is_flat_root(f, p):
+                return p in rootset and isinstance(f.dataType, T.StructType)
+
+            # dedup namespace = this level's output: seed with every
+            # name NOT produced by flattening, so leaves can't collide
+            # with untouched siblings
+            used = {
+                f.name
+                for f in fields
+                if not is_flat_root(f, f"{path_prefix}.{f.name}" if path_prefix else f.name)
+            }
             out = []
             for f in fields:
                 p = f"{path_prefix}.{f.name}" if path_prefix else f.name
-                if p in rootset and isinstance(f.dataType, T.StructType):
+                if is_flat_root(f, p):
                     for lp, rel in leaves(f.dataType, p, f.name):
-                        out.append(F.col(lp).alias(unique(rel)))
+                        out.append(F.col(lp).alias(unique(rel, used)))
                 elif isinstance(f.dataType, T.StructType) and any(
                     r.startswith(p + ".") for r in rootset
                 ):

@@ -20,6 +20,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _parse_byte_conf(value: str, default: int = 128 * 1024 * 1024) -> int:
+    """Parse a Spark byte-string conf value ("128m", "1g", "134217728",
+    "512k", "1gb") into bytes. Spark accepts an optional k/m/g/t/p
+    suffix with optional trailing 'b'; a bare number means bytes.
+    Returns ``default`` when the value doesn't parse — a misparse here
+    previously yielded max_bytes=1 for "1g", turning the bucket-count
+    estimate into total-file-bytes and exploding probe replication."""
+    s = str(value).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    suffixes = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+    if s and s[-1] in suffixes:
+        mult = suffixes[s[-1]]
+        s = s[:-1]
+    try:
+        n = int(s) * mult
+    except ValueError:
+        return default
+    return n if n > 0 else default
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -234,9 +256,7 @@ def cosine_topk_blas(
             conf_bytes = corpus.sparkSession.conf.get(
                 "spark.sql.files.maxPartitionBytes", "134217728"
             )
-            max_bytes = int("".join(ch for ch in conf_bytes if ch.isdigit()) or "134217728")
-            if "m" in conf_bytes.lower():
-                max_bytes *= 1024 * 1024
+            max_bytes = _parse_byte_conf(conf_bytes)
             total = sum(
                 os.path.getsize(f[7:] if f.startswith("file://") else f)
                 for f in files
@@ -244,7 +264,9 @@ def cosine_topk_blas(
             est = max(1, -(-total // max_bytes))
         except Exception:
             pass  # non-file source: parallelism floor below still applies
-        n_b = max(int(est), min(sc.defaultParallelism, 8))
+        # ceiling: a misread conf must never explode probe replication
+        # (each query row is duplicated n_b times)
+        n_b = min(max(int(est), min(sc.defaultParallelism, 8)), 65536)
 
     c = corpus.select(
         F.col(id_col).alias("__cid__"),

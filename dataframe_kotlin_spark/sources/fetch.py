@@ -15,6 +15,7 @@ ingest parity.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -23,6 +24,26 @@ import zipfile
 # 1 GiB: far above any notebook-style CSV, far below anything that
 # should be flowing through one driver.
 MAX_FETCH_BYTES = 1 << 30
+
+# localized temp files: cached per source so repeated reads of the same
+# URL/zip don't re-download, and removed at interpreter exit so they
+# don't accumulate unboundedly in the temp dir
+_CACHE: dict[tuple, str] = {}
+
+
+def _register(key: tuple, tmp: str) -> str:
+    _CACHE[key] = tmp
+    return tmp
+
+
+@atexit.register
+def _cleanup_temp_files() -> None:
+    for tmp in _CACHE.values():
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+    _CACHE.clear()
 
 _URL_SCHEMES = ("http://", "https://", "ftp://")
 
@@ -47,32 +68,44 @@ def fetch_url(url: str, max_bytes: int = MAX_FETCH_BYTES) -> str:
     """
     import urllib.request
 
+    key = ("url", url, max_bytes)
+    cached = _CACHE.get(key)
+    if cached and os.path.exists(cached):
+        return cached
     fd, tmp = tempfile.mkstemp(suffix=_suffix(url), prefix="kdf_fetch_")
     seen = 0
     try:
-        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
-            while True:
-                chunk = resp.read(1 << 20)
-                if not chunk:
-                    break
-                seen += len(chunk)
-                if seen > max_bytes:
-                    raise ValueError(
-                        f"URL source {url!r} exceeds the {max_bytes} byte "
-                        "driver-localization cap: unsupported at scale — "
-                        "copy the data to a distributed filesystem and "
-                        "read that path instead."
-                    )
-                out.write(chunk)
+        # adopt the fd BEFORE any fallible call: if urlopen raises with
+        # a bare mkstemp fd, the descriptor leaks (advice r4)
+        with os.fdopen(fd, "wb") as out:
+            with urllib.request.urlopen(url) as resp:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    seen += len(chunk)
+                    if seen > max_bytes:
+                        raise ValueError(
+                            f"URL source {url!r} exceeds the {max_bytes} byte "
+                            "driver-localization cap: unsupported at scale — "
+                            "copy the data to a distributed filesystem and "
+                            "read that path instead."
+                        )
+                    out.write(chunk)
     except Exception:
         os.unlink(tmp)
         raise
-    return tmp
+    return _register(key, tmp)
 
 
 def extract_zip(path: str, max_bytes: int = MAX_FETCH_BYTES) -> str:
     """Extract the FIRST entry of a zip archive (the reference's
     ZipInputStream behavior) to a temp file and return its path."""
+    st = os.stat(path)
+    key = ("zip", os.path.abspath(path), st.st_mtime_ns, st.st_size, max_bytes)
+    cached = _CACHE.get(key)
+    if cached and os.path.exists(cached):
+        return cached
     with zipfile.ZipFile(path) as zf:
         entries = [i for i in zf.infolist() if not i.is_dir()]
         if not entries:
@@ -87,9 +120,13 @@ def extract_zip(path: str, max_bytes: int = MAX_FETCH_BYTES) -> str:
         fd, tmp = tempfile.mkstemp(
             suffix=_suffix(entry.filename), prefix="kdf_zip_"
         )
-        with zf.open(entry) as src, os.fdopen(fd, "wb") as out:
-            shutil.copyfileobj(src, out)
-    return tmp
+        try:
+            with os.fdopen(fd, "wb") as out, zf.open(entry) as src:
+                shutil.copyfileobj(src, out)
+        except Exception:
+            os.unlink(tmp)
+            raise
+    return _register(key, tmp)
 
 
 def localize_source(path: str, max_bytes: int = MAX_FETCH_BYTES) -> str:

@@ -133,3 +133,21 @@ def test_kmeans_lloyd_det_inertia_and_determinism(spark, emb):
 
     again = kmeans_lloyd_det(emb, k=4, iters=1)
     assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_parse_byte_conf_suffixes():
+    # advice r4: "1g" digit-stripped to 1 byte, exploding the bucket
+    # estimate into probe-replication OOM territory
+    from dataframe_kotlin_spark.operators.similarity import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728") == 134217728
+    assert _parse_byte_conf("128m") == 128 * 1024**2
+    assert _parse_byte_conf("128mb") == 128 * 1024**2
+    assert _parse_byte_conf("1g") == 1024**3
+    assert _parse_byte_conf("1GB") == 1024**3
+    assert _parse_byte_conf("512k") == 512 * 1024
+    assert _parse_byte_conf("2t") == 2 * 1024**4
+    assert _parse_byte_conf("garbage") == 128 * 1024**2
+    assert _parse_byte_conf("") == 128 * 1024**2
+    assert _parse_byte_conf("-5") == 128 * 1024**2
+    assert _parse_byte_conf("0") == 128 * 1024**2

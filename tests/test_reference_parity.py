@@ -458,6 +458,25 @@ def test_gather_groups_reference_case(spark):
     assert len(rows) == 6
 
 
+def test_gather_groups_null_cell_vs_all_null_fields(spark):
+    # advice r4: dropNulls removes rows whose gathered CELL is null —
+    # not rows whose non-null struct happens to have all-null fields
+    df = KDataFrame(
+        spark.createDataFrame(
+            [(1, (None,), (9,)), (2, None, (8,))],
+            "id int, a struct<x:int>, b struct<x:int>",
+        )
+    )
+    out = df.gather_groups(["a", "b"], key_name="k").df
+    rows = {(r["id"], r["k"]): r["x"] for r in out.collect()}
+    # row 1's a-cell is a NON-null struct with a null field: kept
+    assert rows[(1, "a")] is None
+    # row 2's a-cell is a null struct: dropped
+    assert (2, "a") not in rows
+    assert rows[(1, "b")] == 9 and rows[(2, "b")] == 8
+    assert len(rows) == 3
+
+
 def test_gather_groups_rejects_non_struct(spark):
     import pytest as _pytest
 
@@ -549,6 +568,19 @@ def test_flatten_nested_root_stays_in_parent(spark):
     assert [f.name for f in inner.fields] == ["x", "c_d", "c_e"]
     r = out.collect()[0]["a"]
     assert (r["x"], r["c_d"], r["c_e"]) == (1, 2, 3)
+
+
+def test_flatten_clash_with_untouched_sibling(spark):
+    # advice r4: the dedup set must pre-seed with NON-flattened output
+    # names — a plain column a_b next to struct a{b} previously yielded
+    # two a_b columns, making downstream selects ambiguous
+    df = KDataFrame(
+        spark.createDataFrame([(((1,)), 2)], "a struct<b:int>, a_b int")
+    )
+    out = df.flatten().df
+    assert out.columns == ["a_b_1", "a_b"]
+    r = out.collect()[0]
+    assert (r["a_b_1"], r["a_b"]) == (1, 2)
 
 
 def test_flatten_name_clash_dedup(spark):

@@ -661,3 +661,34 @@ def test_empty_zip_rejected(tmp_path):
         pass
     with _pytest.raises(ValueError, match="no file entries"):
         extract_zip(str(zp))
+
+
+def test_fetch_fd_hygiene_and_cache(tmp_path):
+    # advice r4: urlopen failure leaked the mkstemp fd, and localized
+    # temp files accumulated unboundedly; now fds close on every path,
+    # repeat reads hit a cache, and atexit removes the files
+    import os
+    import zipfile
+
+    from dataframe_kotlin_spark.sources import fetch
+
+    # failed fetch: no fd leak, no temp file left behind
+    nfds = len(os.listdir("/proc/self/fd"))
+    try:
+        fetch.fetch_url("http://127.0.0.1:1/unreachable", max_bytes=100)
+    except Exception:
+        pass
+    assert len(os.listdir("/proc/self/fd")) == nfds
+
+    # zip extraction is cached per (path, mtime, size)
+    zp = tmp_path / "c.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("x.csv", "a,b\n1,2\n")
+    p1 = fetch.extract_zip(str(zp))
+    p2 = fetch.extract_zip(str(zp))
+    assert p1 == p2 and os.path.exists(p1)
+    assert p1 in fetch._CACHE.values()
+
+    # cleanup hook removes registered files
+    fetch._cleanup_temp_files()
+    assert not os.path.exists(p1) and not fetch._CACHE
