@@ -76,6 +76,7 @@ def main():
     # reflect plan changes, not load.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for name in headline:
         fn = qs[name]
         assert fn(spark, sf_dir).count() >= 0  # warmup rep, discarded
@@ -86,6 +87,7 @@ def main():
             n = df.count()
             times.append(time.time() - t0)
             assert n >= 0
+        rep_times[name] = [round(t, 3) for t in times]
         times.sort()
         timings[name] = round(times[len(times) // 2], 3)
 
@@ -109,6 +111,7 @@ def main():
         t0 = time.time()
         assert micro.filter(F.abs(F.col("c2") + F.col("c5")) < 0).count() == 0
         mtimes.append(time.time() - t0)
+    rep_times["filter_1m50_micro"] = [round(t, 3) for t in mtimes]
     mtimes.sort()
     timings["filter_1m50_micro"] = round(mtimes[len(mtimes) // 2], 3)
     micro.unpersist()
@@ -121,6 +124,11 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # raw per-rep wall times in run order (pre-sort): a
+                # loaded machine shows as min << median spread, so a
+                # noisy BENCH record is self-evident instead of reading
+                # as a plan regression
+                "reps": rep_times,
                 "sf": float(sf),
             }
         )

@@ -114,97 +114,188 @@ def _is_string_col(df: DataFrame, col: Column) -> bool:
         return False
 
 
-# string order-bucketing: leading char positions with per-position stats,
-# and the cap on the included-position radix product (exact in DOUBLE,
-# with a wide safety margin under 2^53)
-_STR_POS = 24
-_STR_CAP = float(2**45)
+# string order-bucketing: _STR_POS UTF-8 byte positions starting at the
+# frame-wide first point of divergence (min/max common prefix stripped),
+# per-position min/max stats, 6 bytes per exact conv segment. CAP bounds
+# the included-position radix product so every partial sum of the
+# embedding stays an exact integer in DOUBLE: sum b_i*W_i <= 255 * cmax
+# * 2/r_1 <= 255 * 2^44 (r_1 >= 2 by lcp construction) < 2^53.
+_STR_POS = 12
+_STR_SEG = 6
+_STR_CAP = float(2**44)
+
+
+def _hex_lcp(c1: Column, c2: Column, cap: int = 96) -> Column:
+    """Length of the common prefix of two HEX strings, floored to a
+    byte (even) boundary — evaluated on the 1-row bounds frame only.
+    O(cap^2) substring compares, once per frame."""
+    seqs = F.sequence(F.lit(1), F.least(F.length(c1), F.length(c2), F.lit(cap)))
+    eq = F.filter(seqs, lambda i: F.substring(c1, F.lit(1), i) == F.substring(c2, F.lit(1), i))
+    lcp = F.coalesce(F.array_max(eq), F.lit(0))
+    return lcp - F.pmod(lcp, F.lit(2))
+
+
+def _utf8_segments(col: Column, off: Column) -> list[Column]:
+    """``_STR_POS`` UTF-8 bytes of ``col`` starting ``off`` HEX CHARS in
+    (the broadcast frame-wide divergence offset), as exact 6-byte
+    segment values. Cost-shaped for the hot path: one hex per row plus
+    one 48-bit-exact ``conv`` per segment — the naive per-position
+    ``ascii(substring(...))`` costs ~2 us/row per position and dominated
+    the positional ops' runtime at scale. Callers must materialize the
+    returned expressions via select/withColumn so each conv evaluates
+    once."""
+    nseg = _STR_POS // _STR_SEG
+    h = F.hex(F.encode(col, "UTF-8"))
+    w = 2 * _STR_SEG
+    return [
+        F.conv(
+            F.rpad(F.substring(h, off + F.lit(1 + w * j), F.lit(w)), w, "0"), 16, 10
+        ).cast("double")
+        for j in range(nseg)
+    ]
+
+
+def _seg_byte(seg: Column, p: int) -> Column:
+    """Byte ``p`` (0-based within a segment) of an exact 6-byte segment
+    value — floor/mod arithmetic, exact in DOUBLE."""
+    return F.floor(seg / float(256 ** (_STR_SEG - 1 - p))) % 256
+
+
+def _bounds_join(df: DataFrame, key: Column, one_row: DataFrame, bkey: Column) -> DataFrame:
+    """Broadcast-join a 1-row bounds frame onto every row of ``df`` via
+    a DATA-DERIVED constant key (``pmod(hash(attr), 1)`` = 0, never
+    null, and not foldable — hash never returns null even for null
+    input). An equi-key makes this a BroadcastHashJoin instead of
+    crossJoin's BroadcastNestedLoopJoin, keeping downstream wide
+    projections inside whole-stage codegen; a plain crossJoin measured
+    ~7 us/row interpreted for the bucket expression."""
+    jb = one_row.withColumn("__jk__", F.pmod(F.hash(bkey), F.lit(1)))
+    return (
+        df.withColumn("__jk__", F.pmod(F.hash(key), F.lit(1)))
+        .join(F.broadcast(jb), "__jk__")
+        .drop("__jk__")
+    )
 
 
 def _string_bounds(df: DataFrame, lead: Column, asc: bool) -> tuple[DataFrame, list[str]]:
-    """1-row bounds frame for bucketing a STRING order key: per-position
-    codepoint minima ``__mn{i}__``, the mixed-radix weight array
-    ``__w__``, and the interpolation range ``__gmn__``/``__gmx__``.
+    """1-row bounds frame for bucketing a STRING order key: the hex-char
+    divergence offset ``__off__``, per-position place-value weights
+    ``__w{i}__``, and the interpolation range ``__gmn__``/``__gmx__``.
 
-    The embedding (see ``_string_order_nk``) is mixed-radix over the
-    first ``_STR_POS`` character positions with DATA-DERIVED radix: one
-    aggregate pass collects each position's observed min/max codepoint;
-    radix_i = mx_i - mn_i + 1. Constant positions (a frame-wide common
-    prefix like "ORDER-00...") get radix 1 and therefore cost NO
-    granularity, and near-dense bands (digits: radix exactly 10) make
-    the embedding space dense, so min/max linear interpolation actually
-    populates buckets — the round-4 two-codepoint embedding collapsed
-    all common-prefix keys into one bucket. Weights are the standard
+    Two metadata-bounded passes:
+
+    1. min/max STRING aggregate -> the frame-wide first point of
+       divergence (every in-range string shares the min/max common
+       prefix, a property of lexicographic order), floored to a UTF-8
+       byte boundary;
+    2. per-position byte min/max over the ``_STR_POS`` bytes STARTING at
+       that offset; radix_i = mx_i - mn_i + 1.
+
+    The embedding (``_string_order_nk``) is mixed-radix over those byte
+    positions with the data-derived radixes. UTF-8 byte order equals
+    codepoint order, so byte-wise lexicographic comparison IS Spark's
+    string comparison (multibyte characters simply span positions). The
+    lcp strip guarantees radix_1 >= 2, so "ORDER-00..."-style constant
+    prefixes cost NO positions, and near-dense bands (digits: radix
+    exactly 10) make the embedding space dense — min/max interpolation
+    actually populates buckets (the round-4 two-codepoint embedding
+    collapsed all common-prefix keys into one). Weights are standard
     place values W_i = prod of later included radixes; positions are
     included most-significant-first while the radix product stays under
-    ``_STR_CAP``, keeping every term and partial sum an exact integer in
-    DOUBLE (no rounding, hence no order inversions). Excluded / beyond-
-    cap positions contribute 0 — ties, exactly the non-strict contract.
+    ``_STR_CAP`` = 2^44, so sum(b_i * W_i) <= 255 * 2 * cmax / r_1 <
+    2^53 and EVERY partial sum is an exact DOUBLE integer (no rounding,
+    hence no order inversions). Beyond-cap / beyond-window positions
+    contribute 0 — ties, exactly the non-strict contract. The
+    interpolation range is the box [sum mn_i*W_i, sum mx_i*W_i]:
+    always containing the data, tight for positionally independent keys
+    (ids, zero-padded numbers, date strings).
 
-    ``__gmx__`` is the box bound (every position at its max): attained
-    or not, it always contains the data, and for positionally
-    independent keys (ids, zero-padded numbers, date strings) it is
-    tight."""
+    Everything here is cost-shaped: both passes are plain aggregates
+    over cheap projections, all weight algebra runs on the 1-row frame,
+    and the per-row tagging needs only 2 conv segments + arithmetic
+    (see ``_utf8_segments``)."""
     P = _STR_POS
-    aggs = []
+    a = df.agg(F.min(lead).alias("__smn__"), F.max(lead).alias("__smx__"))
+    a = a.select(
+        _hex_lcp(
+            F.hex(F.encode(F.col("__smn__"), "UTF-8")),
+            F.hex(F.encode(F.col("__smx__"), "UTF-8")),
+        ).alias("__off__")
+    ).select(F.coalesce(F.col("__off__"), F.lit(0)).alias("__off__"))
+    segs = _bounds_join(df, lead, a, F.col("__off__"))
+    segs = segs.select(
+        "__off__",
+        *[
+            s.alias(f"__seg{j}__")
+            for j, s in enumerate(_utf8_segments(lead, F.col("__off__")))
+        ],
+    )
+    bytes_ = segs.select(
+        "__off__",
+        *[
+            _seg_byte(F.col(f"__seg{i // _STR_SEG}__"), i % _STR_SEG).alias(f"__b{i + 1}__")
+            for i in range(P)
+        ],
+    )
+    aggs = [F.min(F.col("__off__")).alias("__off__")]
     for i in range(1, P + 1):
-        c = F.ascii(F.substring(lead, i, 1))
+        c = F.col(f"__b{i}__")
         aggs += [F.min(c).alias(f"__mn{i}__"), F.max(c).alias(f"__mx{i}__")]
-    b = df.agg(*aggs)
+    b = bytes_.agg(*aggs)
     b = b.select(
+        F.coalesce(F.col("__off__"), F.lit(0)).alias("__off__"),
         *[F.coalesce(F.col(f"__mn{i}__"), F.lit(0)).alias(f"__mn{i}__") for i in range(1, P + 1)],
         *[F.coalesce(F.col(f"__mx{i}__"), F.lit(0)).alias(f"__mx{i}__") for i in range(1, P + 1)],
-        F.array(
-            *[
-                (F.coalesce(F.col(f"__mx{i}__") - F.col(f"__mn{i}__"), F.lit(0)) + F.lit(1)).cast(
-                    "double"
-                )
-                for i in range(1, P + 1)
-            ]
-        ).alias("__rad__"),
     )
-    cums = F.expr(
-        f"transform(sequence(1, {P}), i -> "
-        f"aggregate(slice(__rad__, 1, i), CAST(1.0 AS DOUBLE), (a, x) -> a * x))"
+    # weight algebra on the 1-row frame: cumulative radix products,
+    # cap-gated inclusion, W_i = cmax / cum_i
+    rad = [
+        (F.col(f"__mx{i}__") - F.col(f"__mn{i}__") + F.lit(1)).cast("double")
+        for i in range(1, P + 1)
+    ]
+    cums = []
+    for i in range(P):
+        cums.append(rad[i] if i == 0 else cums[-1] * rad[i])
+    inc = [c <= F.lit(_STR_CAP) for c in cums]
+    cmax = F.greatest(*[F.when(inc[i], cums[i]).otherwise(F.lit(1.0)) for i in range(P)])
+    w = [F.when(inc[i], cmax / cums[i]).otherwise(F.lit(0.0)) for i in range(P)]
+    b = b.select(
+        "__off__",
+        *[w[i].alias(f"__w{i + 1}__") for i in range(P)],
+        *[F.col(f"__mn{i}__").cast("double").alias(f"__mn{i}__") for i in range(1, P + 1)],
+        *[F.col(f"__mx{i}__").cast("double").alias(f"__mx{i}__") for i in range(1, P + 1)],
     )
-    b = b.withColumn("__cum__", cums)
-    cmax = F.array_max(F.filter(F.col("__cum__"), lambda c: c <= F.lit(_STR_CAP)))
-    b = b.withColumn(
-        "__w__",
-        F.transform(
-            F.col("__cum__"),
-            lambda c: F.when(c <= F.lit(_STR_CAP), cmax / c).otherwise(F.lit(0.0)),
-        ),
-    )
-    span = None
-    for i in range(1, P + 1):
-        term = (F.col(f"__mx{i}__") - F.col(f"__mn{i}__")).cast("double") * F.element_at(
-            F.col("__w__"), i
-        )
-        span = term if span is None else span + term
-    gmn = F.lit(0.0) if asc else -span
-    gmx = span if asc else F.lit(0.0)
+    lo = None
+    hi = None
+    for i in range(P):
+        tl = F.col(f"__mn{i + 1}__") * F.col(f"__w{i + 1}__")
+        th = F.col(f"__mx{i + 1}__") * F.col(f"__w{i + 1}__")
+        lo = tl if lo is None else lo + tl
+        hi = th if hi is None else hi + th
+    gmn = lo if asc else -hi
+    gmx = hi if asc else -lo
     bounds = b.select(
-        *[f"__mn{i}__" for i in range(1, P + 1)],
-        "__w__",
+        "__off__",
+        *[f"__w{i}__" for i in range(1, P + 1)],
         gmn.alias("__gmn__"),
         gmx.alias("__gmx__"),
     )
-    extra = [f"__mn{i}__" for i in range(1, P + 1)] + ["__w__"]
+    extra = ["__off__"] + [f"__w{i}__" for i in range(1, P + 1)]
     return bounds, extra
 
 
-def _string_order_nk(lead: Column, asc: bool) -> Column:
+def _string_order_nk(asc: bool) -> Column:
     """Per-row mixed-radix embedding paired with ``_string_bounds``:
-    sum over positions of (codepoint_i - __mn{i}__) * __w__[i]. Monotone
-    (non-strict) w.r.t. Spark string order: the first differing
-    character position dominates all lower place values."""
+    sum over byte positions of byte_i * __w{i}__, with bytes unpacked
+    arithmetically from the materialized ``__kseg{j}__`` segment
+    columns (the minima base is folded into the interpolation bounds,
+    not subtracted per term — fewer per-row nodes, still exact).
+    Monotone (non-strict) w.r.t. Spark string order: the first
+    differing byte position dominates all lower place values."""
     emb = None
-    for i in range(1, _STR_POS + 1):
-        c = F.ascii(F.substring(lead, i, 1))
-        term = F.coalesce((c - F.col(f"__mn{i}__")).cast("double"), F.lit(0.0)) * F.element_at(
-            F.col("__w__"), i
-        )
+    for i in range(_STR_POS):
+        b = _seg_byte(F.col(f"__kseg{i // _STR_SEG}__"), i % _STR_SEG)
+        term = b * F.col(f"__w{i + 1}__")
         emb = term if emb is None else emb + term
     return emb if asc else -emb
 
@@ -305,8 +396,32 @@ def _order_bucket_tagged(df: DataFrame, order_by: Sequence, nbuckets: int) -> Da
     bounds_extra = []
     if lead is not None and _is_string_col(df, lead):
         bounds, bounds_extra = _string_bounds(df, lead, asc)
-        nk = _string_order_nk(lead, asc)
-    elif lead is not None:
+        # BroadcastHashJoin (codegen-friendly) onto the 1-row bounds;
+        # materialize the conv segments as columns so each evaluates
+        # ONCE per row (CollapseProject keeps non-cheap aliases used
+        # more than once); the embedding never produces NaN, so the
+        # numeric path's isnan branch is skipped entirely
+        tagged = _bounds_join(df, lead, bounds, F.col("__off__"))
+        seg_names = []
+        for j, s in enumerate(_utf8_segments(lead, F.col("__off__"))):
+            seg_names.append(f"__kseg{j}__")
+            tagged = tagged.withColumn(seg_names[-1], s)
+        nk = _string_order_nk(asc)
+        step = F.when(
+            F.col("__gmx__") > F.col("__gmn__"),
+            (F.col("__gmx__") - F.col("__gmn__")) / nbuckets,
+        ).otherwise(F.lit(1.0))
+        interp = F.least(
+            F.lit(nbuckets - 1),
+            F.greatest(F.lit(0), F.floor((nk - F.col("__gmn__")) / step).cast("int")),
+        )
+        bucket = F.when(
+            F.isnull(lead), F.lit(-2 if nulls_first else nbuckets + 2)
+        ).otherwise(interp)
+        return tagged.withColumn("__gbkt__", bucket).drop(
+            "__gmn__", "__gmx__", *bounds_extra, *seg_names
+        )
+    if lead is not None:
         nk = _orderable_numeric(df, lead)
         if nk is not None:
             if not asc:

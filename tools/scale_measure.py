@@ -87,6 +87,11 @@ def main():
         "dsir_log_weights",
         "decontamination_hits",
         "training_mix_report",
+        # round-4/5 positional family: distributed two-pass row number —
+        # measured here so the "scales like one shuffle" claim has a
+        # 6M-row observation behind it (bucket histogram printed below)
+        "slice_rows_page",
+        "chunked_groups",
     ]
     reps = 1 if "--quick" in sys.argv else 3
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -108,6 +113,44 @@ def main():
         best = min(times)
         out[name] = best
         print(f"{name}: {best:.2f}s (rows={n}, joins={joins_in_plan(last)})")
+
+    # positional-op bucket histogram at 100x: the distributed row number
+    # is only as parallel as its value-derived buckets are balanced —
+    # report populated-bucket count and per-bucket min/max rows for the
+    # numeric (o_orderkey) and a constant-prefix STRING key
+    if not only or "bucket_histogram" in only:
+        from pyspark.sql import functions as F
+
+        from dataframe_kotlin_spark.core.frame import _order_bucket_tagged
+
+        orders = spark.read.parquet(f"{DST}/orders.parquet")
+        for label, frame, key in [
+            ("numeric o_orderkey", orders, "o_orderkey"),
+            (
+                "string ORDER-%012d",
+                orders.select(
+                    F.format_string("ORDER-%012d", F.col("o_orderkey")).alias("k")
+                ),
+                "k",
+            ),
+        ]:
+            t0 = time.time()
+            hist = (
+                _order_bucket_tagged(frame, [key], nbuckets=128)
+                .groupBy("__gbkt__")
+                .count()
+                .agg(
+                    F.count(F.lit(1)).alias("populated"),
+                    F.min("count").alias("min_rows"),
+                    F.max("count").alias("max_rows"),
+                )
+                .collect()[0]
+            )
+            print(
+                f"bucket_histogram[{label}]: populated={hist['populated']}/128, "
+                f"rows/bucket {hist['min_rows']}..{hist['max_rows']} "
+                f"({time.time()-t0:.2f}s)"
+            )
 
     # semdedup: the registry query pins k=4 k-means cells, which makes the
     # within-cell cosine self-join quadratic in N/k — the correct scale
