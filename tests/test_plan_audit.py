@@ -305,3 +305,33 @@ def test_skip_last_is_lazy(spark):
     time.sleep(0.3)
     after = len(tracker.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_string_key_bucket_degenerate_shapes(spark):
+    # Degenerate string-key shapes must stay CORRECT (they may legally
+    # collapse to few buckets): all-equal keys, empty strings, a common
+    # prefix longer than the 48-byte lcp scan cap, keys that diverge
+    # only beyond the 12-byte granularity window, and an all-null column.
+    from dataframe_kotlin_spark.core.frame import _global_row_number
+
+    cases = [
+        ["same"] * 40,                                   # one distinct value
+        ["", "", "a", "", "b", ""],                      # empty strings
+        ["x" * 60 + s for s in ["a", "b", "c", "d"]],    # lcp beyond 48-byte cap
+        ["p" * 20 + "q" * 20 + s for s in "zyxwv"],      # diverge past byte window
+        [None, None, None],                              # all null keys
+        ["é" * 3 + s for s in ["ß", "a", "€", "z"]],     # multibyte divergence point
+    ]
+    for i, keys in enumerate(cases):
+        df = spark.createDataFrame(
+            [(k, j) for j, k in enumerate(keys)], "k string, v long"
+        )
+        out = _global_row_number(df, ["k", "v"], name="rn").collect()
+        rns = sorted(r["rn"] for r in out)
+        assert rns == list(range(1, len(keys) + 1)), f"case {i}: rn not a permutation"
+        by_rn = [( r["k"], r["v"]) for r in sorted(out, key=lambda r: r["rn"])]
+        expect = sorted(
+            [(k, j) for j, k in enumerate(keys)],
+            key=lambda t: (t[0] is not None, t[0] if t[0] is not None else "", t[1]),
+        )
+        assert by_rn == expect, f"case {i}: order mismatch"

@@ -38,6 +38,36 @@ def test_no_complex_typed_output_columns(spark):
     )
 
 
+def test_no_complex_typed_oracle_cells():
+    """Mirror lint for the DuckDB side: a LIST/STRUCT/MAP cell coming out
+    of the ORACLE sql crashes the driver's canonicalizer exactly like a
+    Spark ArrayType output (pandas ``sort_values`` on unhashable cells),
+    so both engines must serialize collections. Runs every oracle at
+    sf0.001 — DuckDB-only, seconds total."""
+    import duckdb
+    import numpy as np
+
+    from dataframe_kotlin_spark.session import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    offenders = []
+    for name, sql in oracle_queries().items():
+        df = con.sql(sql).df()
+        for c in df.columns:
+            col = df[c]
+            if col.dtype == object and col.map(
+                lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+            ).any():
+                offenders.append(f"{name}.{c}")
+    assert not offenders, (
+        "oracle SQL returns collection-typed cells that crash the driver "
+        "gate's canonicalizer; serialize with array_to_string/list_sort on "
+        "the DuckDB side too: " + "; ".join(offenders)
+    )
+
+
 def test_priority_window_is_valid():
     """The first 50 registry names are the driver's gate window: they must
     all exist, be unique, and each carry an oracle (no rows-only entries
