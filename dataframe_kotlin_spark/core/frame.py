@@ -118,8 +118,9 @@ def _is_string_col(df: DataFrame, col: Column) -> bool:
 # frame-wide first point of divergence (min/max common prefix stripped),
 # per-position min/max stats, 6 bytes per exact conv segment. CAP bounds
 # the included-position radix product so every partial sum of the
-# embedding stays an exact integer in DOUBLE: sum b_i*W_i <= 255 * cmax
-# * 2/r_1 <= 255 * 2^44 (r_1 >= 2 by lcp construction) < 2^53.
+# min-relative embedding stays an exact integer in DOUBLE:
+# sum (b_i-mn_i)*W_i <= sum (r_i-1)*cmax/cum_i = cmax*(1-1/cum_P)
+# < cmax <= 2^44 < 2^53 (telescoping; cum_i = prod r_1..r_i).
 _STR_POS = 12
 _STR_SEG = 6
 _STR_CAP = float(2**44)
@@ -200,15 +201,18 @@ def _string_bounds(df: DataFrame, lead: Column, asc: bool) -> tuple[DataFrame, l
     exactly 10) make the embedding space dense — min/max interpolation
     actually populates buckets (the round-4 two-codepoint embedding
     collapsed all common-prefix keys into one). Weights are standard
-    place values W_i = prod of later included radixes; positions are
-    included most-significant-first while the radix product stays under
-    ``_STR_CAP`` = 2^44, so sum(b_i * W_i) <= 255 * 2 * cmax / r_1 <
-    2^53 and EVERY partial sum is an exact DOUBLE integer (no rounding,
-    hence no order inversions). Beyond-cap / beyond-window positions
-    contribute 0 — ties, exactly the non-strict contract. The
-    interpolation range is the box [sum mn_i*W_i, sum mx_i*W_i]:
-    always containing the data, tight for positionally independent keys
-    (ids, zero-padded numbers, date strings).
+    place values W_i = cmax / cum_i (cum_i = prod r_1..r_i); positions
+    are included most-significant-first while the radix product stays
+    under ``_STR_CAP`` = 2^44. The per-row embedding is MIN-RELATIVE —
+    sum (b_i - mn_i) * W_i (``_string_order_nk``) — which is what makes
+    exactness provable: (b_i - mn_i) <= r_i - 1, so the sum telescopes
+    to <= cmax * (1 - 1/cum_P) < 2^44 and EVERY partial sum is an exact
+    DOUBLE integer (no rounding, hence no order inversions; radix-1
+    positions contribute exactly 0). Beyond-cap / beyond-window
+    positions contribute 0 — ties, exactly the non-strict contract. The
+    interpolation range is exactly [0, sum (mx_i - mn_i) * W_i]: always
+    containing the data, tight for positionally independent keys (ids,
+    zero-padded numbers, date strings).
 
     Everything here is cost-shaped: both passes are plain aggregates
     over cheap projections, all weight algebra runs on the 1-row frame,
@@ -265,37 +269,49 @@ def _string_bounds(df: DataFrame, lead: Column, asc: bool) -> tuple[DataFrame, l
         *[F.col(f"__mn{i}__").cast("double").alias(f"__mn{i}__") for i in range(1, P + 1)],
         *[F.col(f"__mx{i}__").cast("double").alias(f"__mx{i}__") for i in range(1, P + 1)],
     )
-    lo = None
+    # embedding is min-relative ((b_i - mn_i) * W_i, see _string_order_nk),
+    # so its range is exactly [0, sum (mx_i - mn_i) * W_i]
     hi = None
     for i in range(P):
-        tl = F.col(f"__mn{i + 1}__") * F.col(f"__w{i + 1}__")
-        th = F.col(f"__mx{i + 1}__") * F.col(f"__w{i + 1}__")
-        lo = tl if lo is None else lo + tl
+        th = (F.col(f"__mx{i + 1}__") - F.col(f"__mn{i + 1}__")) * F.col(f"__w{i + 1}__")
         hi = th if hi is None else hi + th
+    lo = F.lit(0.0)
     gmn = lo if asc else -hi
     gmx = hi if asc else -lo
     bounds = b.select(
         "__off__",
         *[f"__w{i}__" for i in range(1, P + 1)],
+        *[f"__mn{i}__" for i in range(1, P + 1)],
         gmn.alias("__gmn__"),
         gmx.alias("__gmx__"),
     )
-    extra = ["__off__"] + [f"__w{i}__" for i in range(1, P + 1)]
+    extra = (
+        ["__off__"]
+        + [f"__w{i}__" for i in range(1, P + 1)]
+        + [f"__mn{i}__" for i in range(1, P + 1)]
+    )
     return bounds, extra
 
 
 def _string_order_nk(asc: bool) -> Column:
     """Per-row mixed-radix embedding paired with ``_string_bounds``:
-    sum over byte positions of byte_i * __w{i}__, with bytes unpacked
-    arithmetically from the materialized ``__kseg{j}__`` segment
-    columns (the minima base is folded into the interpolation bounds,
-    not subtracted per term — fewer per-row nodes, still exact).
-    Monotone (non-strict) w.r.t. Spark string order: the first
-    differing byte position dominates all lower place values."""
+    sum over byte positions of (byte_i - __mn{i}__) * __w{i}__, with
+    bytes unpacked arithmetically from the materialized ``__kseg{j}__``
+    segment columns. Subtracting the per-position minimum is what makes
+    the exactness proof go through: (b_i - mn_i) <= r_i - 1 and
+    W_i = cmax / cum_i, so sum (r_i - 1) * cmax / cum_i telescopes to
+    cmax * (1 - 1/cum_P) < cmax <= 2^44 — EVERY partial sum is an exact
+    DOUBLE integer, so no rounding and no order inversions. (Without the
+    subtraction, radix-1 positions — W_i up to cmax each — can push the
+    sum past 2^53: radixes [2,1,1,1,1,1,245,...] reach ~1.03e16 and the
+    partial sums round. With it, radix-1 positions contribute exactly 0
+    since b_i == mn_i for every in-range row.) Monotone (non-strict)
+    w.r.t. Spark string order: the first differing byte position
+    dominates all lower place values."""
     emb = None
     for i in range(_STR_POS):
         b = _seg_byte(F.col(f"__kseg{i // _STR_SEG}__"), i % _STR_SEG)
-        term = b * F.col(f"__w{i + 1}__")
+        term = (b - F.col(f"__mn{i + 1}__")) * F.col(f"__w{i + 1}__")
         emb = term if emb is None else emb + term
     return emb if asc else -emb
 
@@ -385,6 +401,21 @@ def _global_row_number(
     return out.drop("__gbkt__", "__goff__", "__gtot__")
 
 
+def _interp_bucket(nk: Column, nbuckets: int) -> Column:
+    """Linear min/max interpolation of embedding ``nk`` into
+    ``[0, nbuckets)`` against the broadcast ``__gmn__``/``__gmx__``
+    bounds columns — the ONE clamp expression shared by the string and
+    numeric key paths (a fix applied to one branch must reach both)."""
+    step = F.when(
+        F.col("__gmx__") > F.col("__gmn__"),
+        (F.col("__gmx__") - F.col("__gmn__")) / nbuckets,
+    ).otherwise(F.lit(1.0))
+    return F.least(
+        F.lit(nbuckets - 1),
+        F.greatest(F.lit(0), F.floor((nk - F.col("__gmn__")) / step).cast("int")),
+    )
+
+
 def _order_bucket_tagged(df: DataFrame, order_by: Sequence, nbuckets: int) -> DataFrame:
     """Tag every row with its value-derived order bucket ``__gbkt__``
     (step 1 of ``_global_row_number``; split out so tests can assert
@@ -393,7 +424,6 @@ def _order_bucket_tagged(df: DataFrame, order_by: Sequence, nbuckets: int) -> Da
     lead, asc, nulls_first = _leading_sort_key(order_by)
     nk = None
     bounds = None
-    bounds_extra = []
     if lead is not None and _is_string_col(df, lead):
         bounds, bounds_extra = _string_bounds(df, lead, asc)
         # BroadcastHashJoin (codegen-friendly) onto the 1-row bounds;
@@ -406,18 +436,9 @@ def _order_bucket_tagged(df: DataFrame, order_by: Sequence, nbuckets: int) -> Da
         for j, s in enumerate(_utf8_segments(lead, F.col("__off__"))):
             seg_names.append(f"__kseg{j}__")
             tagged = tagged.withColumn(seg_names[-1], s)
-        nk = _string_order_nk(asc)
-        step = F.when(
-            F.col("__gmx__") > F.col("__gmn__"),
-            (F.col("__gmx__") - F.col("__gmn__")) / nbuckets,
-        ).otherwise(F.lit(1.0))
-        interp = F.least(
-            F.lit(nbuckets - 1),
-            F.greatest(F.lit(0), F.floor((nk - F.col("__gmn__")) / step).cast("int")),
-        )
         bucket = F.when(
             F.isnull(lead), F.lit(-2 if nulls_first else nbuckets + 2)
-        ).otherwise(interp)
+        ).otherwise(_interp_bucket(_string_order_nk(asc), nbuckets))
         return tagged.withColumn("__gbkt__", bucket).drop(
             "__gmn__", "__gmx__", *bounds_extra, *seg_names
         )
@@ -434,25 +455,15 @@ def _order_bucket_tagged(df: DataFrame, order_by: Sequence, nbuckets: int) -> Da
             )
     if nk is None:
         return df.withColumn("__gbkt__", F.lit(0))
-    step = F.when(
-        F.col("__gmx__") > F.col("__gmn__"),
-        (F.col("__gmx__") - F.col("__gmn__")) / nbuckets,
-    ).otherwise(F.lit(1.0))
-    interp = F.least(
-        F.lit(nbuckets - 1),
-        F.greatest(
-            F.lit(0), F.floor((nk - F.col("__gmn__")) / step).cast("int")
-        ),
-    )
     bucket = (
         F.when(F.isnull(lead), F.lit(-2 if nulls_first else nbuckets + 2))
         .when(F.isnan(nk), F.lit(nbuckets + 1 if asc else -1))
-        .otherwise(interp)
+        .otherwise(_interp_bucket(nk, nbuckets))
     )
     return (
         df.crossJoin(F.broadcast(bounds))
         .withColumn("__gbkt__", bucket)
-        .drop("__gmn__", "__gmx__", *bounds_extra)
+        .drop("__gmn__", "__gmx__")
     )
 
 

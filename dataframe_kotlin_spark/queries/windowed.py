@@ -701,7 +701,7 @@ def running_total_scan(spark, sf_dir):
     SELECT event_id, user_id,
            array_to_string(
              [printf('%.4f', COALESCE(ROUND(LAG(value)  OVER w, 4), 0)),
-              printf('%.4f', ROUND(value, 4)),
+              printf('%.4f', COALESCE(ROUND(value, 4), 0)),
               printf('%.4f', COALESCE(ROUND(LEAD(value) OVER w, 4), 0))], ',')
              AS value_neighbours
     FROM events
