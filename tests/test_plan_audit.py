@@ -321,6 +321,11 @@ def test_string_key_bucket_degenerate_shapes(spark):
         ["p" * 20 + "q" * 20 + s for s in "zyxwv"],      # diverge past byte window
         [None, None, None],                              # all null keys
         ["é" * 3 + s for s in ["ß", "a", "€", "z"]],     # multibyte divergence point
+        # adversarial float-exactness shape: a varying first byte (radix 2)
+        # followed by high-valued CONSTANT bytes (radix-1 positions, bytes
+        # 0xE9/0x9D/0xA2 of 面) then a high-radix varying tail — the shape
+        # whose embedding overflowed 2^53 before the min-relative fix
+        [x + "面面面" + y for x in "ab" for y in "0123456789"],
     ]
     for i, keys in enumerate(cases):
         df = spark.createDataFrame(
