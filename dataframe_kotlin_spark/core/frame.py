@@ -937,11 +937,41 @@ class KDataFrame:
         others = [x for x in self.df.columns if x != col]
         return self._wrap(self.df.select(*others, F.explode(F.split(F.col(col), sep)).alias(col)))
 
-    def merge_cols(self, cols: Sequence[str], into: str, sep: str | None = None) -> "KDataFrame":
-        """N columns -> 1 (array, or joined string when sep given).
-        Reference: api/merge.kt:5-21."""
-        expr = F.concat_ws(sep, *_cols(cols)) if sep is not None else F.array(*_cols(cols))
-        return self._wrap(self.df.withColumn(into, expr).drop(*[c for c in cols if c != into]))
+    def merge_cols(
+        self,
+        cols: Sequence[str],
+        into: str,
+        sep: str | None = None,
+        combine=None,
+    ) -> "KDataFrame":
+        """N columns -> 1: array by default, joined string when ``sep``
+        is given, or an arbitrary combination via ``combine`` — a
+        callable receiving the list of source Columns and returning one
+        Column (the reference's ``merge{sel}.by{transform}.into`` custom
+        combiner, api/merge.kt:21 — e.g. DataFrameTests.kt:1181
+        `merge cols with conversion` sums int columns). The merged
+        column lands at the FIRST source column's position (reference
+        into() moves under a path at that index); a pre-existing
+        ``into`` column elsewhere keeps its own position."""
+        if combine is not None:
+            expr = combine([F.col(c) for c in cols])
+        elif sep is not None:
+            expr = F.concat_ws(sep, *_cols(cols))
+        else:
+            expr = F.array(*_cols(cols))
+        if into in self.df.columns and into not in cols:
+            return self._wrap(
+                self.df.withColumn(into, expr).drop(*[c for c in cols if c != into])
+            )
+        out, placed = [], False
+        for c in self.df.columns:
+            if c in cols:
+                if not placed:
+                    out.append(expr.alias(into))
+                    placed = True
+            else:
+                out.append(F.col(c))
+        return self._wrap(self.df.select(*out))
 
     def gather(
         self,

@@ -167,18 +167,15 @@ class KPivotClause:
         # distinct pairs like ("a_b","c") and ("a","b_c") would collide
         # into one "a_b_c" column and their aggregates would merge
         # silently. Backslash first, then "_" -> "\_" keeps the mapping
-        # injective. Rows with a NULL in any pivot column are dropped to
-        # match the single-column path (concat_ws would otherwise fold
-        # the NULL into an empty segment).
+        # injective. A NULL in a pivot column stringifies to "null" —
+        # the reference's toString naming (DataFrameTests.kt:938
+        # `pivot matches` asserts a "null" column for the null city).
         def esc(c):
-            s = F.col(c).cast("string")
+            s = F.coalesce(F.col(c).cast("string"), F.lit("null"))
             s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
             return F.replace(s, F.lit("_"), F.lit("\\_"))
 
-        src = self.grouped.df
-        for c in self.pivot_cols:
-            src = src.filter(F.col(c).isNotNull())
-        return src.withColumn(
+        return self.grouped.df.withColumn(
             "__pivot__", F.concat_ws("_", *[esc(c) for c in self.pivot_cols])
         )
 
@@ -187,7 +184,14 @@ class KPivotClause:
         if vals is None:
             src = self._src()
             vals = [r[0] for r in src.select(self.pivot_col).distinct().collect()]
+            # NULL pivot keys become a trailing "null"-named column
+            # (Spark's pivot accepts None in the value list; the
+            # reference names the column via toString — DataFrameTests
+            # `pivot matches`/`pivot to bool merged rows`)
+            has_null = any(v is None for v in vals)
             vals = sorted(v for v in vals if v is not None)
+            if has_null:
+                vals.append(None)
             self.pivot_values = vals  # cache: one discovery pass per clause
         return list(vals)
 
@@ -219,7 +223,8 @@ class KPivotClause:
         # from the result schema (robust for computed/aliased keys, where
         # the Column expression string is NOT the output name)
         keys = out.columns[: len(self.grouped.keys)]
-        vals = [str(v) for v in self._value_list()]
+        # Spark names a None pivot value's columns "null_<agg>"
+        vals = [str(v) if v is not None else "null" for v in self._value_list()]
         # Spark names multi-agg pivot columns "<value>_<aggAlias>". Assign
         # each column to exactly ONE (value, suffix) pair, matching the
         # LONGEST value first so a value that is an underscore-prefix of

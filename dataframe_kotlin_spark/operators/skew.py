@@ -128,3 +128,45 @@ def bloom_prefilter(
         c = bit == 1
         cond = c if cond is None else (cond & c)
     return big.filter(cond)
+
+
+def ensure_scan_parallelism(df: DataFrame, min_frac: int = 4) -> DataFrame:
+    """Guard a CPU-heavy map expansion (n-gram explosion, shingle
+    hashing, per-row DP) against pathologically COARSE scan splits.
+
+    Parquet cannot split below row-group granularity, so a table that
+    arrives as one file with one row group serializes the whole
+    expansion onto ONE task no matter how many cores the cluster has —
+    the stage is CPU-bound on rows, but Spark plans its parallelism
+    from BYTES (measured: a 500k-doc single-row-group table ran 13-gram
+    decontamination ~10x slower than its 64-file twin on local[32]).
+
+    The split estimate mirrors similarity.cosine_topk_blas: file count
+    and bytes/maxPartitionBytes from ``inputFiles()`` metadata — cheap,
+    no plan->RDD compile, no job. Repartitions to defaultParallelism
+    ONLY when the estimate is below cores/min_frac; any production-scale
+    input (thousands of files) short-circuits to a no-op with no
+    exchange node added, so the plan at scale is unchanged.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        import os as _os
+
+        files = df.inputFiles()
+        if not files:  # non-file source: nothing to estimate
+            return df
+        from dataframe_kotlin_spark.operators.similarity import _parse_byte_conf
+
+        max_bytes = _parse_byte_conf(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        total = sum(
+            _os.path.getsize(f[7:] if f.startswith("file://") else f) for f in files
+        )
+        est = max(len(files), -(-total // max_bytes))
+    except Exception:
+        return df
+    if est >= max(2, target // min_frac):
+        return df
+    return df.repartition(target)

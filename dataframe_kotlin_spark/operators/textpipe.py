@@ -228,8 +228,13 @@ def ngram_overlap_hits(
 
     Returns (id_col, n_hit_grams) for FLAGGED documents only.
     """
-    ev = _ngram_windows(evalset, text_col, n, keep=[]).distinct()
-    cg = _ngram_windows(corpus, text_col, n, keep=[id_col])
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+
+    # the gram explosion is map-side, so its parallelism is the SCAN
+    # split count — single-row-group corpus files would serialize the
+    # CPU-heavy window/hash work onto one task (no-op at real scale)
+    ev = _ngram_windows(ensure_scan_parallelism(evalset), text_col, n, keep=[]).distinct()
+    cg = _ngram_windows(ensure_scan_parallelism(corpus), text_col, n, keep=[id_col])
     return (
         cg.join(ev, "__gram__")
         .groupBy(id_col)

@@ -90,8 +90,17 @@ def dataframe_of_fill(
 
 
 def append_rows(df: DataFrame, *rows: tuple) -> DataFrame:
-    """Reference append(vararg values) (api/append.kt:6-22)."""
-    extra = df.sparkSession.createDataFrame(list(rows), df.schema)
+    """Reference append(vararg values) (api/append.kt:6-22). A null in an
+    appended row WIDENS that column's nullability (DataFrameTests
+    `addRow`: appending age=null turns Int into Int?) instead of
+    raising — the union result's nullability is the OR of both sides."""
+    from pyspark.sql import types as T
+
+    fields = []
+    for i, f in enumerate(df.schema.fields):
+        nullable = f.nullable or any(r[i] is None for r in rows)
+        fields.append(T.StructField(f.name, f.dataType, nullable))
+    extra = df.sparkSession.createDataFrame(list(rows), T.StructType(fields))
     return df.unionByName(extra)
 
 

@@ -86,8 +86,11 @@ def test_pivot_counts_with_defaults(person):
     d = {r["name"]: r for r in out.collect()}
     assert d["Mark"]["Moscow"] == 2 and d["Mark"]["Milan"] == 1
     assert d["Alice"]["Moscow"] == 0  # default fill
-    # sorted distinct value -> deterministic column order
-    assert out.columns == ["name", "Dubai", "London", "Milan", "Moscow", "Tokyo"]
+    # sorted distinct values -> deterministic column order; the NULL city
+    # pivots into a trailing "null" column (reference toString naming,
+    # DataFrameTests.kt:938)
+    assert out.columns == ["name", "Dubai", "London", "Milan", "Moscow", "Tokyo", "null"]
+    assert d["Alice"]["null"] == 1 and d["Mark"]["null"] == 0
 
 
 def test_pivot_matches(person):
@@ -242,9 +245,9 @@ def test_pivot_multi_value_nested_layout(person):
 
 def test_pivot_multi_separator_collision_and_nulls(spark):
     # ("a_b","c") vs ("a","b_c") must stay distinct columns (the
-    # separator is escaped inside values), and a NULL in any pivot
-    # column drops the row — matching single-column pivot semantics —
-    # instead of collapsing to an empty segment
+    # separator is escaped inside values), and a NULL in a pivot column
+    # stringifies to "null" — the reference's toString naming
+    # (DataFrameTests.kt:938) — instead of dropping the row
     from dataframe_kotlin_spark import KDataFrame
 
     df = KDataFrame(
@@ -261,9 +264,9 @@ def test_pivot_multi_separator_collision_and_nulls(spark):
     out = df.group_by("k").pivot(["p1", "p2"]).sum("v", default=0)
     row = out.collect()[0]
     cols = set(out.columns) - {"k"}
-    assert len(cols) == 2  # NULL rows dropped, no collision
+    assert cols == {"a\\_b_c", "a_b\\_c", "null_x", "y_null"}  # no collision
     vals = sorted(row[c] for c in cols)
-    assert vals == [1, 10]  # the two combos never merged
+    assert vals == [1, 10, 100, 1000]  # every combo kept, none merged
 
 
 def test_merge_rows_keep_nulls(spark):

@@ -43,12 +43,23 @@ COPIED = ["region", "nation", "part"]
 def build(spark):
     from pyspark.sql import functions as F
 
+    # Write the scaled tables across many files: the sf0.1 sources are
+    # single-row-group files, and the x100 explode is map-side, so a
+    # naive write emits ONE file with ONE row group per table — parquet
+    # splits at row-group granularity, so every later scan of e.g.
+    # documents (500k rows of text) ran as ONE task regardless of
+    # cores. CPU-heavy map stages (5-gram explosion, minhash) then
+    # bottleneck on file layout, not the engine: decontamination_hits
+    # measured 376s with the 1-file layout. A real 100x corpus arrives
+    # as thousands of files; 64 files reproduces that property.
     for name, keys in SCALED_KEYS.items():
         df = spark.read.parquet(f"{SRC}/{name}.parquet")
         rep = df.withColumn("__i__", F.explode(F.sequence(F.lit(0), F.lit(FACTOR - 1))))
         for k in keys:
             rep = rep.withColumn(k, F.col(k) * FACTOR + F.col("__i__"))
-        rep.drop("__i__").write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        rep.drop("__i__").repartition(64).write.mode("overwrite").parquet(
+            f"{DST}/{name}.parquet"
+        )
         print(f"scaled {name}: x{FACTOR}")
     for name in COPIED:
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
