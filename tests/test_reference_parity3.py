@@ -472,6 +472,68 @@ def test_drop_where_any_all_na(spark):
     assert df.drop_na(["a"]).df.count() == 2  # (1.0,2.0), (5.0,None)
 
 
+# --- nested (tree) fixture: person2-style struct frame ----------------------
+
+
+@pytest.fixture()
+def tree2(person):
+    # DataFrameTreeTests' typed2: nameAndCity{name, city} + age + weight
+    return person.group_cols(["name", "city"], into="nameAndCity")
+
+
+def test_tree_all_except(person):
+    # `all except` (DataFrameTreeTests.kt:389): group everything but
+    # name under info, then select everything but info == select(name)
+    moved = person.group_cols(["age", "city", "weight"], into="info")
+    actual = moved.select(*[c for c in moved.df.columns if c != "info"])
+    assert actual.df.columns == ["name"]
+    assert sorted(r["name"] for r in actual.df.collect()) == sorted(
+        r["name"] for r in person.df.collect()
+    )
+
+
+def test_tree_move_and_group(person):
+    # `move and group` (:397): grouping by the non-struct remainder
+    moved = person.group_cols(["age", "city", "weight"], into="info")
+    keys = [c for c in moved.df.columns if c != "info"]
+    assert moved.group_by(*keys).count().df.count() == person.ndistinct("name")
+
+
+def test_tree_append_nulls(tree2):
+    # `append nulls` (:593): appending an all-null row widens
+    # nullability; the null struct cell reads as null leaf fields
+    from dataframe_kotlin_spark.sources.build import append_rows
+
+    res = append_rows(tree2.df, (None, None, None))
+    assert res.count() == 8
+    assert res.schema["age"].nullable
+    nulls = res.filter(F.col("age").isNull())
+    row = nulls.select(
+        F.col("nameAndCity.name").alias("n"), F.col("nameAndCity.city").alias("c")
+    ).collect()
+    assert len(row) == 1 and row[0]["n"] is None and row[0]["c"] is None
+
+
+def test_tree_dropnulls_no_args(tree2, person):
+    # `filter not null without arguments` (:629): dropNulls() on the
+    # nested frame == dropNulls(weight) then group — the struct CELL is
+    # never null, so only the top-level weight nulls drop rows
+    res = tree2.drop_nulls()
+    exp = person.drop_nulls(["weight"]).group_cols(["name", "city"], into="nameAndCity")
+    assert res.df.count() == exp.df.count() == 5
+    assert sorted(
+        (r["nameAndCity"]["name"], r["age"]) for r in res.df.collect()
+    ) == sorted((r["nameAndCity"]["name"], r["age"]) for r in exp.df.collect())
+
+
+def test_tree_select_group_keeps_struct(tree2):
+    # `select group` (:634): selecting the group column + a leaf keeps
+    # the struct intact under its name
+    res = tree2.select("nameAndCity", "age")
+    assert res.df.columns == ["nameAndCity", "age"]
+    assert isinstance(res.df.schema["nameAndCity"].dataType, T.StructType)
+
+
 # --- parse roundtrip --------------------------------------------------------
 
 
