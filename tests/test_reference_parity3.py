@@ -534,6 +534,27 @@ def test_tree_select_group_keeps_struct(tree2):
     assert isinstance(res.df.schema["nameAndCity"].dataType, T.StructType)
 
 
+def test_distance_from_last_zero(spark):
+    # TipsAndTricksTests.kt:9 `distance from last zero`: the reference
+    # writes a self-referencing row closure (prev.Y + 1); relationally
+    # the same scan is Y = idx - last_zero_idx with a running max window
+    # — one partition-able pass, no sequential dependency
+    from pyspark.sql import Window
+
+    xs = [7, 2, 0, 3, 4, 2, 5, 0, 3, 4]
+    df = spark.createDataFrame(list(enumerate(xs)), "idx long, x int")
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    last_zero = F.max(F.when(F.col("x") == 0, F.col("idx"))).over(w)
+    out = df.withColumn(
+        "Y",
+        F.when(F.col("x") == 0, F.lit(0)).otherwise(
+            F.col("idx") - F.coalesce(last_zero, F.lit(-1))
+        ),
+    )
+    got = [r["Y"] for r in out.orderBy("idx").collect()]
+    assert got == [1, 2, 0, 1, 2, 3, 4, 0, 1, 2]
+
+
 # --- parse roundtrip --------------------------------------------------------
 
 
