@@ -36,6 +36,35 @@ def pivot_counts(spark, sf_dir):
 
 
 @query(
+    "pivot_null_bucket",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') = '2-HIGH' THEN 1 END) AS "2-HIGH",
+           COUNT(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+           COUNT(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+           COUNT(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') = '5-LOW' THEN 1 END) AS "5-LOW",
+           COUNT(CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL THEN 1 END) AS "null"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_null_bucket(spark, sf_dir):
+    """NULL pivot keys land in a "null"-named column — the reference's
+    toString naming (person/DataFrameTests.kt:938 `pivot matches`
+    asserts pivoted[row]["null"]; round-5 parity fix). Nulls are
+    synthesized with NULLIF since the test tables ship fully non-null;
+    single pivot pass, two-phase count aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    prio = KDataFrame(
+        o.df.withColumn(
+            "prio", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+        )
+    )
+    return (
+        prio.group_by("o_orderstatus").pivot("prio").count(default=0).df
+    )
+
+
+@query(
     "pivot_sum_segments",
     oracle="""
     SELECT c_nationkey,
