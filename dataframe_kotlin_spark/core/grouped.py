@@ -157,19 +157,45 @@ class KPivotClause:
         self.grouped = grouped
         self.multi = not isinstance(pivot_col, str)
         self.pivot_cols = list(pivot_col) if self.multi else [pivot_col]
-        self.pivot_col = "__pivot__" if self.multi else pivot_col
+        self.pivot_col = "__pivot__"
         self.pivot_values = values
 
+    @staticmethod
+    def _as_name(v) -> str:
+        """Spark-compatible string form of an explicit pivot value —
+        must match what ``cast("string")`` produces for the column
+        (Python ``str(True)`` is "True" but Spark names the column
+        "true"; None names "null")."""
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+
     def _src(self):
+        # The pivot ALWAYS runs over a stringified key column: the
+        # reference names pivot columns via toString (DataFrameTests.kt
+        # :938 `pivot matches` asserts a "null" column for the null
+        # city), so a NULL key and the literal string "null" land in the
+        # SAME column — reference toString parity, and it keeps output
+        # names unique (a raw None pivot value next to a real "null"
+        # string would produce two columns both named `null`, which
+        # breaks by-name access and the nested layout). Stringifying
+        # also makes non-string keys (bool/num/date) name their columns
+        # exactly as Spark's cast does, so the nested layout's
+        # name-matching never drops columns.
         if not self.multi:
-            return self.grouped.df
+            return self.grouped.df.withColumn(
+                "__pivot__",
+                F.coalesce(F.col(self.pivot_cols[0]).cast("string"), F.lit("null")),
+            )
         # Escape the separator inside values before concat: without it,
         # distinct pairs like ("a_b","c") and ("a","b_c") would collide
         # into one "a_b_c" column and their aggregates would merge
-        # silently. Backslash first, then "_" -> "\_" keeps the mapping
-        # injective. A NULL in a pivot column stringifies to "null" —
-        # the reference's toString naming (DataFrameTests.kt:938
-        # `pivot matches` asserts a "null" column for the null city).
+        # silently. Backslash first, then "_" -> "\_" keeps the
+        # separator mapping injective. (NULL vs literal "null" still
+        # merge — that is the reference's toString semantics, same as
+        # the single-column path above, NOT a separator artifact.)
         def esc(c):
             s = F.coalesce(F.col(c).cast("string"), F.lit("null"))
             s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
@@ -183,16 +209,13 @@ class KPivotClause:
         vals = self.pivot_values
         if vals is None:
             src = self._src()
-            vals = [r[0] for r in src.select(self.pivot_col).distinct().collect()]
-            # NULL pivot keys become a trailing "null"-named column
-            # (Spark's pivot accepts None in the value list; the
-            # reference names the column via toString — DataFrameTests
-            # `pivot matches`/`pivot to bool merged rows`)
-            has_null = any(v is None for v in vals)
-            vals = sorted(v for v in vals if v is not None)
-            if has_null:
-                vals.append(None)
+            vals = sorted(
+                r[0] for r in src.select(self.pivot_col).distinct().collect()
+            )
             self.pivot_values = vals  # cache: one discovery pass per clause
+        else:
+            # explicit values match against the stringified key column
+            vals = [self._as_name(v) for v in vals]
         return list(vals)
 
     def _pivoted(self):
@@ -223,8 +246,7 @@ class KPivotClause:
         # from the result schema (robust for computed/aliased keys, where
         # the Column expression string is NOT the output name)
         keys = out.columns[: len(self.grouped.keys)]
-        # Spark names a None pivot value's columns "null_<agg>"
-        vals = [str(v) if v is not None else "null" for v in self._value_list()]
+        vals = self._value_list()  # already Spark-compatible name strings
         # Spark names multi-agg pivot columns "<value>_<aggAlias>". Assign
         # each column to exactly ONE (value, suffix) pair, matching the
         # LONGEST value first so a value that is an underscore-prefix of

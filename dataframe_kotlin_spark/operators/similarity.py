@@ -42,6 +42,30 @@ def _parse_byte_conf(value: str, default: int = 128 * 1024 * 1024) -> int:
     return n if n > 0 else default
 
 
+def _estimate_scan_splits(df) -> int | None:
+    """Scan-partition estimate from file metadata: max(file count,
+    total bytes / maxPartitionBytes). ``df.rdd`` would give the exact
+    split count but costs a full plan->RDD compile (~1s/call measured);
+    this is the same number for parquet sources and is metadata-cheap.
+    Returns None for non-file sources or on any metadata failure —
+    callers fall back to their own floor. Shared by cosine_topk_blas
+    (bucket count) and skew.ensure_scan_parallelism (coarse-split
+    guard) so a fix to the estimate reaches both."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        max_bytes = _parse_byte_conf(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        total = sum(
+            os.path.getsize(f[7:] if f.startswith("file://") else f) for f in files
+        )
+        return max(len(files), -(-total // max_bytes), 1)
+    except Exception:
+        return None
+
+
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
@@ -245,25 +269,10 @@ def cosine_topk_blas(
     if buckets:
         n_b = int(buckets)
     else:
-        # scan-partition estimate from file metadata: df.rdd would give
-        # the exact split count but costs a full plan->RDD compile
-        # (~1s/call measured); file bytes / maxPartitionBytes is the
-        # same number for parquet sources and is metadata-cheap
+        # scan-partition estimate from shared file metadata probe
+        # (non-file source -> None: the parallelism floor below applies)
         sc = corpus.sparkSession.sparkContext
-        est = 1
-        try:
-            files = corpus.inputFiles()
-            conf_bytes = corpus.sparkSession.conf.get(
-                "spark.sql.files.maxPartitionBytes", "134217728"
-            )
-            max_bytes = _parse_byte_conf(conf_bytes)
-            total = sum(
-                os.path.getsize(f[7:] if f.startswith("file://") else f)
-                for f in files
-            )
-            est = max(1, -(-total // max_bytes))
-        except Exception:
-            pass  # non-file source: parallelism floor below still applies
+        est = _estimate_scan_splits(corpus) or 1
         # ceiling: a misread conf must never explode probe replication
         # (each query row is duplicated n_b times)
         n_b = min(max(int(est), min(sc.defaultParallelism, 8)), 65536)

@@ -141,32 +141,18 @@ def ensure_scan_parallelism(df: DataFrame, min_frac: int = 4) -> DataFrame:
     from BYTES (measured: a 500k-doc single-row-group table ran 13-gram
     decontamination ~10x slower than its 64-file twin on local[32]).
 
-    The split estimate mirrors similarity.cosine_topk_blas: file count
-    and bytes/maxPartitionBytes from ``inputFiles()`` metadata — cheap,
-    no plan->RDD compile, no job. Repartitions to defaultParallelism
-    ONLY when the estimate is below cores/min_frac; any production-scale
-    input (thousands of files) short-circuits to a no-op with no
-    exchange node added, so the plan at scale is unchanged.
+    The split estimate is the shared ``similarity._estimate_scan_splits``
+    file-metadata probe (file count and bytes/maxPartitionBytes from
+    ``inputFiles()`` — cheap, no plan->RDD compile, no job).
+    Repartitions to defaultParallelism ONLY when the estimate is below
+    cores/min_frac; any production-scale input (thousands of files)
+    short-circuits to a no-op with no exchange node added, so the plan
+    at scale is unchanged.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        import os as _os
+    from dataframe_kotlin_spark.operators.similarity import _estimate_scan_splits
 
-        files = df.inputFiles()
-        if not files:  # non-file source: nothing to estimate
-            return df
-        from dataframe_kotlin_spark.operators.similarity import _parse_byte_conf
-
-        max_bytes = _parse_byte_conf(
-            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        )
-        total = sum(
-            _os.path.getsize(f[7:] if f.startswith("file://") else f) for f in files
-        )
-        est = max(len(files), -(-total // max_bytes))
-    except Exception:
-        return df
-    if est >= max(2, target // min_frac):
+    target = df.sparkSession.sparkContext.defaultParallelism
+    est = _estimate_scan_splits(df)
+    if est is None or est >= max(2, target // min_frac):
         return df
     return df.repartition(target)

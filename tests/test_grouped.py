@@ -322,3 +322,60 @@ def test_pivot_nested_computed_group_key(person):
     d = {r["initial"]: r for r in out.collect()}
     assert d["M"]["Moscow"]["min_age"] == 20
     assert d["A"]["London"]["max_age"] == 15
+
+
+def test_pivot_null_vs_literal_null_string_merge(spark):
+    # reference toString parity: a NULL key and the literal string
+    # "null" name the SAME column (Kotlin's value.toString()), on both
+    # the single- and multi-column paths — and never produce two
+    # duplicate "null" columns (which would break by-name access and
+    # the nested layout)
+    from dataframe_kotlin_spark import KDataFrame
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [("g", "null", 1), ("g", None, 10), ("g", "x", 100)],
+            "k string, p string, v int",
+        )
+    )
+    out = df.group_by("k").pivot("p").sum("v", default=0)
+    assert sorted(out.columns) == ["k", "null", "x"]  # no duplicates
+    row = out.collect()[0]
+    assert row["null"] == 11 and row["x"] == 100
+
+    df2 = KDataFrame(
+        spark.createDataFrame(
+            [("g", "null", "a", 1), ("g", None, "a", 10)],
+            "k string, p1 string, p2 string, v int",
+        )
+    )
+    out2 = df2.group_by("k").pivot(["p1", "p2"]).sum("v", default=0)
+    assert sorted(out2.columns) == ["k", "null_a"]
+    assert out2.collect()[0]["null_a"] == 11
+
+
+def test_pivot_bool_keys_nested_layout(spark):
+    # non-string pivot keys name columns exactly as Spark's cast does
+    # ("true"/"false", not Python str(True)="True") — the nested layout
+    # must find and struct them instead of silently dropping every
+    # pivot column
+    from dataframe_kotlin_spark import KDataFrame
+    from pyspark.sql import types as T
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [("g", True, 1, 2.0), ("g", False, 3, 4.0), ("h", True, 5, 6.0)],
+            "k string, flag boolean, a int, w double",
+        )
+    )
+    res = df.group_by("k").pivot("flag").aggregate(
+        F.max("a").alias("a"), F.max("w").alias("w"), nested=True
+    )
+    assert sorted(res.columns) == ["false", "k", "true"]
+    for c in ("true", "false"):
+        f = res.df.schema[c]
+        assert isinstance(f.dataType, T.StructType)
+        assert f.dataType.names == ["a", "w"]
+    got = {r["k"]: r for r in res.collect()}
+    assert got["g"]["true"]["a"] == 1 and got["g"]["false"]["a"] == 3
+    assert got["h"]["false"] is None or got["h"]["false"]["a"] is None
