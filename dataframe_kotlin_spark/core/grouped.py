@@ -160,17 +160,65 @@ class KPivotClause:
         self.pivot_col = "__pivot__"
         self.pivot_values = values
 
-    @staticmethod
-    def _as_name(v) -> str:
-        """Spark-compatible string form of an explicit pivot value —
-        must match what ``cast("string")`` produces for the column
-        (Python ``str(True)`` is "True" but Spark names the column
-        "true"; None names "null")."""
-        if v is None:
-            return "null"
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        return str(v)
+    def _explicit_names(self, vals: Sequence) -> list[str]:
+        """Render explicit pivot values EXACTLY as the stringified key
+        column renders the data: cast each literal to the pivot
+        column's own type, then to string, in Spark. Python ``str()``
+        diverges (str(1) is "1" but a double column keys as "1.0";
+        str(1e20) is "1e+20" vs Spark's "1.0E20"; str(True) is "True"
+        vs "true"), so a Python-rendered name can silently match
+        nothing. One metadata-sized job over ``spark.range(1)``.
+
+        Multi-column pivots take each value as a tuple/list of parts
+        (one per pivot column); parts are escaped with the same
+        backslash transform as discovery before the "_" concat. A plain
+        STRING for a multi pivot is matched verbatim against the
+        concatenated key (caller must pre-escape any "_" or "\\" inside
+        parts themselves — pass a tuple to get that for free).
+        """
+        df = self.grouped.df
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+        def esc_py(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("_", "\\_")
+
+        flat: list[tuple[object, str]] = []  # (value, column) pairs to render
+        shapes: list[int] = []  # parts per explicit value; 0 = verbatim
+        verbatim: dict[int, str] = {}
+        for idx, v in enumerate(vals):
+            if self.multi:
+                if isinstance(v, str):
+                    verbatim[idx] = v
+                    shapes.append(0)
+                    continue
+                if not isinstance(v, (tuple, list)) or len(v) != len(self.pivot_cols):
+                    raise ValueError(
+                        f"multi-column pivot over {self.pivot_cols} takes explicit "
+                        f"values as {len(self.pivot_cols)}-tuples (or a pre-joined "
+                        f"string), got {v!r}"
+                    )
+                parts = list(v)
+            else:
+                parts = [v]
+            shapes.append(len(parts))
+            flat.extend(zip(parts, self.pivot_cols))
+        exprs = [
+            F.coalesce(F.lit(pv).cast(dtypes[pc]).cast("string"), F.lit("null")).alias(
+                f"c{i}"
+            )
+            for i, (pv, pc) in enumerate(flat)
+        ]
+        rendered = list(df.sparkSession.range(1).select(*exprs).first()) if exprs else []
+        names: list[str] = []
+        pos = 0
+        for idx, n in enumerate(shapes):
+            if n == 0:
+                names.append(verbatim[idx])
+                continue
+            parts = rendered[pos : pos + n]
+            pos += n
+            names.append("_".join(esc_py(p) for p in parts) if self.multi else parts[0])
+        return names
 
     def _src(self):
         # The pivot ALWAYS runs over a stringified key column: the
@@ -214,8 +262,10 @@ class KPivotClause:
             )
             self.pivot_values = vals  # cache: one discovery pass per clause
         else:
-            # explicit values match against the stringified key column
-            vals = [self._as_name(v) for v in vals]
+            # explicit values match against the stringified key column;
+            # names are rendered by Spark's own cast so numeric/temporal
+            # values can't silently miss (ADVICE r5)
+            vals = self._explicit_names(vals)
         return list(vals)
 
     def _pivoted(self):

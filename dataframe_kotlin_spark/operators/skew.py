@@ -143,16 +143,53 @@ def ensure_scan_parallelism(df: DataFrame, min_frac: int = 4) -> DataFrame:
 
     The split estimate is the shared ``similarity._estimate_scan_splits``
     file-metadata probe (file count and bytes/maxPartitionBytes from
-    ``inputFiles()`` — cheap, no plan->RDD compile, no job).
-    Repartitions to defaultParallelism ONLY when the estimate is below
+    ``inputFiles()`` — cheap, no plan->RDD compile, no job). That
+    estimate counts Spark's planned BYTE-RANGE splits, which overstates
+    effective parallelism for parquet: a large single-row-group file
+    yields many byte splits but still decodes on one task. So when the
+    file list is small enough to probe cheaply, the estimate is capped
+    by the ACTUAL row-group count from the parquet footers (pyarrow
+    footer read — metadata-only, no data pages). Repartitions to
+    defaultParallelism ONLY when the capped estimate is below
     cores/min_frac; any production-scale input (thousands of files)
-    short-circuits to a no-op with no exchange node added, so the plan
-    at scale is unchanged.
+    short-circuits to a no-op with no exchange node added and no footer
+    reads, so the plan at scale is unchanged.
     """
     from dataframe_kotlin_spark.operators.similarity import _estimate_scan_splits
 
     target = df.sparkSession.sparkContext.defaultParallelism
     est = _estimate_scan_splits(df)
-    if est is None or est >= max(2, target // min_frac):
+    if est is None:
+        return df
+    threshold = max(2, target // min_frac)
+    if est >= threshold:
+        est = _row_group_cap(df, est, max_files=4 * threshold)
+    if est >= threshold:
         return df
     return df.repartition(target)
+
+
+def _row_group_cap(df: DataFrame, est: int, max_files: int) -> int:
+    """Cap a byte-range split estimate by the parquet row-group count
+    (the true splittability floor). Probes footers only when the input
+    is few LOCAL parquet files (<= max_files: fewer files than would
+    clear the caller's threshold anyway once each holds >=4 row
+    groups); returns ``est`` unchanged for anything else or on any
+    metadata failure."""
+    try:
+        files = df.inputFiles()
+        if not files or len(files) > max_files:
+            return est
+        paths = []
+        for f in files:
+            if not f.endswith(".parquet"):
+                return est
+            paths.append(f[7:] if f.startswith("file://") else f)
+            if "://" in paths[-1]:
+                return est
+        import pyarrow.parquet as pq
+
+        groups = sum(pq.ParquetFile(p).metadata.num_row_groups for p in paths)
+        return min(est, max(groups, 1))
+    except Exception:
+        return est

@@ -97,6 +97,12 @@ def append_rows(df: DataFrame, *rows: tuple) -> DataFrame:
     from pyspark.sql import types as T
 
     fields = []
+    for r in rows:
+        if len(r) != len(df.schema.fields):
+            raise ValueError(
+                f"append row {r!r} has {len(r)} values; frame has "
+                f"{len(df.schema.fields)} columns {df.columns}"
+            )
     for i, f in enumerate(df.schema.fields):
         nullable = f.nullable or any(r[i] is None for r in rows)
         fields.append(T.StructField(f.name, f.dataType, nullable))

@@ -379,3 +379,58 @@ def test_pivot_bool_keys_nested_layout(spark):
     got = {r["k"]: r for r in res.collect()}
     assert got["g"]["true"]["a"] == 1 and got["g"]["false"]["a"] == 3
     assert got["h"]["false"] is None or got["h"]["false"]["a"] is None
+
+
+def test_pivot_explicit_numeric_values_spark_rendered(spark):
+    # ADVICE r5 (medium): explicit pivot values on a DOUBLE column must
+    # render their names via Spark's cast — Python str(1) is "1" but the
+    # stringified key column holds "1.0", so a str()-derived name would
+    # silently match nothing and fill with the default
+    from dataframe_kotlin_spark import KDataFrame
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [("a", 1.0, 5), ("a", 2.0, 7), ("b", 1.0, 11)],
+            "k string, ratio double, v int",
+        )
+    )
+    out = df.group_by("k").pivot("ratio", [1, 2]).sum("v", default=0)
+    assert set(out.columns) == {"k", "1.0", "2.0"}
+    d = {r["k"]: r for r in out.collect()}
+    assert d["a"]["1.0"] == 5 and d["a"]["2.0"] == 7
+    assert d["b"]["1.0"] == 11 and d["b"]["2.0"] == 0
+
+    # booleans keep Spark's lowercase naming through the same path
+    bdf = KDataFrame(
+        spark.createDataFrame([("a", True, 1), ("a", False, 2)], "k string, f boolean, v int")
+    )
+    bout = bdf.group_by("k").pivot("f", [True, False]).sum("v", default=0)
+    assert set(bout.columns) == {"k", "true", "false"}
+    br = bout.collect()[0]
+    assert br["true"] == 1 and br["false"] == 2
+
+
+def test_pivot_explicit_multi_tuple_values_escaped(spark):
+    # ADVICE r5 (low): explicit multi-pivot values as tuples go through
+    # the same separator escaping as discovery, so a part containing "_"
+    # matches its escaped key; a pre-joined plain string still matches
+    # verbatim for separator-free parts
+    from dataframe_kotlin_spark import KDataFrame
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [("g", "a_b", "c", 1), ("g", "a", "b_c", 10), ("g", "p", "q", 100)],
+            "k string, p1 string, p2 string, v int",
+        )
+    )
+    out = df.group_by("k").pivot(
+        ["p1", "p2"], [("a_b", "c"), ("a", "b_c"), "p_q"]
+    ).sum("v", default=0)
+    assert set(out.columns) == {"k", "a\\_b_c", "a_b\\_c", "p_q"}
+    row = out.collect()[0]
+    assert row["a\\_b_c"] == 1 and row["a_b\\_c"] == 10 and row["p_q"] == 100
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="2-tuples"):
+        df.group_by("k").pivot(["p1", "p2"], [("only_one",)]).sum("v")

@@ -320,3 +320,38 @@ def test_compact_files_reduces_count_losslessly(spark, tmp_path):
     b = spark.read.parquet(dst)
     assert b.count() == 10_000
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_row_group_cap_bounds_byte_estimate(spark, tmp_path):
+    # ADVICE r5 (low): the byte-range split estimate overstates
+    # parallelism for a single-row-group file — the footer probe caps it
+    # at the true row-group count; non-local/non-parquet inputs and big
+    # file lists pass through unchanged
+    import pyarrow.parquet as pq
+
+    from dataframe_kotlin_spark.operators.skew import _row_group_cap
+
+    p = str(tmp_path / "one_rg")
+    spark.range(0, 10_000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert pq.ParquetFile(files[0][7:]).metadata.num_row_groups == 1
+    # a large byte estimate collapses to the real splittability floor
+    assert _row_group_cap(df, 16, max_files=8) == 1
+    # too many files to probe: estimate passes through
+    assert _row_group_cap(df, 16, max_files=0) == 16
+    # in-memory source (no input files): estimate passes through
+    mem = spark.range(10).toDF("id")
+    assert _row_group_cap(mem, 16, max_files=8) == 16
+
+
+def test_ensure_scan_parallelism_repartitions_single_row_group(spark, tmp_path):
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+
+    p = str(tmp_path / "coarse")
+    spark.range(0, 50_000).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+    out = ensure_scan_parallelism(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 50_000

@@ -692,3 +692,12 @@ def test_fetch_fd_hygiene_and_cache(tmp_path):
     # cleanup hook removes registered files
     fetch._cleanup_temp_files()
     assert not os.path.exists(p1) and not fetch._CACHE
+
+
+def test_append_rows_arity_mismatch(person):
+    # ADVICE r5 (low): a short row raises a clear ValueError naming the
+    # row, not a bare IndexError from the widening loop
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="3 values"):
+        append_rows(person.df, ("Zoe", 99, "Oslo"))
