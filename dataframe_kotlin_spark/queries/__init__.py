@@ -38,43 +38,36 @@ def query(name: str, oracle: str | None = None):
 # through joins, grouping, pivot/reshape, window analytics, TPC-H shapes,
 # dedup/similarity/text pipeline — instead of exhausting the budget on one
 # module's block.
-# Round-5 rotation: after r4, 32 registry names had NEVER appeared in
-# any CORRECTNESS_r*.json (union of r1-r4 diffed against the registry)
-# and 3 erred at the gate on list-typed output columns (now serialized
-# to delimited strings on both engines). The 50-slot window = the 32
-# never-checked (temporal/asof family first — the most API-novel surface
-# with no driver evidence) + the 3 re-serialized queries + 15 flagships
-# re-confirming the bench/pipeline core. This closes driver-visible
-# coverage: every one of the 161 registry names will have appeared in a
-# CORRECTNESS file across r1-r5.
+# Round-6 rotation (VERDICT r5 items 1-2): after r5, every registry name
+# has driver-visible evidence EXCEPT pivot_null_bucket (registered after
+# the r5 gate ran — it guards the round-5 two-bug NULL-key pivot fix) and
+# the two native-HLL queries, which were rows-only (`err: no_oracle`)
+# since r1 and are now reformulated as bounded-relative-error booleans
+# with real oracles. The 50-slot window = those 3 evidence gaps first,
+# then 12 flagships re-confirming the bench/pipeline core, then the 35
+# LONGEST-UNCHECKED green names (last seen in CORRECTNESS_r01, in their
+# r1 order) so evidence stays fresh oldest-first. The 7 remaining
+# r1-only names roll to the round-7 window.
 _PRIORITY = [
-    # temporal / as-of family (never checked; most API-novel surface)
-    "asof_nearest_purchase", "asof_next_purchase", "interval_join_windows",
-    "resample_ffill_hours", "rolling_dedup_events",
-    "hypertable_rollup_events", "incremental_agg_state",
-    "rolling_range_revenue", "interarrival_quantiles", "first_last_events",
-    # windowed extras (never checked)
-    "lead_next", "row_number_rank", "cumulative_sum", "percent_rank_dist",
-    "nth_order_value", "neighbour_values",
-    # round-4 positional / gather additions (never checked)
-    "slice_rows_page", "skip_last_tail", "gather_lists",
-    "gather_groups_contacts",
-    # skew kit + feature prep + semi-structured (never checked)
-    "salted_join_agg", "bloom_prefilter_join", "winsorize_zscore_prices",
-    "json_extract_props", "json_props_extract",
-    # text/LM pipeline (never checked)
-    "bigram_lm_topk", "doc_surprisal_scores", "chunk_documents",
-    "dq_profile_orders", "multimodal_features",
-    # reshape stragglers (never checked)
-    "merge_cols_concat", "split_tokens",
-    # r4 canonicalizer errors, now string-serialized on both engines
-    "merge_rows_lists", "inverted_index", "quantize_embeddings_int8",
+    # evidence gaps: the only names without a green driver row
+    "pivot_null_bucket", "approx_distinct_parts", "hll_rollup_customers",
     # flagship re-confirmation (bench + pipeline core)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "filter_predicates", "pivot_sum_segments", "sessionize",
     "minhash_signatures", "ann_bruteforce_topk", "dedup_exact",
     "semdedup_survivors", "dsir_log_weights", "decontamination_hits",
-    "asof_last_purchase", "scd2_status_timeline", "lsh_candidate_pairs",
+    # oldest-green rotation: last checked in round 1
+    "grouping_sets_qty", "select_project", "drop_rows_inverse",
+    "distinct_pair", "distinct_by_first", "top_k_orders",
+    "agg_minmax_count", "count_conditional", "argmax_row",
+    "median_quantity", "stddev_variance", "corr_pair", "stats_summary",
+    "update_convert", "string_funcs", "digitize_bins", "arithmetic_round",
+    "null_handling", "rollup_region_nation", "cube_flag_status",
+    "ntile_quartiles", "count_by_priority", "transpose_stats",
+    "describe_numeric", "quantiles_price", "mode_per_segment",
+    "merge_upsert_customers", "join_left_nulls", "semi_join_customers",
+    "anti_join_customers", "outer_join_nations", "union_widen",
+    "union_missing_cols", "intersect_keys", "except_keys",
 ]
 
 

@@ -1,10 +1,13 @@
 """Approximate-cardinality and grouping-set queries.
 
-The HLL queries have NO oracle_sql on purpose: Spark HLL++ /
-DataSketches and DuckDB's approx_count_distinct use different hash
-functions, so their estimates differ legitimately. The driver records a
-rows-only check; tests/test_approx.py pins the relative error against
-the exact count instead.
+Native-HLL estimates are engine-private (Spark HLL++ / DataSketches and
+DuckDB's approx_count_distinct use different hash functions), so the HLL
+queries can't hash-match raw estimates across engines. Since round 6
+they emit group keys + EXACT ndv + a bounded-relative-error boolean
+instead — DuckDB reproduces keys + exact ndv and literal TRUE, making
+the result hash-matchable while still exercising the native estimator
+(a broken one flips the boolean). tests/test_approx.py additionally
+pins the relative error directly.
 """
 
 from __future__ import annotations
@@ -51,28 +54,80 @@ def grouping_sets_qty(spark, sf_dir):
     )
 
 
-@query("approx_distinct_parts")
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT s_nationkey, COUNT(DISTINCT l_partkey) AS exact_nd,
+           TRUE AS within_tol
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
 def approx_distinct_parts(spark, sf_dir):
     """HLL++ distinct parts per supplier nation: the shuffle carries one
     fixed-size register set per nation instead of every distinct
-    (nation, partkey) pair — the 100 TB COUNT(DISTINCT) replacement."""
+    (nation, partkey) pair — the 100 TB COUNT(DISTINCT) replacement.
+
+    Oracle-checkable formulation (VERDICT r5 item 2): the estimate
+    itself is engine-private (Spark HLL++ vs DuckDB use different
+    hashes), so the query emits the group keys, the EXACT ndv, and a
+    bounded-relative-error boolean ``|est - exact|/exact <= 0.05``;
+    the oracle computes the same keys + exact ndv with literal TRUE.
+    The native HLL++ path is still exercised — a broken estimator
+    flips within_tol to false and the hash mismatches."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     j = li.inner_join(s, on=[F.col("l_suppkey") == F.col("s_suppkey")])
-    return sketches.approx_distinct(j.df, ["s_nationkey"], "l_partkey", rsd=0.02)
+    est = sketches.approx_distinct(j.df, ["s_nationkey"], "l_partkey", rsd=0.02)
+    exact = j.df.groupBy("s_nationkey").agg(
+        F.count_distinct("l_partkey").alias("exact_nd")
+    )
+    return est.join(exact, "s_nationkey").select(
+        "s_nationkey",
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            / F.col("exact_nd")
+            <= F.lit(0.05)
+        ).alias("within_tol"),
+    )
 
 
-@query("hll_rollup_customers")
+@query(
+    "hll_rollup_customers",
+    oracle="""
+    SELECT c_nationkey, COUNT(DISTINCT o_custkey) AS exact_nd,
+           TRUE AS within_tol
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
 def hll_rollup_customers(spark, sf_dir):
     """Sketch-rollup reuse: per-(nation, orderpriority) customer sketches
     built ONCE, then merged up to nation level without rescanning orders
     — distinct counts stay correct across the merge because HLL is a
-    true monoid (unlike pre-counted distincts, which can't be summed)."""
+    true monoid (unlike pre-counted distincts, which can't be summed).
+
+    Same bounded-error-boolean oracle formulation as
+    approx_distinct_parts: exact ndv per nation + a 5%-relative-error
+    check on the merged DataSketches estimate (lgK=12 -> ~1.6% rsd)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     j = o.inner_join(c, on=[F.col("o_custkey") == F.col("c_custkey")])
     per_leaf = sketches.hll_sketch(j.df, ["c_nationkey", "o_orderpriority"], "o_custkey")
-    return sketches.hll_merge(per_leaf, ["c_nationkey"])
+    est = sketches.hll_merge(per_leaf, ["c_nationkey"])
+    exact = j.df.groupBy("c_nationkey").agg(
+        F.count_distinct("o_custkey").alias("exact_nd")
+    )
+    return est.join(exact, "c_nationkey").select(
+        "c_nationkey",
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            / F.col("exact_nd")
+            <= F.lit(0.05)
+        ).alias("within_tol"),
+    )
 
 
 _HLL_P = 6
