@@ -25,6 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # Pre-existing machine load, captured BEFORE Spark starts: a loaded
+    # driver machine inflates wall times ~10%, which otherwise reads as
+    # a plan regression (the r5 driver record was +12% vs the idle judge
+    # re-run). loadavg_start >> 0 flags it inside the artifact itself.
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_start = None
 
     from dataframe_kotlin_spark.queries import spark_queries
     from dataframe_kotlin_spark.session import get_spark
@@ -129,6 +137,13 @@ def main():
                 # noisy BENCH record is self-evident instead of reading
                 # as a plan regression
                 "reps": rep_times,
+                # 1-min loadavg at start / end (this process contributes
+                # ~32 runnable threads while benching, so only
+                # loadavg_start reflects PRE-EXISTING contention)
+                "loadavg_start": load_start,
+                "loadavg_end": (
+                    round(os.getloadavg()[0], 2) if load_start is not None else None
+                ),
                 "sf": float(sf),
             }
         )

@@ -340,3 +340,27 @@ def test_string_key_bucket_degenerate_shapes(spark):
             key=lambda t: (t[0] is not None, t[0] if t[0] is not None else "", t[1]),
         )
         assert by_rn == expect, f"case {i}: order mismatch"
+
+
+def test_plans_md_covers_exact_registry():
+    # VERDICT r5 item 4: PLANS.md is committed but was regenerated by
+    # hand — nothing failed when a query landed without a digest row
+    # (this drift cost round 3). Pin: the digest table's name set must
+    # equal the live registry, one row per query, no strays.
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path) as fh:
+        text = fh.read()
+    rows = re.findall(r"^\| (\S+) \|", text, flags=re.M)
+    digest_names = {r for r in rows if r not in ("query", "---", "**total**")}
+    registry = set(spark_queries())
+    assert digest_names - registry == set(), (
+        f"PLANS.md has rows for queries not in the registry: {digest_names - registry}"
+    )
+    assert registry - digest_names == set(), (
+        f"registry queries missing a PLANS.md digest row "
+        f"(run `python tools/plan_digest.py /root/testdata/sf0.001 --write`): "
+        f"{registry - digest_names}"
+    )

@@ -701,3 +701,28 @@ def test_append_rows_arity_mismatch(person):
 
     with _pytest.raises(ValueError, match="3 values"):
         append_rows(person.df, ("Zoe", 99, "Oslo"))
+
+
+def test_localtime_column_representation(spark, tmp_path):
+    # SURVEY §1.3 decision (documented in COVERAGE.md §2.8): LocalTime
+    # columns stay canonical HH:mm[:ss] STRINGS — no Spark TIME type
+    # exists, and zero-padded wall-clock strings sort chronologically
+    # and round-trip byte-identically through CSV
+    csv = "id,t\n1,09:30:00\n2,23:05:10\n3,00:15:30\n"
+    p = tmp_path / "times.csv"
+    p.write_text(csv)
+    df = read_csv(spark, str(p))
+    assert dict(df.dtypes) == {"id": "int", "t": "string"}
+    got = [r["t"] for r in df.orderBy("t").collect()]
+    assert got == ["00:15:30", "09:30:00", "23:05:10"]  # lexicographic == chronological
+    out = tmp_path / "times_out"
+    write_csv(df, str(out))
+    back = read_csv(spark, str(out))
+    assert dict(back.dtypes) == {"id": "int", "t": "string"}
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # HH:mm (no seconds) is also recognized as a time column, kept string
+    p2 = tmp_path / "times2.csv"
+    p2.write_text("t\n09:30\n23:05\n")
+    assert dict(read_csv(spark, str(p2)).dtypes) == {"t": "string"}
