@@ -908,22 +908,48 @@ class KDataFrame:
     def split_col(
         self,
         col: str,
-        sep: str,
+        sep: str | None = None,
         into: Sequence[str] | None = None,
         inward: bool = False,
+        trim: bool = False,
+        generator: "Callable[[int], str] | None" = None,
+        parts: Column | None = None,
+        extend: bool = False,
     ) -> "KDataFrame":
         """String -> several columns. Reference: api/split.kt:11-114.
 
-        With ``into=None`` the reference's name generator kicks in:
-        output width = max split count across the data ({col}_1..{col}_n).
-        That width needs one extra aggregate job (max(size)) before the
-        plan is built — explicit `into` avoids it. ``inward=True`` nests
-        the result columns under the original name as a struct
+        With ``into=None`` and no ``generator`` our name generator kicks
+        in: output width = max split count across the data
+        ({col}_1..{col}_n). That width needs one extra aggregate job
+        (max(size)) before the plan is built — explicit `into` avoids it.
+        With ``extend=True`` (or a ``generator``), ``into`` may name
+        FEWER columns than the data needs and the remainder is named by
+        ``generator(i)`` (1-based index of the extra column), defaulting
+        to the reference's "splitted{i}" (api/split.kt:60 nameGenerator;
+        DataFrameTests.kt:1126-1139 splitStringColGenerateNames /
+        WithDefaultgenerator). Extension needs the same width job, so a
+        fully-explicit ``into`` keeps the single-pass plan.
+        ``trim=True`` strips whitespace from each part (reference
+        split.by(sep, trim=true), DataFrameTests.kt:1108 splitStringCol).
+        ``parts`` replaces the separator split with an arbitrary
+        array-typed Column (reference split.by{ fn(it) },
+        DataFrameTests.kt:1142 splitAgeIntoDigits). ``inward=True``
+        nests the result columns under the original name as a struct
         (reference split.inward())."""
-        parts = F.split(F.col(col), sep)
-        if into is None:
+        if parts is None:
+            if sep is None:
+                raise ValueError("split_col needs a separator or a parts expression")
+            parts = F.split(F.col(col), sep)
+        if trim:
+            parts = F.transform(parts, lambda p: F.trim(p))
+        if into is None or extend or generator is not None:
+            explicit = list(into) if into is not None else []
             n = self.df.select(F.max(F.size(parts)).alias("n")).first()["n"] or 0
-            into = [f"{col}_{i + 1}" for i in range(n)]
+            if into is None and generator is None:
+                into = [f"{col}_{i + 1}" for i in range(n)]
+            else:
+                gen = generator or (lambda i: f"splitted{i}")
+                into = explicit + [gen(i + 1) for i in range(max(0, n - len(explicit)))]
         if inward:
             nested = F.struct(*[parts.getItem(i).alias(name) for i, name in enumerate(into)])
             return self._wrap(self.df.withColumn(col, nested))
@@ -952,11 +978,20 @@ class KDataFrame:
         `merge cols with conversion` sums int columns). The merged
         column lands at the FIRST source column's position (reference
         into() moves under a path at that index); a pre-existing
-        ``into`` column elsewhere keeps its own position."""
+        ``into`` column elsewhere keeps its own position.
+
+        The sep path is Kotlin ``joinToString`` (api/merge.kt:18), which
+        renders a null part as the literal "null" (DataFrameTests.kt:1089
+        joinColsToString expects "20, Moscow, null") — so each part is
+        coalesced before the concat instead of letting concat_ws silently
+        drop it."""
         if combine is not None:
             expr = combine([F.col(c) for c in cols])
         elif sep is not None:
-            expr = F.concat_ws(sep, *_cols(cols))
+            expr = F.concat_ws(
+                sep,
+                *[F.coalesce(F.col(c).cast("string"), F.lit("null")) for c in cols],
+            )
         else:
             expr = F.array(*_cols(cols))
         if into in self.df.columns and into not in cols:

@@ -116,6 +116,23 @@ class KGroupedFrame:
         (Arrow-batched). Reference mapGroups: GroupedDataFrame.kt:23."""
         return self._wrap(self._gdf().applyInPandas(fn, schema))
 
+    def get_group(self, *values) -> "KDataFrame":
+        """One group's rows by key value — full key or a PREFIX of it
+        (reference grouped["Tokyo","Bob"] and partial grouped["Tokyo"],
+        person/DataFrameTests.kt:361-373). Relationally this is a filter
+        on the key expressions, so it stays a pushed-down scan predicate
+        instead of materializing groups. A None matches a NULL key
+        (eqNullSafe)."""
+        if len(values) > len(self.keys):
+            raise ValueError(
+                f"{len(values)} key values given but the grouping has "
+                f"only {len(self.keys)} keys"
+            )
+        pred = F.lit(True)
+        for k, v in zip(self.keys, values):
+            pred = pred & k.eqNullSafe(F.lit(v))
+        return self._wrap(self.df.filter(pred))
+
     def pivot(
         self, pivot_col: str | Sequence[str], values: Sequence | None = None
     ) -> "KPivotClause":
@@ -286,7 +303,21 @@ class KPivotClause:
         outer (reference ``groupByValue`` — ``out["min_age"]["London"]``).
         """
         out = self._pivoted().agg(*aggs)
-        if default is not None:
+        if isinstance(default, dict):
+            # per-aggregate defaults (reference `first() default '-' into
+            # "first"` — root PivotTests.kt `pivot aggregate with default`,
+            # `pivot with rename`): key = aggregate alias, applied to every
+            # pivot column carrying that alias suffix ("<value>_<alias>",
+            # or the alias itself for a single-agg pivot).
+            for alias, fill in default.items():
+                targets = [
+                    c
+                    for c in out.columns
+                    if c == alias or c.endswith("_" + alias)
+                ]
+                if targets:
+                    out = out.na.fill(fill, subset=targets)
+        elif default is not None:
             out = out.na.fill(default)
         from dataframe_kotlin_spark.core.frame import KDataFrame
 

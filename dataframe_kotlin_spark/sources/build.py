@@ -10,7 +10,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def dataframe_of(spark: SparkSession, columns: Sequence[str], *values: Any) -> DataFrame:
-    """Reference dataFrameOf("a","b")(1,2,3,4): row-major literal fill."""
+    """Reference dataFrameOf("a","b")(1,2,3,4): row-major literal fill.
+    Duplicate column names raise, as the reference does
+    (DataFrameTests.kt:72 `create with duplicate columns` expects
+    IllegalArgumentException)."""
+    dupes = {c for c in columns if list(columns).count(c) > 1}
+    if dupes:
+        raise ValueError(f"duplicate column names: {sorted(dupes)}")
     n = len(columns)
     if len(values) % n:
         raise ValueError(f"{len(values)} values do not fill rows of {n} columns")
@@ -21,7 +27,8 @@ def dataframe_of(spark: SparkSession, columns: Sequence[str], *values: Any) -> D
         # empty literal frame keeps declared columns (string-typed)
         schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
         return spark.createDataFrame([], schema)
-    return spark.createDataFrame(rows, list(columns))
+    # column-major delegation picks up from_map's all-null-column handling
+    return from_map(spark, {c: [r[i] for r in rows] for i, c in enumerate(columns)})
 
 
 def from_map(spark: SparkSession, data: dict[str, Sequence[Any]]) -> DataFrame:
@@ -39,6 +46,32 @@ def from_map(spark: SparkSession, data: dict[str, Sequence[Any]]) -> DataFrame:
 
         schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
         return spark.createDataFrame([], schema)
+    # An all-null column carries no type evidence (reference gives it
+    # Any?; DataFrameTests.kt:1672 `create with list of names and fill
+    # nulls`, :1796 `null column test`); Spark's inference errors out, so
+    # those columns are string-typed — the same contract as the empty
+    # frame above. Typed columns stay inferred.
+    all_null = [n for n in names if all(v is None for v in data[n])]
+    if all_null and len(all_null) < len(names):
+        dense = [n for n in names if n not in all_null]
+        inferred = spark.createDataFrame(
+            list(zip(*[data[n] for n in dense])), dense
+        ).schema
+        from pyspark.sql import types as T
+
+        by_name = {f.name: f for f in inferred.fields}
+        schema = T.StructType(
+            [
+                by_name[n] if n in by_name else T.StructField(n, T.StringType())
+                for n in names
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+    if all_null:
+        from pyspark.sql import types as T
+
+        schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        return spark.createDataFrame(rows, schema)
     return spark.createDataFrame(rows, names)
 
 

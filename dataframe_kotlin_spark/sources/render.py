@@ -17,10 +17,34 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 
 
-def to_string(df: DataFrame, n: int = 20) -> str:
+def to_string(df: DataFrame, n: int = 20, max_cell: int | None = None) -> str:
     """Reference io/string.kt renderToString: plain-text table of the
-    first n rows."""
-    return df.limit(n).toPandas().to_string(index=False)
+    first n rows. ``max_cell`` truncates long cell values with "..." and
+    flattens embedded newlines to spaces (reference renderValueForStdout,
+    rendering/RenderingTests.kt `render row with unicode values as
+    table` — truncation counts CHARACTERS, so multi-byte text truncates
+    at the same width as ASCII)."""
+    pdf = df.limit(n).toPandas()
+    if max_cell is not None:
+        def trunc(v):
+            if isinstance(v, str):
+                v = v.replace("\n", " ")
+                if len(v) > max_cell:
+                    return v[: max_cell - 3] + "..."
+            return v
+
+        pdf = pdf.map(trunc)
+    return pdf.to_string(index=False)
+
+
+def row_to_string(row) -> str:
+    """Reference DataRow.toString() — "{ name:Alice, age:15, ... }"
+    (person/DataFrameTests.kt:1256 `row to string`); nulls render as
+    Kotlin's "null"."""
+    inner = ", ".join(
+        f"{k}:{'null' if v is None else v}" for k, v in row.asDict().items()
+    )
+    return "{ " + inner + " }"
 
 
 def to_html(
