@@ -255,11 +255,12 @@ def hashed_ngram_buckets(
 
 def dsir_log_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 256,
     alpha: float = 1.0,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Data Selection via Importance Resampling,
     Xie et al. 2023, arXiv:2302.03169): score every raw document by how
@@ -282,40 +283,65 @@ def dsir_log_weights(
     its importance ratio is the empty product: log_weight 0.0 — such docs
     are kept in the output (left join back onto the raw ids) rather than
     silently dropped, so downstream joins on the weights see every id.
+
+    When the target is a SLICE of the raw corpus, pass ``target_pred``
+    (a boolean Column over raw's columns) instead of a second DataFrame:
+    the target distribution is then derived from the SAME feature bags
+    via an id-equi join against the flagged ids — identical counts and
+    buckets (so identical weights and oracles), but the corpus is
+    md5-gram-hashed ONCE instead of twice. At 100x the double hashing
+    was the single largest stage of the composed training-mix pipeline
+    (tools/scale_measure.py training_mix_stages).
     """
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
     feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
 
     def dist_from_feats(f: DataFrame, logp_name: str) -> DataFrame:
+        # DENSE distribution: every bucket 0..buckets-1 gets a row, with
+        # count 0 where unseen — the smoothing formula then yields the
+        # unseen-bucket default log(alpha/(tot+alpha*buckets)) from the
+        # SAME expression, so the per-doc scoring join below is a plain
+        # inner broadcast join. (The previous sparse form attached the
+        # default via two crossJoins of 1-row frames, which planned as
+        # BroadcastNestedLoopJoins ON THE corpus-sized feats side —
+        # measured as the dominant cost of the composed pipeline at
+        # 100x.) The grid/total joins here touch <= buckets rows.
         counts = f.groupBy("__b__").agg(F.sum("__c__").alias("__n__"))
+        grid = raw.sparkSession.range(buckets).select(F.col("id").alias("__b__"))
         tot = counts.agg(F.sum("__n__").alias("__tot__"))  # distinct name: resolution is case-insensitive
         return (
-            counts.crossJoin(F.broadcast(tot))
+            grid.join(counts, "__b__", "left")
+            .na.fill({"__n__": 0})
+            .crossJoin(F.broadcast(tot))
             .select(
                 "__b__",
-                F.log((F.col("__n__") + alpha) / (F.col("__tot__") + alpha * buckets)).alias(logp_name),
-                F.log(F.lit(alpha) / (F.col("__tot__") + alpha * buckets)).alias(f"{logp_name}_default"),
+                F.log(
+                    (F.col("__n__") + alpha) / (F.col("__tot__") + alpha * buckets)
+                ).alias(logp_name),
             )
         )
 
-    pt = dist_from_feats(
-        hashed_ngram_buckets(target, text_col, id_col, buckets), "__lpt__"
-    )
+    if target_pred is not None:
+        tids = raw.filter(target_pred).select(F.col(id_col))
+        pt = dist_from_feats(feats.join(tids, id_col), "__lpt__")
+    else:
+        pt = dist_from_feats(
+            hashed_ngram_buckets(target, text_col, id_col, buckets), "__lpt__"
+        )
     # the raw distribution derives from the SAME feature-bag subtree the
     # scoring pass consumes, so Spark's ReuseExchange collapses the
     # corpus-wide tokenize+explode+shuffle to one physical execution
     # (verified: ReusedExchange in the executed plan)
     pq = dist_from_feats(feats, "__lpq__")
-    # unseen-bucket default rides every pt/pq row; first() of the
-    # broadcast side after the join keeps it without a separate action
+    # dense dists: every feats bucket matches, so the scoring join is a
+    # plain inner broadcast hash join on the corpus side
     scored = (
-        feats.join(F.broadcast(pt.drop("__lpt___default")), "__b__", "left")
-        .join(F.broadcast(pq.drop("__lpq___default")), "__b__", "left")
-        .crossJoin(F.broadcast(pt.select(F.first("__lpt___default").alias("__dt__"))))
-        .crossJoin(F.broadcast(pq.select(F.first("__lpq___default").alias("__dq__"))))
+        feats.join(F.broadcast(pt), "__b__")
+        .join(F.broadcast(pq), "__b__")
         .withColumn(
             "__term__",
-            F.col("__c__")
-            * (F.coalesce("__lpt__", "__dt__") - F.coalesce("__lpq__", "__dq__")),
+            F.col("__c__") * (F.col("__lpt__") - F.col("__lpq__")),
         )
     )
     weights = scored.groupBy(id_col).agg(F.sum("__term__").alias("log_weight"))

@@ -402,7 +402,10 @@ def kmeanspp_init_centroids(
         )
         centers.extend(list(row["__v__"]) for row in picked)
     # weight candidates by attraction, then reduce to k on the driver
-    assigned = base.withColumn("__c__", _nearest_cells(F.col("__v__"), centers, 1)[0])
+    # attraction counts: same auto expr/dgemm switch as Lloyd assignment
+    # (the candidate list grows with oversample*rounds, so the
+    # interpreted per-row O(|centers|*dim) form degrades the same way)
+    assigned = assign_cells(base, centers, vec_col="__v__", out="__c__")
     counts = {
         row["__c__"]: row["n"]
         for row in assigned.groupBy("__c__").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -445,14 +448,22 @@ def train_ivf_centroids(
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means for IVF coarse cells.
 
-    Each iteration is one Spark job: assignment is a broadcast argmin
-    EXPRESSION (no UDF), the update is posexplode -> (cell, pos) average
-    -> k x dim rows collected to the driver. Only model parameters ever
-    reach the driver (k*dim floats); the data never does. init='hash'
-    seeds with the k smallest-xxhash64(id) vectors; init='kmeans||'
-    runs the distributed scalable-k-means++ sweep (better spread, ~4
-    extra jobs). Both are deterministic — no driver-side RNG, stable
-    across retries. Empty cells keep their previous centroid.
+    Each iteration is one Spark job: assignment rides assign_cells'
+    auto path — the pure argmin EXPRESSION for small k (bit-exact SQL
+    replay), the Arrow-batch dgemm argmin once k >= 32 (higher-order
+    lambda expressions never reach codegen, so the interpreted form
+    costs O(k*dim) PER ROW: at k=400 over 200k x 64-dim vectors one
+    assignment pass measured ~240 s interpreted vs seconds via dgemm —
+    tools/scale_measure.py ann_ivf_k_scaled). The update is
+    posexplode -> (cell, pos) average -> k x dim rows collected to the
+    driver. Only model parameters ever reach the driver (k*dim floats);
+    the data never does. init='hash' seeds with the k
+    smallest-xxhash64(id) vectors; init='kmeans||' runs the distributed
+    scalable-k-means++ sweep (better spread, ~4 extra jobs). Both are
+    deterministic — no driver-side RNG, stable across retries (the two
+    assignment paths can differ on razor-edge centroid ties in the last
+    ulp, but each path is itself deterministic). Empty cells keep their
+    previous centroid.
     """
     base = df.select(F.col(id_col).alias("__id__"), as_double(F.col(vec_col)).alias("__v__"))
     if init == "kmeans||":
@@ -466,7 +477,7 @@ def train_ivf_centroids(
         )
         centroids = [list(r["__v__"]) for r in seed]
     for _ in range(iters):
-        assigned = base.withColumn("__cell__", _nearest_cells(F.col("__v__"), centroids, 1)[0])
+        assigned = assign_cells(base, centroids, vec_col="__v__", out="__cell__")
         means = (
             assigned.select("__cell__", F.posexplode("__v__").alias("__pos__", "__x__"))
             .groupBy("__cell__", "__pos__")

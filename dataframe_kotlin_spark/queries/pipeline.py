@@ -1869,8 +1869,9 @@ def dsir_log_weights(spark, sf_dir):
     once for its feature bags and once for the per-doc sum. md5 bucket
     hashing + final 5 dp rounding keep the weights engine-portable."""
     docs = _t(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
-    w = sampling.dsir_log_weights(docs, target, "text", "doc_id", buckets=256, alpha=1.0)
+    w = sampling.dsir_log_weights(
+        docs, target_pred=F.col("lang") == "en", buckets=256, alpha=1.0
+    )
     return w.select("doc_id", F.round(F.col("log_weight") + 1e-9, 5).alias("log_weight"))
 
 
@@ -2075,7 +2076,30 @@ def training_mix_report(spark, sf_dir):
     evalset = docs.filter(F.col("source") == "src0")
     corpus = docs.filter(F.col("source") != "src0")
     pool = textpipe.decontaminate(corpus, evalset, "text", "doc_id", n=5)
-    w = sampling.dsir_log_weights(pool, pool.filter(F.col("lang") == "en"), buckets=256)
+    # The pool feeds FOUR branches (DSIR's feature bags, its en-slice
+    # target, its id join-back, and the selection join below), and the
+    # branches are different subplans, so ReuseExchange cannot collapse
+    # them — without a persist the 5-gram decontamination join re-executes
+    # per branch. The repartition before the persist matters as much as
+    # the persist itself: AQE coalesces the anti-join's small shuffle
+    # output to ~ONE partition, and persist FREEZES that layout, so every
+    # downstream CPU-heavy map stage (the n-gram explode) would run as a
+    # single task — measured at 100x as a 3-minute straggler
+    # (tools/scale_measure.py training_mix_stages). Same pathology as
+    # single-row-group files, cached-frame edition; at production scale
+    # the repartition is a cheap rebalance of an already-shuffled frame.
+    # Disk-backed persist is the spill-safe choice for a post-filter pool
+    # far smaller than the corpus.
+    from pyspark import StorageLevel
+
+    pool = pool.repartition(spark.sparkContext.defaultParallelism).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # target_pred derives the en-slice distribution from the SAME feature
+    # bags — one md5-gram pass over the pool instead of two
+    w = sampling.dsir_log_weights(
+        pool, target_pred=F.col("lang") == "en", buckets=256
+    )
     selected = pool.join(w.filter(F.col("log_weight") > -1.0).select("doc_id"), "doc_id")
     from dataframe_kotlin_spark.core.frame import KDataFrame
     from dataframe_kotlin_spark.functions.text import normalize

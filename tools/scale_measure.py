@@ -103,7 +103,14 @@ def main():
     from dataframe_kotlin_spark.session import get_spark
 
     spark = get_spark("scale-measure")
-    if "--regen" in sys.argv or not os.path.exists(f"{DST}/_done"):
+    # A pre-existing table set (e.g. SPARK_GRAFT_SCALE_DIR pointed at a
+    # read-only sf dir to collect same-harness baselines) is used as-is;
+    # only a missing/incomplete scaled build is (re)generated.
+    have_tables = all(
+        os.path.exists(f"{DST}/{t}.parquet")
+        for t in list(SCALED_KEYS) + COPIED + ["events"]
+    )
+    if "--regen" in sys.argv or (not os.path.exists(f"{DST}/_done") and not have_tables):
         t0 = time.time()
         build(spark)
         print(f"build took {time.time()-t0:.0f}s")
@@ -142,21 +149,31 @@ def main():
     # minutes-long pipeline DAGs: warm reps add nothing at that duration
     heavy = {"decontamination_hits", "training_mix_report"}
     out = {}
+
+    # Timed action: noop write, NOT count() — count() lets Catalyst prune
+    # anything that doesn't change the row count, so a map-only workload
+    # (minhash_signatures) timed as a parquet metadata read and a weights
+    # query ending in a left join onto unique keys lost its whole
+    # join+aggregate subtree (round-6 finding: the r5 "~1x at 100x" rows
+    # for minhash/dsir measured the optimizer's shortcut, not the work).
+    def _force(df):
+        df.write.format("noop").mode("overwrite").save()
+
     for name in workloads:
         if only and name not in only:
             continue
         if name not in heavy:
-            qs[name](spark, DST).count()  # warm codegen/scan
+            _force(qs[name](spark, DST))  # warm codegen/scan
         times = []
         last = None
         for _ in range(1 if name in heavy else reps):
             t0 = time.time()
             last = qs[name](spark, DST)
-            n = last.count()
+            _force(last)
             times.append(time.time() - t0)
         best = min(times)
         out[name] = best
-        print(f"{name}: {best:.2f}s (rows={n}, joins={joins_in_plan(last)})")
+        print(f"{name}: {best:.2f}s (joins={joins_in_plan(last)})")
 
     # positional-op bucket histogram at 100x: the distributed row number
     # is only as parallel as its value-derived buckets are balanced —
@@ -226,6 +243,97 @@ def main():
             )
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
+
+    # training_mix_report per-stage attribution (VERDICT r5 item 6): the
+    # pipeline is ONE lazy DAG, so stages are timed as cumulative
+    # prefixes (count() after each) and attributed by delta — the prefix
+    # re-executes upstream stages, so a delta ~0 means the added stage is
+    # cheap relative to what it reads, and the final delta vs the
+    # standalone training_mix_report timing shows aggregation cost.
+    if not only or "training_mix_stages" in only:
+        from pyspark.sql import functions as F
+
+        from dataframe_kotlin_spark.core.frame import KDataFrame
+        from dataframe_kotlin_spark.functions.text import normalize
+        from dataframe_kotlin_spark.operators import sampling, textpipe
+        from dataframe_kotlin_spark.queries.pipeline import _t
+
+        docs = _t(spark, DST, "documents")
+        evalset = docs.filter(F.col("source") == "src0")
+        corpus = docs.filter(F.col("source") != "src0")
+
+        def stage_pool():
+            return textpipe.decontaminate(corpus, evalset, "text", "doc_id", n=5)
+
+        def stage_selected():
+            # mirrors the shipped query: persisted pool + target_pred
+            # (one md5-gram pass) — queries/pipeline.py training_mix_report
+            from pyspark import StorageLevel
+
+            pool = (
+                stage_pool()
+                .repartition(spark.sparkContext.defaultParallelism)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            w = sampling.dsir_log_weights(
+                pool, target_pred=F.col("lang") == "en", buckets=256
+            )
+            return pool.join(
+                w.filter(F.col("log_weight") > -1.0).select("doc_id"), "doc_id"
+            )
+
+        def stage_kept():
+            return KDataFrame(
+                stage_selected().withColumn("__fp__", F.md5(normalize(F.col("text"))))
+            ).distinct_by(["__fp__"], order_by=["doc_id"]).df
+
+        cum = {}
+        for label, fn in [
+            ("decontaminate", stage_pool),
+            ("dsir_select", stage_selected),
+            ("exact_dedup", stage_kept),
+        ]:
+            t0 = time.time()
+            n = fn().count()
+            cum[label] = time.time() - t0
+            print(f"training_mix cumulative[{label}]: {cum[label]:.1f}s (rows={n})")
+        prev = 0.0
+        for label, t in cum.items():
+            print(f"training_mix stage delta[{label}]: {t - prev:.1f}s")
+            prev = t
+
+    # ANN with k ∝ N (round 6): the registry ANN queries pin tiny cell
+    # counts for oracle determinism (ivf_topk's 10 labels,
+    # ann_ivf_trained's k_cells=4 sequential-fold Lloyd), so at 100x the
+    # per-cell candidate set grows 100x and the search goes quadratic —
+    # that is the PINNED-PARAMETER cost, not the design's. The design
+    # (SCALE.md ANN rule) holds cell size constant by scaling the cell
+    # count with the data: measure the same 200k-vector search with
+    # k = 4*FACTOR learned cells and nprobe=2.
+    if not only or "ann_ivf_k_scaled" in only:
+        from pyspark.sql import functions as F
+
+        from dataframe_kotlin_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+        queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+        t0 = time.time()
+        cents = similarity.train_ivf_centroids(
+            emb, "embedding", "vec_id", k=4 * FACTOR, iters=1
+        )
+        t_train = time.time() - t0
+        t0 = time.time()
+        res = similarity.ivf_topk_trained(
+            emb, queries_df, cents, k=5, nprobe=2
+        )
+        n = res.count()
+        t_search = time.time() - t0
+        out["ann_ivf_k_scaled"] = t_train + t_search
+        print(
+            f"ann_ivf_k_scaled (k={4 * FACTOR} cells, nprobe=2): "
+            f"train {t_train:.2f}s + search {t_search:.2f}s "
+            f"(rows={n}, joins={joins_in_plan(res)})"
+        )
 
     # semdedup: the registry query pins k=4 k-means cells, which makes the
     # within-cell cosine self-join quadratic in N/k — the correct scale
