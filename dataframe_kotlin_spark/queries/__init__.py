@@ -40,17 +40,20 @@ def query(name: str, oracle: str | None = None):
 # module's block.
 # Round-6 rotation (VERDICT r5 items 1-2): after r5, every registry name
 # has driver-visible evidence EXCEPT pivot_null_bucket (registered after
-# the r5 gate ran — it guards the round-5 two-bug NULL-key pivot fix) and
+# the r5 gate ran — it guards the round-5 two-bug NULL-key pivot fix),
 # the two native-HLL queries, which were rows-only (`err: no_oracle`)
 # since r1 and are now reformulated as bounded-relative-error booleans
-# with real oracles. The 50-slot window = those 3 evidence gaps first,
-# then 12 flagships re-confirming the bench/pipeline core, then the 35
-# LONGEST-UNCHECKED green names (last seen in CORRECTNESS_r01, in their
-# r1 order) so evidence stays fresh oldest-first. The 7 remaining
-# r1-only names roll to the round-7 window.
+# with real oracles, and the two queries REGISTERED THIS ROUND guarding
+# the round-6 parity fixes (merge-by-separator null rendering; split
+# overflow name generator). The 50-slot window = those 5 evidence gaps
+# first, then 12 flagships re-confirming the bench/pipeline core, then
+# the 33 LONGEST-UNCHECKED green names (last seen in CORRECTNESS_r01,
+# in their r1 order) so evidence stays fresh oldest-first. The 9
+# remaining r1-only names roll to the round-7 window.
 _PRIORITY = [
     # evidence gaps: the only names without a green driver row
     "pivot_null_bucket", "approx_distinct_parts", "hll_rollup_customers",
+    "merge_null_render", "split_generated_names",
     # flagship re-confirmation (bench + pipeline core)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "filter_predicates", "pivot_sum_segments", "sessionize",
@@ -67,7 +70,7 @@ _PRIORITY = [
     "describe_numeric", "quantiles_price", "mode_per_segment",
     "merge_upsert_customers", "join_left_nulls", "semi_join_customers",
     "anti_join_customers", "outer_join_nations", "union_widen",
-    "union_missing_cols", "intersect_keys", "except_keys",
+    "union_missing_cols",
 ]
 
 

@@ -404,3 +404,57 @@ def gather_groups_contacts(spark, sf_dir):
         ).alias("account"),
     )
     return KDataFrame(c).gather_groups(["ident", "account"], key_name="grp").df
+
+
+@query(
+    "merge_null_render",
+    oracle="""
+    SELECT o_orderkey,
+           CONCAT_WS(', ', o_orderstatus,
+                     COALESCE(CAST(NULLIF(o_orderpriority, '1-URGENT') AS VARCHAR),
+                              'null')) AS tag
+    FROM orders
+    """,
+)
+def merge_null_render(spark, sf_dir):
+    """merge.by(sep) is Kotlin joinToString (api/merge.kt:18): a NULL
+    part renders as the literal "null" instead of being dropped
+    (DataFrameTests.kt:1089 joinColsToString expects "20, Moscow, null"
+    — the round-6 parity fix in merge_cols). Nulls are synthesized with
+    NULLIF since the test tables ship fully non-null. Map-only."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        KDataFrame(
+            o.df.withColumn(
+                "prio_n", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+            )
+        )
+        .merge_cols(["o_orderstatus", "prio_n"], into="tag", sep=", ")
+        .select("o_orderkey", "tag")
+        .df
+    )
+
+
+@query(
+    "split_generated_names",
+    oracle="""
+    SELECT p_partkey,
+           STRING_SPLIT(p_name, ' ')[1] AS color,
+           STRING_SPLIT(p_name, ' ')[2] AS splitted1
+    FROM part
+    """,
+)
+def split_generated_names(spark, sf_dir):
+    """split(col).into("name") with the reference's overflow name
+    generator: explicit names first, the remainder named splitted{i}
+    (api/split.kt:60 nameGenerator; DataFrameTests.kt:1134
+    splitStringColWithDefaultgenerator — the round-6 split_col
+    extend/generator parity). p_name is always "<color> <noun>", so the
+    generated width is deterministic. Map-only plus the one
+    metadata-sized max(size) width job."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", "p_name")
+        .split_col("p_name", " ", into=["color"], extend=True)
+        .df
+    )

@@ -211,6 +211,48 @@ def test_dsir_distributions_are_broadcast(spark):
     # broadcasts; only the corpus-side feature bags shuffle
     plan = _plan(spark, "dsir_log_weights")
     assert plan.count("BroadcastExchange") >= 2
+    # round 6: the dists are DENSE (all buckets present) so per-doc
+    # scoring is a plain inner broadcast hash join. The sparse form
+    # attached scalar defaults via crossJoins that planned as
+    # BroadcastNestedLoopJoins ON the corpus-sized feats side — 4 BNLJs
+    # total (2 corpus-scale + the 2 <=buckets-row total attachments
+    # inside the dist builder). Only the 2 tiny ones may remain; the
+    # per-doc scoring joins must be hash joins. The finalized AQE plan
+    # rendering prints each tiny dist-total join twice (once inside its
+    # reused query stage), so the 2 structural BNLJs count as 4 here;
+    # the removed corpus-side pair would add at least 2 more.
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_training_mix_no_corpus_scale_nested_loop(spark):
+    # the composed pipeline inherits dsir's dense-dist property: the
+    # same 2-tiny-BNLJ budget (its dsir stage), zero cartesians
+    plan = _plan(spark, "training_mix_report")
+    assert "CartesianProduct" not in plan
+    # same 2-structural / 4-rendered budget as the dsir stage above
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_assign_cells_large_k_uses_arrow_batch(spark):
+    # assign_cells' auto path: interpreted higher-order argmin never
+    # reaches codegen and costs O(k*dim) PER ROW, so k >= 32 must route
+    # through the Arrow-batch dgemm argmin (round 6: the k=400 training
+    # assignment measured 241s interpreted vs 5.3s dgemm — SCALE.md)
+    from pyspark.sql import functions as F
+
+    from dataframe_kotlin_spark.operators.similarity import assign_cells
+
+    df = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=i) for i in range(8)]).alias("embedding"),
+    )
+    big_k = [[float(i)] * 8 for i in range(40)]
+    small_k = [[float(i)] * 8 for i in range(4)]
+    plan_big = assign_cells(df, big_k)._jdf.queryExecution().executedPlan().toString()
+    plan_small = assign_cells(df, small_k)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_big
+    assert "MapInPandas" not in plan_small  # bit-exact expression path stays
 
 
 def _window_lines(plan: str) -> list[str]:
