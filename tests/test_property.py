@@ -327,3 +327,70 @@ def test_dsir_weight_zero_when_target_is_raw(spark, seed):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dsir_log_weights(df, df, buckets=32)
     assert all(abs(r["log_weight"]) < 1e-12 for r in out.collect())
+
+
+# --- round-6 surface: merge null rendering, split generator, get_group ---
+
+_CELL = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+        min_size=0,
+        max_size=8,
+    ),
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(_CELL, _CELL), min_size=1, max_size=6))
+def test_merge_null_render_then_split_roundtrip(spark, rows):
+    """merge.by(sep) is joinToString: null -> "null"; splitting back on a
+    separator absent from the alphabet recovers every part (nulls as the
+    "null" string — the reference's own lossy toString mapping)."""
+    df = KDataFrame(
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(rows)], "id int, a string, b string"
+        )
+    )
+    merged = df.merge_cols(["a", "b"], into="m", sep="|")
+    back = merged.split_col("m", r"\|", into=["a", "b"])
+    got = {(r["id"], r["a"], r["b"]) for r in back.df.collect()}
+    expected = {
+        (i, "null" if a is None else a, "null" if b is None else b)
+        for i, (a, b) in enumerate(rows)
+    }
+    assert got == expected
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(widths=st.lists(st.integers(1, 5), min_size=1, max_size=5), n_named=st.integers(0, 3))
+def test_split_generator_names_cover_max_width(spark, widths, n_named):
+    """into + extend yields explicit names then splitted{i} up to the max
+    split width across the data; values align positionally."""
+    rows = [(i, "-".join(["x"] * w)) for i, w in enumerate(widths)]
+    df = KDataFrame(spark.createDataFrame(rows, "id int, s string"))
+    named = [f"n{j}" for j in range(n_named)]
+    out = df.split_col("s", "-", into=named, extend=True)
+    w_max = max(widths)
+    gen = [f"splitted{j + 1}" for j in range(max(0, w_max - n_named))]
+    assert out.columns == ["id"] + named + gen
+    # row with width w: first w parts "x", rest null
+    for r in out.df.collect():
+        w = widths[r["id"]]
+        parts = [r[c] for c in out.columns if c != "id"]
+        assert parts[:w] == ["x"] * min(w, len(parts))
+        assert all(p is None for p in parts[w:])
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    keys=st.lists(st.one_of(st.none(), st.integers(0, 2)), min_size=1, max_size=8),
+    probe=st.one_of(st.none(), st.integers(0, 2)),
+)
+def test_get_group_equals_null_safe_filter(spark, keys, probe):
+    """grouped.get_group(v) == the null-safe filter, including None keys."""
+    rows = [(i, k) for i, (k) in enumerate(keys)]
+    df = KDataFrame(spark.createDataFrame(rows, "id int, k int"))
+    got = {r["id"] for r in df.group_by("k").get_group(probe).df.collect()}
+    expected = {i for i, k in enumerate(keys) if k == probe or (k is None and probe is None)}
+    assert got == expected
