@@ -143,6 +143,11 @@ def main():
         "ann_ivf_topk",
         "ann_ivf_trained",
         "sessionize",
+        # round-6 family coverage under honest (noop) forcing: one pivot,
+        # one range-frame window, one exact-dedup representative
+        "pivot_sum_segments",
+        "rolling_range_revenue",
+        "dedup_exact",
     ]
     reps = 1 if "--quick" in sys.argv else 3
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
