@@ -355,6 +355,45 @@ def _py_sq_dist(a: list[float], b: list[float]) -> float:
     return sum((x - y) * (x - y) for x, y in zip(a, b))
 
 
+def _with_min_sq_dist(
+    df: DataFrame, centers: list[list[float]], vec_col: str, out: str
+) -> DataFrame:
+    """Append min squared distance to the center set — the same
+    expr/dgemm auto switch as assign_cells (interpreted higher-order
+    lambdas cost O(|centers|*dim) per row; the k-means|| candidate set
+    grows to ~rounds*2k, the exact shape that cost 241 s in Lloyd
+    assignment at k=400). The dgemm path computes the full
+    ||x||^2 - 2xC^T + ||c||^2 since the VALUE (not just the argmin)
+    is needed."""
+    if len(centers) < 32:
+        cents = _centroid_array(centers)
+        d2 = F.array_min(F.transform(cents, lambda c: _sq_dist(F.col(vec_col), c)))
+        return df.withColumn(out, d2)
+
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(out, DoubleType(), False)])
+    cents = [list(map(float, c)) for c in centers]
+
+    def tag(batches):
+        C = np.asarray(cents, dtype=np.float64)  # m x dim
+        c2 = (C * C).sum(axis=1)  # m
+        for pdf in batches:
+            pdf = pdf.copy()
+            if len(pdf) == 0:
+                pdf[out] = np.array([], dtype="float64")
+                yield pdf
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # n x dim
+            x2 = (X * X).sum(axis=1)  # n
+            d = x2[:, None] - 2.0 * (X @ C.T) + c2[None, :]  # n x m
+            pdf[out] = np.maximum(d.min(axis=1), 0.0)  # clamp fp negatives
+            yield pdf
+
+    return df.mapInPandas(tag, out_schema)
+
+
 def kmeanspp_init_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -382,9 +421,7 @@ def kmeanspp_init_centroids(
     first = base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__")).limit(1).collect()
     centers: list[list[float]] = [list(first[0]["__v__"])]
     for r in range(rounds):
-        cents = _centroid_array(centers)
-        d2 = F.array_min(F.transform(cents, lambda c: _sq_dist(F.col("__v__"), c)))
-        tagged = base.withColumn("__d2__", d2)
+        tagged = _with_min_sq_dist(base, centers, "__v__", "__d2__")
         phi = tagged.agg(F.sum("__d2__").alias("s")).collect()[0]["s"]
         if not phi or phi <= 0:
             break
