@@ -180,11 +180,19 @@ class KPivotClause:
     def _explicit_names(self, vals: Sequence) -> list[str]:
         """Render explicit pivot values EXACTLY as the stringified key
         column renders the data: cast each literal to the pivot
-        column's own type, then to string, in Spark. Python ``str()``
-        diverges (str(1) is "1" but a double column keys as "1.0";
-        str(1e20) is "1e+20" vs Spark's "1.0E20"; str(True) is "True"
-        vs "true"), so a Python-rendered name can silently match
-        nothing. One metadata-sized job over ``spark.range(1)``.
+        column's own type, then to string. Python ``str()`` diverges
+        (str(1) is "1" but a double column keys as "1.0"; str(1e20) is
+        "1e+20" vs Spark's "1.0E20"; str(True) is "True" vs "true"),
+        so a Python-rendered name can silently match nothing.
+
+        Common (value, type) pairs render DRIVER-LOCALLY via
+        ``core.litrender.render_literal`` — proven bit-identical to
+        Spark's cast and property-tested against it — so explicit-value
+        pivots on int/long/bool/double/date/timestamp/string keys
+        launch ZERO extra jobs. Anything the local renderer can't prove
+        (Decimal, float32, pre-1583 dates, out-of-range ints, doubles
+        in Java 17's non-shortest-toString zone) falls back to one
+        metadata-sized ``spark.range(1)`` job for just that remainder.
 
         Multi-column pivots take each value as a tuple/list of parts
         (one per pivot column); parts are escaped with the same
@@ -193,6 +201,8 @@ class KPivotClause:
         concatenated key (caller must pre-escape any "_" or "\\" inside
         parts themselves — pass a tuple to get that for free).
         """
+        from dataframe_kotlin_spark.core.litrender import render_literal
+
         df = self.grouped.df
         dtypes = {f.name: f.dataType for f in df.schema.fields}
 
@@ -219,13 +229,23 @@ class KPivotClause:
                 parts = [v]
             shapes.append(len(parts))
             flat.extend(zip(parts, self.pivot_cols))
-        exprs = [
-            F.coalesce(F.lit(pv).cast(dtypes[pc]).cast("string"), F.lit("null")).alias(
-                f"c{i}"
-            )
-            for i, (pv, pc) in enumerate(flat)
+        spark = df.sparkSession
+        rendered: list[str | None] = [
+            "null" if pv is None else render_literal(pv, dtypes[pc], spark)
+            for pv, pc in flat
         ]
-        rendered = list(df.sparkSession.range(1).select(*exprs).first()) if exprs else []
+        pending = [i for i, r in enumerate(rendered) if r is None]
+        if pending:  # exotic remainder: one metadata-sized range(1) job
+            exprs = [
+                F.coalesce(
+                    F.lit(flat[i][0]).cast(dtypes[flat[i][1]]).cast("string"),
+                    F.lit("null"),
+                ).alias(f"c{i}")
+                for i in pending
+            ]
+            row = spark.range(1).select(*exprs).first()
+            for i, v in zip(pending, row):
+                rendered[i] = v
         names: list[str] = []
         pos = 0
         for idx, n in enumerate(shapes):

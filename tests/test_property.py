@@ -394,3 +394,174 @@ def test_get_group_equals_null_safe_filter(spark, keys, probe):
     got = {r["id"] for r in df.group_by("k").get_group(probe).df.collect()}
     expected = {i for i, k in enumerate(keys) if k == probe or (k is None and probe is None)}
     assert got == expected
+
+
+# ---- explicit-pivot literal rendering (VERDICT r6 items 5-6) --------------
+# The exact class the r5/r6 ADVICE rounds found bugs in: names for explicit
+# pivot values must render EXACTLY as Spark's cast-to-string renders the key
+# column (str(1) vs "1.0", '1e+20' vs '1.0E20', 'True' vs 'true', tuple
+# escaping). Since round 7 the common types render driver-locally
+# (core/litrender.py) — this property pins the local renderer against
+# Spark's own cast on arbitrary values, and the zero-job contract.
+
+import datetime as _dt
+import math as _math
+
+from pyspark.sql import types as _T
+
+from dataframe_kotlin_spark.core.litrender import render_literal
+
+_RL_TYPES = {
+    "double": _T.DoubleType(),
+    "int": _T.IntegerType(),
+    "bigint": _T.LongType(),
+    "smallint": _T.ShortType(),
+    "boolean": _T.BooleanType(),
+    "string": _T.StringType(),
+    "date": _T.DateType(),
+    "timestamp": _T.TimestampType(),
+    "timestamp_ntz": _T.TimestampNTZType(),
+}
+
+_naive_ts = st.datetimes(
+    min_value=_dt.datetime(1583, 1, 1), max_value=_dt.datetime(9999, 12, 28)
+)
+_typed_value = st.one_of(
+    st.tuples(
+        st.just("double"),
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=True),  # incl. fallback zones
+            st.floats(min_value=-1e7, max_value=1e7),
+            st.integers(-(10**9), 10**9),  # ints pivoting a double column
+            st.none(),
+        ),
+    ),
+    st.tuples(st.just("int"), st.one_of(st.integers(-(2**40), 2**40), st.booleans(), st.none())),
+    st.tuples(st.just("bigint"), st.integers(-(2**63), 2**63 - 1)),
+    st.tuples(st.just("smallint"), st.integers(-(2**20), 2**20)),
+    st.tuples(st.just("boolean"), st.booleans()),
+    st.tuples(st.just("string"), st.text(max_size=20)),
+    st.tuples(st.just("date"), st.dates(min_value=_dt.date(1583, 1, 1))),
+    st.tuples(st.just("timestamp"), _naive_ts),
+    st.tuples(st.just("timestamp_ntz"), _naive_ts),
+)
+
+
+def _in_local_gate(t: str, v) -> bool:
+    """Values the module doc PROMISES render locally (zero extra jobs)."""
+    if v is None:
+        return False
+    if t == "string":
+        return isinstance(v, str)
+    if t == "boolean":
+        return isinstance(v, bool)
+    if t in ("int", "bigint", "smallint"):
+        lo, hi = {"int": 31, "bigint": 63, "smallint": 15}[t], None
+        return isinstance(v, bool) or (
+            isinstance(v, int) and -(2 ** lo) <= v <= 2**lo - 1
+        )
+    if t == "double":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return False
+        d = float(v)
+        return d == 0.0 or _math.isnan(d) or _math.isinf(d) or 1e-300 <= abs(d) < 2**52
+    if t == "date":
+        return isinstance(v, _dt.date) and not isinstance(v, _dt.datetime) and v.year >= 1583
+    if t in ("timestamp", "timestamp_ntz"):
+        return isinstance(v, _dt.datetime) and v.tzinfo is None and v.year >= 1583
+    return False
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(pairs=st.lists(_typed_value, min_size=1, max_size=12))
+def test_render_literal_matches_spark_cast(spark, pairs):
+    """Whenever render_literal claims a value, its string must equal
+    Spark's own lit().cast(dtype).cast('string') — and every value inside
+    the documented fast-path gates must be claimed (zero-job contract)."""
+    exprs = [
+        F.coalesce(F.lit(v).cast(t).cast("string"), F.lit("null")).alias(f"c{i}")
+        for i, (t, v) in enumerate(pairs)
+    ]
+    row = spark.range(1).select(*exprs).first()
+    for i, (t, v) in enumerate(pairs):
+        local = "null" if v is None else render_literal(v, _RL_TYPES[t], spark)
+        if local is not None:
+            assert local == row[i], (t, v, local, row[i])
+        if _in_local_gate(t, v):
+            assert local is not None, (t, v)
+
+
+# pinned counterexamples from the r5/r6 ADVICE rounds
+@pytest.mark.parametrize(
+    "t, v, expected",
+    [
+        ("double", 1, "1.0"),        # str(1) vs Spark "1.0" (ADVICE r5)
+        ("double", 1e20, None),      # '1e+20' vs '1.0E20': MUST fall back on Java 17
+        ("double", 5e-324, None),    # subnormal: Java prints 4.9E-324, repr 5e-324
+        ("double", 0.0, "0.0"),
+        ("double", 1e6, "1000000.0"),
+        ("double", 12.25, "12.25"),
+        ("boolean", True, "true"),   # str(True) vs Spark "true" (ADVICE r5)
+        ("int", 300, "300"),
+        ("smallint", 2**20, None),   # out of range: cast wraps -> fall back
+        ("date", _dt.date(2020, 5, 3), "2020-05-03"),
+        ("date", _dt.date(1500, 5, 3), None),  # pre-1583 rebase -> fall back
+        ("timestamp", _dt.datetime(2021, 3, 4, 5, 6, 7, 120000), "2021-03-04 05:06:07.12"),
+        ("timestamp", _dt.datetime(2021, 3, 4, 5, 6, 7), "2021-03-04 05:06:07"),
+    ],
+)
+def test_render_literal_pinned_cases(spark, t, v, expected):
+    local = render_literal(v, _RL_TYPES[t], spark)
+    assert local == expected
+    if expected is None:
+        # the fallback path must still agree with Spark's cast — replay it
+        got = (
+            spark.range(1)
+            .select(F.coalesce(F.lit(v).cast(t).cast("string"), F.lit("null")).alias("c"))
+            .first()["c"]
+        )
+        assert got is not None  # lit-able; _explicit_names renders via this job
+
+
+def test_explicit_pivot_common_types_launch_no_job(spark, monkeypatch):
+    """Explicit pivot values of common types must not launch the range(1)
+    rendering job (VERDICT r6 item 5): poison spark.range and render."""
+    df = KDataFrame(
+        spark.createDataFrame(
+            [("a", 1.0, _dt.date(2020, 1, 2), 5)],
+            "k string, ratio double, d date, v int",
+        )
+    )
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("range(1) job launched for common-type explicit pivot values")
+
+    monkeypatch.setattr(type(spark), "range", boom)
+    clause = df.group_by("k").pivot("ratio", [1, 2])
+    assert clause._explicit_names([1, 2]) == ["1.0", "2.0"]
+    dclause = df.group_by("k").pivot("d", [_dt.date(2020, 1, 2)])
+    assert dclause._explicit_names([_dt.date(2020, 1, 2)]) == ["2020-01-02"]
+    # multi-pivot tuple values render + escape locally too
+    mclause = df.group_by("v").pivot(["k", "ratio"], [("a_b", 1)])
+    assert mclause._explicit_names([("a_b", 1)]) == ["a\\_b_1.0"]
+
+
+def test_explicit_pivot_exotic_values_fall_back_to_spark(spark):
+    """Values outside the proven gates (1e20 on Java 17, Decimal columns)
+    still render through the range(1) job, bit-identical to discovery."""
+    from decimal import Decimal
+
+    df = KDataFrame(
+        spark.createDataFrame(
+            [("a", 1e20, Decimal("1.50"), 5), ("a", 2.0, Decimal("2.25"), 7)],
+            "k string, x double, dec decimal(10,2), v int",
+        )
+    )
+    out = df.group_by("k").pivot("x", [1e20, 2.0]).sum("v", default=0)
+    assert set(out.columns) == {"k", "1.0E20", "2.0"}
+    row = out.collect()[0]
+    assert row["1.0E20"] == 5 and row["2.0"] == 7
+    dout = df.group_by("k").pivot("dec", [Decimal("1.5"), Decimal("2.25")]).sum("v", default=0)
+    assert set(dout.columns) == {"k", "1.50", "2.25"}
+    drow = dout.collect()[0]
+    assert drow["1.50"] == 5 and drow["2.25"] == 7
