@@ -12,6 +12,13 @@ too. Each timed rep is a noop-format write so the FULL plan executes —
 count() lets Catalyst prune any work that doesn't change the row count
 (a map-only query collapses to parquet metadata), which silently
 flattered map-heavy workloads through round 5.
+
+Round-over-round comparison protocol: compare runs at SIMILAR
+loadavg_start only. Pre-existing machine load inflates wall times ~10%
+with unchanged plans (the r5 driver record ran at loadavg 2.5 and read
++12% vs the idle judge re-run of the same commit) — before chasing a
+regression, check this artifact's loadavg_start against the prior
+round's; if they differ materially, re-run idle and compare that.
 """
 
 from __future__ import annotations

@@ -38,39 +38,38 @@ def query(name: str, oracle: str | None = None):
 # through joins, grouping, pivot/reshape, window analytics, TPC-H shapes,
 # dedup/similarity/text pipeline — instead of exhausting the budget on one
 # module's block.
-# Round-6 rotation (VERDICT r5 items 1-2): after r5, every registry name
-# has driver-visible evidence EXCEPT pivot_null_bucket (registered after
-# the r5 gate ran — it guards the round-5 two-bug NULL-key pivot fix),
-# the two native-HLL queries, which were rows-only (`err: no_oracle`)
-# since r1 and are now reformulated as bounded-relative-error booleans
-# with real oracles, and the two queries REGISTERED THIS ROUND guarding
-# the round-6 parity fixes (merge-by-separator null rendering; split
-# overflow name generator). The 50-slot window = those 5 evidence gaps
-# first, then 12 flagships re-confirming the bench/pipeline core, then
-# the 33 LONGEST-UNCHECKED green names (last seen in CORRECTNESS_r01,
-# in their r1 order) so evidence stays fresh oldest-first. The 9
-# remaining r1-only names roll to the round-7 window.
+# Round-7 rotation (VERDICT r6 item 3): after r6 every registry name is
+# driver-green; evidence freshness is the only axis left. The 50-slot
+# window = the one query REGISTERED THIS ROUND (ann_ivf_scaled — the
+# scale-posture ANN with data-proportional cell count, VERDICT r6 item
+# 2) first, then the 9 LONGEST-UNCHECKED names (5 last seen in r1 + 4
+# in r2), then the 22 next-oldest (last seen in r3), then 12 flagships
+# re-confirming the bench/pipeline core, then the 6 oldest r4 names to
+# fill the window. After the r7 gate runs, no name's latest green row
+# is older than r4.
 _PRIORITY = [
-    # evidence gaps: the only names without a green driver row
-    "pivot_null_bucket", "approx_distinct_parts", "hll_rollup_customers",
-    "merge_null_render", "split_generated_names",
+    # first evidence: registered in round 7
+    "ann_ivf_scaled",
+    # oldest-green rotation: last checked in round 1 / round 2
+    "except_keys", "join_part_supplier_stats", "distinct_suppliers_brand",
+    "simhash_hamming_pairs", "heavy_hitter_terms",
+    "intersect_keys", "simhash_values", "jaccard_pairs", "language_id",
+    # next-oldest: last checked in round 3
+    "q6_revenue_band", "q4_priority_exists", "q10_returned_items",
+    "q14_type_share", "q18_large_orders", "q9_profit_nation_year",
+    "count_min_term_counts", "pii_redaction", "curate_corpus",
+    "pivot_counts", "gather_melt", "explode_embeddings",
+    "split_into_rows", "struct_roundtrip", "flatten_nested",
+    "diff_lag", "moving_average", "tumbling_window", "sliding_window",
+    "funnel_conversion", "cohort_retention", "decimal_exact_ledger",
     # flagship re-confirmation (bench + pipeline core)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "filter_predicates", "pivot_sum_segments", "sessionize",
     "minhash_signatures", "ann_bruteforce_topk", "dedup_exact",
     "semdedup_survivors", "dsir_log_weights", "decontamination_hits",
-    # oldest-green rotation: last checked in round 1
-    "grouping_sets_qty", "select_project", "drop_rows_inverse",
-    "distinct_pair", "distinct_by_first", "top_k_orders",
-    "agg_minmax_count", "count_conditional", "argmax_row",
-    "median_quantity", "stddev_variance", "corr_pair", "stats_summary",
-    "update_convert", "string_funcs", "digitize_bins", "arithmetic_round",
-    "null_handling", "rollup_region_nation", "cube_flag_status",
-    "ntile_quartiles", "count_by_priority", "transpose_stats",
-    "describe_numeric", "quantiles_price", "mode_per_segment",
-    "merge_upsert_customers", "join_left_nulls", "semi_join_customers",
-    "anti_join_customers", "outer_join_nations", "union_widen",
-    "union_missing_cols",
+    # window fill: oldest round-4 names, in their r4 order
+    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
+    "q11_important_value", "q12_late_priority", "q13_order_distribution",
 ]
 
 

@@ -728,6 +728,63 @@ def ann_ivf_trained(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_scaled",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS INT) AS n_results, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+)
+def ann_ivf_scaled(spark, sf_dir):
+    """The SCALE-POSTURE learned-IVF ANN, driver-gated (VERDICT r6 item
+    2): unlike ann_ivf_trained — which pins k_cells=4 and the
+    sequential-fold Lloyd so the DuckDB oracle can replay every float —
+    this query runs the path the engine actually ships at 100 TB:
+    ``train_ivf_centroids`` with DATA-PROPORTIONAL cell count
+    (k = max(4, N/500): cell size stays ~500 vectors as the corpus
+    grows, the SCALE.md ANN rule; the Arrow-batch dgemm argmin engages
+    automatically once k >= 32) and ``ivf_topk_trained`` probing.
+
+    Learned centroids aren't SQL-expressible, so the oracle is
+    determinism-safe the way the r6 HLL reformulation is: the query
+    emits, per fixed probe (vec_id % 100 = 0), a structural check
+    (exactly k=10 results came back — the probed cells held a full
+    candidate set) and a recall boolean against the BLAS brute-force
+    exact top-10 (>= 2 of 10 — far under the observed per-query minima
+    of 3/3/5 hits at sf0.001/0.01/0.1, so only a broken cell
+    assignment, probe expansion, or ranking flips it); the oracle
+    reproduces the probe keys + literal 10/TRUE. Hit counts were
+    measured run-over-run identical (centroid averages can move in the
+    last ulp across aggregation orders, but a flip needs a vector
+    within that ulp of a k-means boundary).
+    """
+    from dataframe_kotlin_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(4, n // 500)
+    cents = sim.train_ivf_centroids(emb, "embedding", "vec_id", k=k_cells, iters=1)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf = sim.ivf_topk_trained(emb, queries_df, cents, k=10, nprobe=2)
+    brute = sim.cosine_topk_blas(emb, queries_df, k=10)
+    nres = ivf.groupBy("query_id").agg(F.count(F.lit(1)).cast("int").alias("n_results"))
+    hits = (
+        ivf.join(brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = queries_df.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(nres, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_results"), F.lit(0)).alias("n_results"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 2).alias("recall_ok"),
+        )
+    )
+
+
+@query(
     "term_frequency_topk",
     oracle="""
     WITH tok AS (

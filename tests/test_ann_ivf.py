@@ -151,3 +151,19 @@ def test_parse_byte_conf_suffixes():
     assert _parse_byte_conf("") == 128 * 1024**2
     assert _parse_byte_conf("-5") == 128 * 1024**2
     assert _parse_byte_conf("0") == 128 * 1024**2
+
+
+def test_ann_ivf_scaled_registry_contract(spark):
+    """The scale-posture ANN registry query (VERDICT r6 item 2): its
+    oracle promises per-probe (query_id, n_results=10, recall_ok=TRUE)
+    — pin the structural pieces at sf0.001 with wide margin (observed
+    per-query hits vs brute force: min 3; the query gates at >= 2)."""
+    from dataframe_kotlin_spark.queries.pipeline import ann_ivf_scaled
+
+    rows = ann_ivf_scaled(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5  # vec_id % 100 == 0 over 500 vectors
+    assert all(r["n_results"] == 10 for r in rows)
+    assert all(r["recall_ok"] for r in rows)
+    # the k proportional-to-N rule bottoms out at 4 cells on tiny data
+    again = ann_ivf_scaled(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -142,6 +142,10 @@ def main():
         # the batch sessionize that anchors the streaming replay
         "ann_ivf_topk",
         "ann_ivf_trained",
+        # round-7 (VERDICT r6 item 2): the registered scale-posture ANN —
+        # k = max(4, N/500) learned cells (400 at 100x, auto-dgemm) +
+        # nprobe=2 probing + the brute-force recall audit it carries
+        "ann_ivf_scaled",
         "sessionize",
         # round-6 family coverage under honest (noop) forcing: one pivot,
         # one range-frame window, one exact-dedup representative
@@ -152,7 +156,7 @@ def main():
     reps = 1 if "--quick" in sys.argv else 3
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     # minutes-long pipeline DAGs: warm reps add nothing at that duration
-    heavy = {"decontamination_hits", "training_mix_report"}
+    heavy = {"decontamination_hits", "training_mix_report", "ann_ivf_scaled"}
     out = {}
 
     # Timed action: noop write, NOT count() — count() lets Catalyst prune
