@@ -227,12 +227,14 @@ def _gram_bucket(gram: Column, buckets: int) -> Column:
     return hash20(gram) % buckets
 
 
-def hashed_ngram_buckets(
+def gram_bucket_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", buckets: int = 256
 ) -> DataFrame:
-    """Hashed unigram+bigram bag-of-features per document: one row per
-    (id, bucket) with the occurrence count. Map-side explode of the
-    token and bigram arrays, one shuffle on (id, bucket)."""
+    """The map-only front half of the hashed-n-gram featurizer: one row
+    per unigram/bigram OCCURRENCE, tagged with its md5 feature bucket
+    ``__b__``. Exposed separately so the 100x stage-attribution harness
+    (tools/scale_measure.py dsir_stages) can time the tokenize +
+    explode + hash cost apart from the bucket aggregation."""
     from dataframe_kotlin_spark.functions.text import tokens
 
     toks = tokens(F.col(text_col))
@@ -246,8 +248,17 @@ def hashed_ngram_buckets(
     grams = df.select(
         F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("__gram__")
     )
+    return grams.select(id_col, _gram_bucket(F.col("__gram__"), buckets).alias("__b__"))
+
+
+def hashed_ngram_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", buckets: int = 256
+) -> DataFrame:
+    """Hashed unigram+bigram bag-of-features per document: one row per
+    (id, bucket) with the occurrence count. Map-side explode of the
+    token and bigram arrays, one shuffle on (id, bucket)."""
     return (
-        grams.withColumn("__b__", _gram_bucket(F.col("__gram__"), buckets))
+        gram_bucket_rows(df, text_col, id_col, buckets)
         .groupBy(id_col, "__b__")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__c__"))
     )
@@ -272,11 +283,22 @@ def dsir_log_weights(
     (the paper's use: picking pretraining data that "looks like"
     Wikipedia+books).
 
-    Scale shape: the two feature distributions aggregate to <= buckets
-    rows each and BROADCAST into the per-doc join — the raw corpus
-    shuffles once on (id, bucket) for its feature bag and once on id for
-    the final sum; nothing about the corpora ever reaches the driver.
-    All hashing is the md5 recipe, so weights are engine-reproducible.
+    Scale shape (round 7): the two smoothed log distributions are MODEL
+    PARAMETERS — <= buckets count rows each — so they are computed by
+    one eager aggregation job and COLLECTED, exactly like the k-means
+    centroids, then inlined into the scoring pass as a literal
+    per-bucket log-ratio array (`element_at`, no join at all). The
+    corpus is gram-hashed exactly TWICE (the distribution job, the
+    scoring pass) at any scale. The previous form kept everything in
+    one lazy plan with the distributions as <= 256-row broadcast-join
+    sides, relying on ReuseExchange to collapse the five consumers of
+    the feature-bag subtree — under AQE that reuse does NOT happen
+    (executed plan: 0 ReusedExchange, the gram explode ran 5x; the
+    100x stage attribution measured the distribution build at 121 s of
+    the query's 146 s — tools/scale_measure.py dsir_stages, SCALE.md).
+    All hashing is the md5 recipe, so weights are engine-reproducible;
+    the per-doc term keeps the c_f x (lpt - lpq) structure so weights
+    stay bit-compatible with the SQL oracle's SUM(c*delta) form.
 
     Returns (id_col, log_weight) for every raw document. A document whose
     text is NULL (or tokenizes to nothing) carries no feature evidence, so
@@ -286,63 +308,63 @@ def dsir_log_weights(
 
     When the target is a SLICE of the raw corpus, pass ``target_pred``
     (a boolean Column over raw's columns) instead of a second DataFrame:
-    the target distribution is then derived from the SAME feature bags
-    via an id-equi join against the flagged ids — identical counts and
-    buckets (so identical weights and oracles), but the corpus is
-    md5-gram-hashed ONCE instead of twice. At 100x the double hashing
-    was the single largest stage of the composed training-mix pipeline
-    (tools/scale_measure.py training_mix_stages).
+    both distributions then come from ONE conditional aggregation over
+    the same gram rows (broadcast id-flag join) — identical counts and
+    buckets (so identical weights and oracles), and the distribution
+    job costs one gram pass instead of two.
     """
+    import math
+
     if (target is None) == (target_pred is None):
         raise ValueError("pass exactly one of target / target_pred")
-    feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
-
-    def dist_from_feats(f: DataFrame, logp_name: str) -> DataFrame:
-        # DENSE distribution: every bucket 0..buckets-1 gets a row, with
-        # count 0 where unseen — the smoothing formula then yields the
-        # unseen-bucket default log(alpha/(tot+alpha*buckets)) from the
-        # SAME expression, so the per-doc scoring join below is a plain
-        # inner broadcast join. (The previous sparse form attached the
-        # default via two crossJoins of 1-row frames, which planned as
-        # BroadcastNestedLoopJoins ON THE corpus-sized feats side —
-        # measured as the dominant cost of the composed pipeline at
-        # 100x.) The grid/total joins here touch <= buckets rows.
-        counts = f.groupBy("__b__").agg(F.sum("__c__").alias("__n__"))
-        grid = raw.sparkSession.range(buckets).select(F.col("id").alias("__b__"))
-        tot = counts.agg(F.sum("__n__").alias("__tot__"))  # distinct name: resolution is case-insensitive
-        return (
-            grid.join(counts, "__b__", "left")
-            .na.fill({"__n__": 0})
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "__b__",
-                F.log(
-                    (F.col("__n__") + alpha) / (F.col("__tot__") + alpha * buckets)
-                ).alias(logp_name),
-            )
-        )
-
+    rows = gram_bucket_rows(raw, text_col, id_col, buckets)
     if target_pred is not None:
-        tids = raw.filter(target_pred).select(F.col(id_col))
-        pt = dist_from_feats(feats.join(tids, id_col), "__lpt__")
+        tids = raw.filter(target_pred).select(F.col(id_col), F.lit(1).alias("__t__"))
+        sums = (
+            rows.join(F.broadcast(tids), id_col, "left")
+            .groupBy("__b__")
+            .agg(
+                F.count(F.lit(1)).alias("__nq__"),
+                F.count(F.col("__t__")).alias("__nt__"),  # count skips null flags
+            )
+            .collect()
+        )
+        nq = {r["__b__"]: r["__nq__"] for r in sums}
+        nt = {r["__b__"]: r["__nt__"] for r in sums}
     else:
-        pt = dist_from_feats(
-            hashed_ngram_buckets(target, text_col, id_col, buckets), "__lpt__"
-        )
-    # the raw distribution derives from the SAME feature-bag subtree the
-    # scoring pass consumes, so Spark's ReuseExchange collapses the
-    # corpus-wide tokenize+explode+shuffle to one physical execution
-    # (verified: ReusedExchange in the executed plan)
-    pq = dist_from_feats(feats, "__lpq__")
-    # dense dists: every feats bucket matches, so the scoring join is a
-    # plain inner broadcast hash join on the corpus side
-    scored = (
-        feats.join(F.broadcast(pt), "__b__")
-        .join(F.broadcast(pq), "__b__")
-        .withColumn(
-            "__term__",
-            F.col("__c__") * (F.col("__lpt__") - F.col("__lpq__")),
-        )
+        nq = {
+            r["__b__"]: r["__n__"]
+            for r in rows.groupBy("__b__").agg(F.count(F.lit(1)).alias("__n__")).collect()
+        }
+        trows = gram_bucket_rows(target, text_col, id_col, buckets)
+        nt = {
+            r["__b__"]: r["__n__"]
+            for r in trows.groupBy("__b__").agg(F.count(F.lit(1)).alias("__n__")).collect()
+        }
+    tot_q, tot_t = float(sum(nq.values())), float(sum(nt.values()))
+
+    def lp(n: float, tot: float) -> float | None:
+        num, den = n + alpha, tot + alpha * buckets
+        # alpha=0 + unseen bucket: Spark's F.log(<=0) was NULL; keep that
+        return math.log(num / den) if num > 0 and den > 0 else None
+
+    delta = []
+    for b in range(buckets):
+        lt, lq = lp(nt.get(b, 0), tot_t), lp(nq.get(b, 0), tot_q)
+        delta.append(None if lt is None or lq is None else lt - lq)
+    darr = F.array(
+        *[
+            F.lit(float(d)) if d is not None else F.lit(None).cast("double")
+            for d in delta
+        ]
+    )
+    # scoring: per-doc bucket counts (one row per (id, bucket) with count
+    # c) x the literal log-ratio — same (id,bucket) agg as the feature
+    # bags so the FP summation shape matches the oracle's SUM(c*delta)
+    feats = hashed_ngram_buckets(raw, text_col, id_col, buckets)
+    scored = feats.withColumn(
+        "__term__",
+        F.col("__c__") * F.element_at(darr, (F.col("__b__") + 1).cast("int")),
     )
     weights = scored.groupBy(id_col).agg(F.sum("__term__").alias("log_weight"))
     return (

@@ -1922,9 +1922,13 @@ def dsir_log_weights(spark, sf_dir):
     arXiv:2302.03169): importance weights for every document against the
     English-language slice as the target distribution, over 256 hashed
     unigram+bigram buckets with Laplace smoothing. Both feature
-    distributions are <= 256-row broadcasts; the raw corpus shuffles
-    once for its feature bags and once for the per-doc sum. md5 bucket
-    hashing + final 5 dp rounding keep the weights engine-portable."""
+    distributions are collected model parameters (<= 256 count rows,
+    one eager conditional-agg job) inlined as a literal log-ratio
+    array, so the scoring pass is join-free: exactly two gram passes
+    over the corpus at any scale (see sampling.dsir_log_weights for the
+    AQE ReuseExchange failure that killed the lazy broadcast-join
+    form). md5 bucket hashing + final 5 dp rounding keep the weights
+    engine-portable."""
     docs = _t(spark, sf_dir, "documents")
     w = sampling.dsir_log_weights(
         docs, target_pred=F.col("lang") == "en", buckets=256, alpha=1.0

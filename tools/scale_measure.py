@@ -311,6 +311,57 @@ def main():
             print(f"training_mix stage delta[{label}]: {t - prev:.1f}s")
             prev = t
 
+    # dsir_log_weights per-stage attribution (VERDICT r6 item 1): the
+    # heaviest standalone component gets noop-forced stage timing
+    # (count() would let Catalyst prune the very stage under
+    # measurement). The ROUND-7 finding this produced: the old
+    # single-lazy-plan form relied on ReuseExchange to collapse the five
+    # consumers of the feature-bag subtree, and under AQE that reuse
+    # does not happen (0 ReusedExchange in the executed plan; the
+    # distribution build alone measured 121.5 s of the query's 146 s
+    # because the corpus-wide gram explode ran once per consumer). The
+    # shipped form now COLLECTS the two 256-row distributions (model
+    # parameters, like k-means centroids) in one eager conditional-agg
+    # job and scores against a literal log-ratio array — exactly two
+    # gram passes at any scale. Stages timed:
+    #   gram_rows   tokenize + bigram + explode + md5 bucket hash
+    #               (map-only, one row per gram occurrence)
+    #   feats       + the (doc_id, bucket) count aggregation (the
+    #               corpus-sized shuffle the scoring pass pays)
+    #   dist_job    the eager distribution job (gram pass + broadcast
+    #               flag join + 256-group conditional agg + collect),
+    #               measured as the build cost of the query's plan
+    #   full        dist_job + the scoring action (the registered query
+    #               end-to-end); full - dist_job = scoring pass
+    if not only or "dsir_stages" in only:
+        from pyspark.sql import functions as F
+
+        from dataframe_kotlin_spark.operators import sampling
+
+        docs = spark.read.parquet(f"{DST}/documents.parquet")
+
+        out_t = {}
+        for label, fn in [
+            ("gram_rows", lambda: sampling.gram_bucket_rows(docs, "text", "doc_id", 256)),
+            ("feats", lambda: sampling.hashed_ngram_buckets(docs, "text", "doc_id", 256)),
+        ]:
+            t0 = time.time()
+            _force(fn())
+            out_t[label] = time.time() - t0
+            print(f"dsir stage[{label}]: {out_t[label]:.1f}s")
+        t0 = time.time()
+        plan = qs["dsir_log_weights"](spark, DST)  # runs the eager dist job
+        out_t["dist_job"] = time.time() - t0
+        print(f"dsir stage[dist_job]: {out_t['dist_job']:.1f}s")
+        t0 = time.time()
+        _force(plan)
+        out_t["scoring"] = time.time() - t0
+        print(f"dsir stage[scoring]: {out_t['scoring']:.1f}s")
+        print(
+            f"dsir stage[full = dist_job + scoring]: "
+            f"{out_t['dist_job'] + out_t['scoring']:.1f}s"
+        )
+
     # ANN with k ∝ N (round 6): the registry ANN queries pin tiny cell
     # counts for oracle determinism (ivf_topk's 10 labels,
     # ann_ivf_trained's k_cells=4 sequential-fold Lloyd), so at 100x the
