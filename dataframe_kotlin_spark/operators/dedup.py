@@ -69,13 +69,18 @@ def minhash_signature(
         else word_shingles(F.col(text_col), shingle_words)
     )
     out = df.withColumn("__sh__", sh)
+    # md5 each shingle ONCE into a column of base hashes; the k affine
+    # variants then transform the already-hashed array (cheap integer
+    # ops) instead of re-running hash20's md5 per hash function —
+    # num_hashes-1 fewer md5 passes per row, same values bit-for-bit
+    out = out.withColumn("__hs__", F.transform(F.col("__sh__"), hash20))
     for k in range(num_hashes):
         a, b = _ab(k)
         mh = F.array_min(
-            F.transform(F.col("__sh__"), lambda s: (hash20(s) * a + b) % MINHASH_P)
+            F.transform(F.col("__hs__"), lambda h: (h * a + b) % MINHASH_P)
         )
         out = out.withColumn(f"{out_prefix}{k}", F.coalesce(mh, F.lit(MINHASH_P)))
-    return out.drop("__sh__")
+    return out.drop("__sh__", "__hs__")
 
 
 def _cap_buckets(stacked: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:

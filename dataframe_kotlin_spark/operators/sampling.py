@@ -234,19 +234,28 @@ def gram_bucket_rows(
     per unigram/bigram OCCURRENCE, tagged with its md5 feature bucket
     ``__b__``. Exposed separately so the 100x stage-attribution harness
     (tools/scale_measure.py dsir_stages) can time the tokenize +
-    explode + hash cost apart from the bucket aggregation."""
-    from dataframe_kotlin_spark.functions.text import tokens
+    explode + hash cost apart from the bucket aggregation.
 
-    toks = tokens(F.col(text_col))
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-        ),
-    ).otherwise(F.array())
+    The token array is BOUND once per row (text.bind1) before the
+    bigram window — with the tokenizer expression referenced directly
+    inside the per-element lambda, the document re-tokenized once per
+    bigram (O(len^2)/row): the bigram build alone measured 38 s at
+    100x, 1.5 s bound (functions/text.py interpreted-lambda rule)."""
+    from dataframe_kotlin_spark.functions.text import bind1, tokens
+
+    def uni_bi(t: Column) -> Column:
+        bigrams = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+            ),
+        ).otherwise(F.array())
+        return F.concat(t, bigrams)
+
     grams = df.select(
-        F.col(id_col), F.explode(F.concat(toks, bigrams)).alias("__gram__")
+        F.col(id_col),
+        F.explode(bind1(tokens(F.col(text_col)), uni_bi)).alias("__gram__"),
     )
     return grams.select(id_col, _gram_bucket(F.col("__gram__"), buckets).alias("__b__"))
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from dataframe_kotlin_spark.functions.text import (
     STOPWORDS,
+    bind1,
     doc_fingerprint,
     normalize,
     quality_score,
@@ -78,35 +79,43 @@ def repetition_stats(df: DataFrame, text_col: str, ns: Sequence[int] = (2, 3)) -
     boilerplate/spam documents that a quality gate should drop before
     training. Reference has no equivalent (pipeline extension, SURVEY §7 P6).
     """
-    toks = tokens(F.col(text_col))
     out = df
     for n in ns:
-        # Total n-gram count is size(toks)-(n-1) — no array needed, so the
-        # transform (a CODEGEN-FALLBACK higher-order function, interpreted
-        # per row) is evaluated exactly ONCE, inside array_distinct. An
-        # earlier draft referenced the gram array three times and paid the
-        # interpreted transform 3x per row.
-        total = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-        # n-grams as joined strings: slide a window of n over the array.
+        # The token array is BOUND once per row (text.bind1): the
+        # per-gram slice reads a lambda variable — slicing the tokenizer
+        # expression inside the lambda would re-run it per gram,
+        # O(len^2)/row (functions/text.py interpreted-lambda rule).
         # Guarded: sequence(1, 0) DESCENDS in Spark, so short docs must
         # short-circuit rather than build an inverted range.
-        n_distinct = F.when(
-            F.size(toks) >= n,
-            F.size(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        # NOTE: pyspark's transform passes (element, index) to any
+        # callable whose SIGNATURE shows two parameters — default args
+        # count, so (t, n=n) would get the INDEX bound to n; frac_for
+        # reaches bind1 through a genuine 1-parameter closure below
+        def frac_for(t: Column, n: int) -> Column:
+            total = F.greatest(F.size(t) - (n - 1), F.lit(0))
+            n_distinct = F.when(
+                F.size(t) >= n,
+                F.size(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                        )
                     )
-                )
-            ),
-        ).otherwise(F.lit(0))
-        dup_frac = F.when(total <= 0, F.lit(0.0)).otherwise(
-            # +1e-9: keep exact .xxxx5 ratios off the Spark/duckdb
-            # rounding-boundary divergence (see text_stats)
-            F.round((total - n_distinct) / total + 1e-9, 4)
+                ),
+            ).otherwise(F.lit(0))
+            return F.when(total <= 0, F.lit(0.0)).otherwise(
+                # +1e-9: keep exact .xxxx5 ratios off the Spark/duckdb
+                # rounding-boundary divergence (see text_stats)
+                F.round((total - n_distinct) / total + 1e-9, 4)
+            )
+
+        def make(n: int):
+            return lambda t: frac_for(t, n)
+
+        out = out.withColumn(
+            f"dup_{n}gram_frac", bind1(tokens(F.col(text_col)), make(n))
         )
-        out = out.withColumn(f"dup_{n}gram_frac", dup_frac)
     return out
 
 
@@ -195,11 +204,17 @@ def chunk_text(
 
 
 def _ngram_windows(df: DataFrame, text_col: str, n: int, keep: Sequence[str]) -> DataFrame:
-    """One row per n-token window (space-joined), map-side explode."""
+    """One row per n-token window (space-joined), map-side explode.
+    Token array bound once per row (text.bind1) — slicing the tokenizer
+    expression inside the per-window lambda re-tokenizes per gram,
+    O(len^2)/row (functions/text.py interpreted-lambda rule)."""
     toks = tokens(F.col(text_col))
-    windows = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    windows = bind1(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
     )
     return (
         df.filter(F.size(toks) >= n)

@@ -9,9 +9,26 @@ import os
 from pyspark.sql import functions as F
 
 from dataframe_kotlin_spark.core.frame import KDataFrame
-from dataframe_kotlin_spark.functions.text import tokens
+from dataframe_kotlin_spark.functions.text import bind1, tokens
 from dataframe_kotlin_spark.operators import dedup, multimodal, sampling, similarity, textpipe
 from dataframe_kotlin_spark.queries import query
+
+
+def _sliding_bigrams(text_col):
+    """Space-joined sliding bigrams of the token array, with the array
+    BOUND once per row (text.bind1) — an element_at/slice on the raw
+    tokenizer expression inside the per-element lambda re-tokenizes the
+    document per gram, O(len^2)/row (functions/text.py
+    interpreted-lambda rule; CollapseProject inlines a projected alias
+    back into lambda bodies, so a select(...alias("t")) step does NOT
+    protect against it)."""
+    return bind1(
+        tokens(text_col),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    )
 
 
 def _t(spark, sf_dir: str, name: str):
@@ -869,12 +886,7 @@ def collocations_pmi(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     grams = docs.filter(F.size(toks) >= 2).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-            )
-        ).alias("bigram")
+        F.explode(_sliding_bigrams(F.col("text"))).alias("bigram")
     )
     bc = grams.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))) \
         .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2))) \
@@ -1250,16 +1262,8 @@ def bigram_lm_topk(spark, sf_dir):
     then first-word totals joined back). The denominator is derived FROM
     the bigram table — no second raw scan."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
-    big = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
-                ),
-            )
-        ).alias("bigram")
+    big = docs.filter(F.size(tokens(F.col("text"))) >= 2).select(
+        F.explode(_sliding_bigrams(F.col("text"))).alias("bigram")
     )
     bc = big.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w1 = F.split(F.col("bigram"), " ").getItem(0)
@@ -1442,19 +1446,8 @@ def doc_surprisal_scores(spark, sf_dir):
     relation that scoring joins back against — one raw scan feeds both
     sides."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", tokens(F.col("text")).alias("t")
-    ).filter(F.size("t") >= 2)
-    big = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("t"), i), F.element_at(F.col("t"), i + 1)
-                ),
-            )
-        ).alias("bigram"),
+    big = docs.filter(F.size(tokens(F.col("text"))) >= 2).select(
+        "doc_id", F.explode(_sliding_bigrams(F.col("text"))).alias("bigram")
     )
     bc = big.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     w1 = F.split(F.col("bigram"), " ").getItem(0)

@@ -565,3 +565,82 @@ def test_explicit_pivot_exotic_values_fall_back_to_spark(spark):
     assert set(dout.columns) == {"k", "1.50", "2.25"}
     drow = dout.collect()[0]
     assert drow["1.50"] == 5 and drow["2.25"] == 7
+
+
+# ---- n-gram builders after the bind1 rewrite (round 7) --------------------
+# The interpreted-lambda fix (functions/text.bind1) restructured every
+# sliding-window builder; these properties pin their OUTPUT against a plain
+# Python reference so the 22x speedup can't silently change content. Also
+# guards the pyspark arity trap: transform passes (element, index) to any
+# callable whose signature shows two parameters (the repetition_stats bug
+# this round: a (t, n=n) closure got the INDEX bound to n).
+
+import re as _re
+
+
+def _pynorm(t: str) -> str:
+    return _re.sub(r"\s+", " ", t.lower()).strip()
+
+
+_texts = st.lists(
+    st.text(alphabet=" abcdef", max_size=40), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_texts)
+def test_ngram_builders_match_python_reference(spark, texts):
+    from dataframe_kotlin_spark.functions.text import shingles, word_shingles
+    from dataframe_kotlin_spark.operators.textpipe import repetition_stats
+    from dataframe_kotlin_spark.queries.pipeline import _sliding_bigrams
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in repetition_stats(
+            df.select(
+                "id",
+                "text",
+                word_shingles(F.col("text"), 3).alias("ws"),
+                shingles(F.col("text"), 5).alias("cs"),
+                F.when(
+                    F.size(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")) >= 2,
+                    _sliding_bigrams(F.col("text")),
+                ).otherwise(F.array()).alias("bi"),
+            ),
+            "text",
+            ns=(2,),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = _pynorm(t).split(" ")
+        r = out[i]
+        # word 3-shingles, distinct, first-occurrence order
+        ws, seen = [], set()
+        if len(toks) >= 3:
+            for j in range(len(toks) - 2):
+                s = " ".join(toks[j : j + 3])
+                if s not in seen:
+                    seen.add(s)
+                    ws.append(s)
+        assert r["ws"] == ws, (t, r["ws"], ws)
+        # char 5-shingles, distinct, first-occurrence order
+        nm = _pynorm(t)
+        cs, seen = [], set()
+        if len(nm) >= 5:
+            for j in range(len(nm) - 4):
+                s = nm[j : j + 5]
+                if s not in seen:
+                    seen.add(s)
+                    cs.append(s)
+        assert r["cs"] == cs, (t, r["cs"], cs)
+        # sliding bigrams, every occurrence, in order
+        bi = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)] if len(toks) >= 2 else []
+        assert r["bi"] == bi, (t, r["bi"], bi)
+        # gopher duplicate-bigram fraction
+        total = max(len(toks) - 1, 0)
+        nd = len(set(bi))
+        expect = 0.0 if total <= 0 else round((total - nd) / total + 1e-9, 4)
+        assert abs(r["dup_2gram_frac"] - expect) < 1e-9, (t, r["dup_2gram_frac"], expect)
