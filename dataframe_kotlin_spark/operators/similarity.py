@@ -162,31 +162,38 @@ def hyperplane_lsh_buckets(
     """Random-hyperplane LSH bucket id per vector (sign bits of projections
     onto n_planes pseudo-random hyperplanes). Deterministic hyperplanes
     from a hash of (seed, plane, dim index) so the operator needs no
-    driver-side randomness and replays identically on any cluster."""
-    import math
+    driver-side randomness and replays identically on any cluster.
 
-    bucket = F.lit(0).cast("bigint")
-    vec = as_double(F.col(vec_col))
-    for p in range(n_planes):
-        # deterministic pseudo-random +-1 plane from md5 parity
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x
-                * F.when(
-                    F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.lit(p), i)), 1, 4), 16, 10)
-                    .cast("bigint")
-                    % 2
-                    == 1,
-                    1.0,
-                ).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(0)
-    return df.withColumn("lsh_bucket", bucket)
+    The plane signs depend only on (seed, plane, i) — model parameters —
+    so they are md5'd ONCE on the driver (hashlib and Spark's md5 agree
+    on the recipe byte-for-byte) and inlined as ±1 literal arrays; the
+    r6 form recomputed the md5 parity inside the projection lambda,
+    n_planes x dim row-independent digests PER ROW (and interpreted
+    HOFs get no subexpression elimination — functions/text.py rule).
+    The vector's double cast is bind1-bound once per row across all
+    plane folds. Projection fold order is unchanged, so bucket ids are
+    bit-identical to the r6 form."""
+    import hashlib
+
+    def sign(p: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}_{p}_{i}".encode()).hexdigest()
+        return 1.0 if int(h[:4], 16) % 2 == 1 else -1.0
+
+    from dataframe_kotlin_spark.functions.text import bind1
+
+    def bucket_of(v: Column) -> Column:
+        bucket = F.lit(0).cast("bigint")
+        for p in range(n_planes):
+            signs = F.array(*[F.lit(sign(p, i)) for i in range(dim)])
+            proj = F.aggregate(
+                F.zip_with(v, signs, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(proj > 0, F.lit(2**p)).otherwise(0)
+        return bucket
+
+    return df.withColumn("lsh_bucket", bind1(as_double(F.col(vec_col)), bucket_of))
 
 
 def cosine_neardup_pairs(

@@ -897,3 +897,30 @@ def test_winsorize_standardize_keep_null_key_rows(spark):
     assert z.count() == 4
     nulls = {r["x"]: r["x_z"] for r in z.collect() if r["g"] is None}
     assert abs(nulls[4.0] - 0.7071067811865475) < 1e-9  # z within the NULL group
+
+
+def test_hyperplane_lsh_pinned_buckets(spark):
+    """Pin exact bucket ids: the r7 driver-side sign precompute must stay
+    bit-identical to the original in-plan md5-parity form (same recipe,
+    same fold order) — these values were produced by the r6 expression."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [0.5, -0.25, 4.0]), (2, [-3.0, 0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.hyperplane_lsh_buckets(df, "embedding", dim=3, n_planes=8, seed=42)
+    got = {r["vec_id"]: r["lsh_bucket"] for r in out.collect()}
+    # reference values computed with the pre-r7 in-plan expression
+    import hashlib
+
+    def ref_bucket(vec):
+        b = 0
+        for p in range(8):
+            proj = 0.0
+            for i, x in enumerate(vec):
+                h = hashlib.md5(f"42_{p}_{i}".encode()).hexdigest()
+                proj += x * (1.0 if int(h[:4], 16) % 2 == 1 else -1.0)
+            if proj > 0:
+                b += 2**p
+        return b
+
+    assert got == {0: ref_bucket([1.0, 2.0, 3.0]), 1: ref_bucket([0.5, -0.25, 4.0]), 2: ref_bucket([-3.0, 0.0, 1.0])}
