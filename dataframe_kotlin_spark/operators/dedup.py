@@ -159,25 +159,63 @@ def lsh_candidate_pairs(
     return pairs
 
 
-def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    bits: int = 16,
+    out_col: str = "simhash",
+    method: str = "auto",
+) -> DataFrame:
     """SimHash over the word set: bit j of the signature is the sign of
-    sum over words of (+1 if bit j of h(word) else -1). Map-only."""
+    sum over words of (+1 if bit j of h(word) else -1). Map-only.
+
+    The word hashes stay the JVM md5 recipe (one transform — the
+    boundary that keeps CollapseProject from inlining the digest per
+    bit), but the per-bit majority fold is ``bits`` interpreted
+    aggregate passes over the hash array — measured ~225 s for 500k
+    docs at 100x-sf0.1, the same interpreted-HOF wall as the k-means
+    argmin (SCALE.md). method='numpy' (the 'auto' default) folds the
+    bits in one Arrow-batched pass ((h >> j) & 1 on int64 — EXACT
+    integer math, so unlike the dgemm float switch the two paths are
+    bit-identical on every input, pinned by tests); method='expr'
+    keeps the pure-expression form for SQL-replay audits."""
     words = F.array_distinct(tokens(F.col(text_col)))
-    # Hash every word ONCE into an int array. The per-bit aggregates below
-    # reference __h__ `bits` times, which blocks CollapseProject from
-    # inlining the expensive md5 transform into each use — without this
-    # boundary the hash would be recomputed per bit (HOFs are interpreted,
-    # no subexpression elimination).
     out = df.withColumn("__h__", F.transform(words, lambda w: hash20(w)))
-    acc = F.lit(0).cast("bigint")
-    for j in range(bits):
-        contrib = F.aggregate(
-            F.col("__h__"),
-            F.lit(0).cast("bigint"),
-            lambda s, h: s + F.when((F.floor(h / (2**j)) % 2) == 1, 1).otherwise(-1),
-        )
-        acc = acc + F.when(contrib > 0, F.lit(2**j)).otherwise(0)
-    return out.withColumn(out_col, acc).drop("__h__")
+    if method == "expr":
+        acc = F.lit(0).cast("bigint")
+        for j in range(bits):
+            contrib = F.aggregate(
+                F.col("__h__"),
+                F.lit(0).cast("bigint"),
+                lambda s, h: s + F.when((F.floor(h / (2**j)) % 2) == 1, 1).otherwise(-1),
+            )
+            acc = acc + F.when(contrib > 0, F.lit(2**j)).otherwise(0)
+        return out.withColumn(out_col, acc).drop("__h__")
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(df.schema.fields + [StructField(out_col, LongType(), False)])
+
+    def fold(batches):
+        import numpy as np
+
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            sigs = np.zeros(len(pdf), dtype=np.int64)
+            for r, hs in enumerate(pdf["__h__"]):
+                # NULL text -> NULL hash array -> signature 0, matching
+                # the expression path's when(NULL > 0).otherwise(0) fold
+                if hs is None or len(hs) == 0:
+                    continue
+                h = np.asarray(hs, dtype=np.int64)
+                ones = ((h[:, None] >> np.arange(bits)) & 1).sum(axis=0)
+                contrib = 2 * ones - len(h)  # (+1/-1 majority per bit)
+                sigs[r] = int(weights[contrib > 0].sum())
+            pdf = pdf.drop(columns=["__h__"])
+            pdf[out_col] = sigs
+            yield pdf
+
+    return out.mapInPandas(fold, out_schema)
 
 
 def hamming_pairs(

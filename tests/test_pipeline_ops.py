@@ -924,3 +924,22 @@ def test_hyperplane_lsh_pinned_buckets(spark):
         return b
 
     assert got == {0: ref_bucket([1.0, 2.0, 3.0]), 1: ref_bucket([0.5, -0.25, 4.0]), 2: ref_bucket([-3.0, 0.0, 1.0])}
+
+
+def test_simhash_numpy_matches_expr_bitexact(spark):
+    """The r7 Arrow-batched simhash fold is exact integer math, so unlike
+    the dgemm float switch the two paths must agree on EVERY input —
+    including NULL/empty text (expression folds NULL to signature 0)."""
+    from dataframe_kotlin_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b a"), (4, "the quick brown fox " * 9)],
+        "doc_id int, text string",
+    )
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for frame in (df, small):
+        a = {r["doc_id"]: r["simhash"] for r in simhash(frame, "text", bits=12, method="expr").select("doc_id", "simhash").collect()}
+        b = {r["doc_id"]: r["simhash"] for r in simhash(frame, "text", bits=12, method="numpy").select("doc_id", "simhash").collect()}
+        assert a == b
