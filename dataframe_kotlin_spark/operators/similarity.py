@@ -596,6 +596,7 @@ def ivf_topk_trained(
     id_col: str = "vec_id",
     k: int = 5,
     nprobe: int = 2,
+    method: str = "auto",
 ) -> DataFrame:
     """ANN over learned IVF cells with multi-cell probing.
 
@@ -603,6 +604,20 @@ def ivf_topk_trained(
     candidates come from an equi-join on the cell id — the cross join
     never exists. Cells are disjoint, so no candidate dedup is needed;
     the final per-query top-k spans all probed cells.
+
+    Candidate scoring follows the assign_cells auto rule: the pure
+    cosine EXPRESSION below 32 cells (bit-exact SQL replay — the
+    oracle-gated small-k registry paths), an Arrow-batched numpy cosine
+    above. The interpreted zip_with/aggregate fold costs O(dim) per
+    candidate with no codegen; at this corpus's dim=64 the two paths
+    measure within noise (8.6 s vs 8.1 s at 100×, k=400) because the
+    probe join and window dominate, but production embedding dims are
+    768-4096 — 12-64× more interpreted work per candidate — which is
+    the regime the auto switch exists for. numpy's pairwise summation
+    can differ from the sequential fold in the last ulp, so ranks at
+    razor-edge similarity ties may differ between the two paths
+    (measured identical rank sets, max |Δsim| = 2e-16 on this corpus)
+    — same contract as assign_cells.
     """
     c = assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv__")),
@@ -615,11 +630,35 @@ def ivf_topk_trained(
         .withColumn("__cells__", _nearest_cells(F.col("__qv__"), centroids, nprobe))
         .select("query_id", "__qv__", F.explode("__cells__").alias("__cell__"))
     )
-    scored = (
-        c.join(F.broadcast(q), "__cell__")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("__cv__"), F.col("__qv__")))
+    cand = c.join(F.broadcast(q), "__cell__").filter(
+        F.col("neighbor_id") != F.col("query_id")
     )
+    if method == "auto":
+        method = "numpy" if len(centroids) >= 32 else "expr"
+    if method == "expr":
+        scored = cand.withColumn("cosine_sim", cosine(F.col("__cv__"), F.col("__qv__")))
+    else:
+        from pyspark.sql.functions import pandas_udf
+
+        def _pcos(va, vb):
+            import numpy as np
+            import pandas as pd
+
+            if len(va) == 0:
+                return pd.Series([], dtype="float64")
+            A = np.stack(va.to_numpy()).astype(np.float64)
+            B = np.stack(vb.to_numpy()).astype(np.float64)
+            num = (A * B).sum(axis=1)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                out = num / den
+            return pd.Series(out)
+
+        # no type hints: the module's `from __future__ import annotations`
+        # stringifies them, which pandas_udf's hint inference rejects —
+        # the legacy (f, returnType) form is the stable SCALAR spelling
+        pcos = pandas_udf(_pcos, "double")
+        scored = cand.withColumn("cosine_sim", pcos(F.col("__cv__"), F.col("__qv__")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
