@@ -156,7 +156,14 @@ def main():
     reps = 1 if "--quick" in sys.argv else 3
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     # minutes-long pipeline DAGs: warm reps add nothing at that duration
-    heavy = {"decontamination_hits", "training_mix_report", "ann_ivf_scaled"}
+    # (ann_ivf_trained: the PINNED k=4 sequential-fold query runs ~370 s
+    # at 100x by design — 4 reps of it bought nothing but wall clock)
+    heavy = {
+        "decontamination_hits",
+        "training_mix_report",
+        "ann_ivf_scaled",
+        "ann_ivf_trained",
+    }
     out = {}
 
     # Timed action: noop write, NOT count() — count() lets Catalyst prune
