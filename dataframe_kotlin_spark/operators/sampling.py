@@ -242,6 +242,12 @@ def gram_bucket_rows(
     bigram (O(len^2)/row): the bigram build alone measured 38 s at
     100x, 1.5 s bound (functions/text.py interpreted-lambda rule)."""
     from dataframe_kotlin_spark.functions.text import bind1, tokens
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+
+    # same guard as decontaminate: a single-row-group corpus would
+    # serialize the gram expansion onto one task no matter the cores
+    # (metadata-only probe, no-op on well-laid-out inputs)
+    df = ensure_scan_parallelism(df)
 
     def uni_bi(t: Column) -> Column:
         bigrams = F.when(
