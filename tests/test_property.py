@@ -644,3 +644,26 @@ def test_ngram_builders_match_python_reference(spark, texts):
         nd = len(set(bi))
         expect = 0.0 if total <= 0 else round((total - nd) / total + 1e-9, 4)
         assert abs(r["dup_2gram_frac"] - expect) < 1e-9, (t, r["dup_2gram_frac"], expect)
+
+
+def test_render_literal_timestamp_requires_utc_session(spark):
+    """The timestamp fast path is only proven under UTC session + UTC JVM
+    zone (lit interprets naive datetimes in the JVM default zone, the
+    cast renders in the session zone) — a non-UTC session must fall back
+    to the range(1) job rather than render locally."""
+    import types
+
+    from dataframe_kotlin_spark.core.litrender import render_literal
+
+    v = _dt.datetime(2021, 3, 4, 5, 6, 7)
+    assert render_literal(v, _RL_TYPES["timestamp"], spark) == "2021-03-04 05:06:07"
+
+    class FakeConf:
+        def get(self, key):
+            return "America/New_York"
+
+    fake = types.SimpleNamespace(conf=FakeConf())
+    assert render_literal(v, _RL_TYPES["timestamp"], fake) is None
+    # tz-aware datetimes always fall back, even under UTC
+    aware = v.replace(tzinfo=_dt.timezone.utc)
+    assert render_literal(aware, _RL_TYPES["timestamp"], spark) is None
