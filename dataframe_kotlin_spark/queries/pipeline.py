@@ -1443,8 +1443,17 @@ def doc_surprisal_scores(spark, sf_dir):
     bigram surprisal -ln P(w2|w1) — the classic perplexity-proxy quality
     filter (low = repetitive/templated, high = incoherent). Two-stage
     composition: the LM is an aggregate of the same exploded bigram
-    relation that scoring joins back against — one raw scan feeds both
-    sides."""
+    relation that scoring joins back against.
+
+    The LM side of the scoring join is broadcast EXPLICITLY (the
+    corpus-stats convention bm25/tfidf use): the planner's size stats
+    for a Generate are its child's, so without the hint it broadcast
+    the 50M-row EXPLODED CORPUS side — a single-task corpus-sized
+    hash-relation build measured at 48 s of the query's 100x runtime
+    (stats bug, not data size; the hint makes the side choice
+    deterministic). The LM is vocab-sized — bounded by distinct
+    bigrams, not corpus rows — and at vocabularies past broadcast
+    range the hint should be dropped so AQE shuffle-joins both sides."""
     docs = _t(spark, sf_dir, "documents")
     big = docs.filter(F.size(tokens(F.col("text"))) >= 2).select(
         "doc_id", F.explode(_sliding_bigrams(F.col("text"))).alias("bigram")
@@ -1456,7 +1465,7 @@ def doc_surprisal_scores(spark, sf_dir):
         "bigram", (-F.log(F.col("n") / F.col("n1"))).alias("surprisal")
     )
     return (
-        big.join(lm, "bigram")
+        big.join(F.broadcast(lm), "bigram")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
