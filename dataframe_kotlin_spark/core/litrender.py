@@ -92,20 +92,28 @@ def java_double_str(d: float) -> str:
 def _utc_session(spark) -> bool:
     """True when both the session tz and the JVM default tz are UTC —
     the only configuration where a naive datetime's lit->cast round
-    trip is wall-clock identity (see module doc). One py4j call per
-    session, cached on the session object; no Spark job."""
-    cached = getattr(spark, "_kds_utc_session", None)
+    trip is wall-clock identity (see module doc). The session-tz half
+    is re-read from the conf on EVERY call (one py4j call, no job):
+    user code may `spark.conf.set('spark.sql.session.timeZone', ...)`
+    mid-session, and a stale cached True would let timestamp pivot
+    names render in UTC while the stringified key column renders in
+    the new zone — a silent name/data mismatch (ADVICE r7). Only the
+    JVM default-zone lookup is cached (immutable for the process
+    barring explicit TimeZone.setDefault, which Spark never does)."""
+    try:
+        if spark.conf.get("spark.sql.session.timeZone") not in _UTC_NAMES:
+            return False
+    except Exception:
+        return False
+    cached = getattr(spark, "_kds_jvm_default_utc", None)
     if cached is not None:
         return cached
     try:
-        ok = (
-            spark.conf.get("spark.sql.session.timeZone") in _UTC_NAMES
-            and spark._jvm.java.util.TimeZone.getDefault().getID() in _UTC_NAMES
-        )
+        ok = spark._jvm.java.util.TimeZone.getDefault().getID() in _UTC_NAMES
     except Exception:
         ok = False
     try:
-        spark._kds_utc_session = ok
+        spark._kds_jvm_default_utc = ok
     except Exception:
         pass
     return ok

@@ -179,6 +179,9 @@ def simhash(
     integer math, so unlike the dgemm float switch the two paths are
     bit-identical on every input, pinned by tests); method='expr'
     keeps the pure-expression form for SQL-replay audits."""
+    from dataframe_kotlin_spark.operators.similarity import _check_method
+
+    _check_method(method)
     words = F.array_distinct(tokens(F.col(text_col)))
     out = df.withColumn("__h__", F.transform(words, lambda w: hash20(w)))
     if method == "expr":

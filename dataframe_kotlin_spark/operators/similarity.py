@@ -20,6 +20,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_method(method: str) -> None:
+    """'expr' exists specifically for SQL-replay audits, so a typo must
+    NOT silently fall through to the numpy path (ADVICE r7) — validate
+    eagerly and loudly."""
+    if method not in ("auto", "expr", "numpy"):
+        raise ValueError(
+            f"method must be one of 'auto', 'expr', 'numpy'; got {method!r}"
+        )
+
+
 def _parse_byte_conf(value: str, default: int = 128 * 1024 * 1024) -> int:
     """Parse a Spark byte-string conf value ("128m", "1g", "134217728",
     "512k", "1gb") into bytes. Spark accepts an optional k/m/g/t/p
@@ -559,6 +569,7 @@ def assign_cells(
     sequential expression fold and the BLAS dot can differ in the last
     ulp, so razor-edge ties may land differently — keep 'expr' where
     bit-exact replay matters."""
+    _check_method(method)
     if method == "auto":
         method = "numpy" if len(centroids) >= 32 else "expr"
     if method == "expr":
@@ -619,6 +630,7 @@ def ivf_topk_trained(
     (measured identical rank sets, max |Δsim| = 2e-16 on this corpus)
     — same contract as assign_cells.
     """
+    _check_method(method)
     c = assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv__")),
         centroids,
@@ -645,14 +657,21 @@ def ivf_topk_trained(
             import pandas as pd
 
             if len(va) == 0:
-                return pd.Series([], dtype="float64")
+                return pd.Series([], dtype="Float64")
             A = np.stack(va.to_numpy()).astype(np.float64)
             B = np.stack(vb.to_numpy()).astype(np.float64)
             num = (A * B).sum(axis=1)
             den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
                 out = num / den
-            return pd.Series(out)
+            # zero-norm vectors: num/den = 0/0 = NaN, and Spark orders NaN
+            # ABOVE every double, so NaN candidates would fill the desc
+            # top-k — while the expr path yields NULL (non-ANSI div-by-
+            # zero), which sorts last. Mask to NA so both paths rank
+            # zero-norm candidates last (nullable Float64 -> Arrow null).
+            masked = pd.array(out, dtype="Float64")
+            masked[den == 0.0] = pd.NA
+            return pd.Series(masked)
 
         # no type hints: the module's `from __future__ import annotations`
         # stringifies them, which pandas_udf's hint inference rejects —

@@ -167,3 +167,48 @@ def test_ann_ivf_scaled_registry_contract(spark):
     # the k proportional-to-N rule bottoms out at 4 cells on tiny data
     again = ann_ivf_scaled(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ivf_trained_numpy_zero_norm_ranks_last(spark):
+    """ADVICE r7: on the numpy path a zero-norm vector produced NaN
+    cosine (0/0 under errstate-ignore), and Spark orders NaN ABOVE
+    every double — so NaN candidates filled the desc top-k, while the
+    expr path's NULL (non-ANSI div-by-zero) sorts last. Both paths must
+    rank zero-norm candidates last and agree on the result set."""
+    from dataframe_kotlin_spark.operators import similarity as sim
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        if i % 10 == 0:
+            vec = [0.0] * dim  # zero-norm corpus vectors
+        else:
+            vec = [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter((F.col("vec_id") == 1) | (F.col("vec_id") == 2))
+    # 40 distinct-ish vectors, k_cells high enough to force numpy (>=32)
+    cents = [[float((c * 5 + j) % 7 - 3) for j in range(dim)] for c in range(32)]
+    got_np = sim.ivf_topk_trained(df, q, cents, k=3, nprobe=32, method="numpy")
+    got_ex = sim.ivf_topk_trained(df, q, cents, k=3, nprobe=32, method="expr")
+    np_rows = {(r["query_id"], r["neighbor_id"]) for r in got_np.collect()}
+    ex_rows = {(r["query_id"], r["neighbor_id"]) for r in got_ex.collect()}
+    assert np_rows == ex_rows
+    # zero-norm ids (0, 10, 20, 30) must not appear in any top-3
+    zero_ids = {0, 10, 20, 30}
+    assert not {n for _, n in np_rows} & zero_ids
+
+
+def test_method_param_validated():
+    """ADVICE r7: a typo like method='exrp' must raise, not silently
+    take the numpy path ('expr' exists for SQL-replay audits)."""
+    import pytest as _pytest
+
+    from dataframe_kotlin_spark.operators import dedup, similarity as sim
+
+    with _pytest.raises(ValueError, match="method"):
+        sim.assign_cells(None, [[0.0]], method="exrp")
+    with _pytest.raises(ValueError, match="method"):
+        sim.ivf_topk_trained(None, None, [[0.0]], method="numpyy")
+    with _pytest.raises(ValueError, match="method"):
+        dedup.simhash(None, "text", method="exrp")

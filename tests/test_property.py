@@ -667,3 +667,24 @@ def test_render_literal_timestamp_requires_utc_session(spark):
     # tz-aware datetimes always fall back, even under UTC
     aware = v.replace(tzinfo=_dt.timezone.utc)
     assert render_literal(aware, _RL_TYPES["timestamp"], spark) is None
+
+
+def test_render_literal_tracks_session_tz_changes(spark):
+    """ADVICE r7: the UTC-session check must NOT be cached forever on
+    the session — user code can spark.conf.set the session timeZone
+    mid-session, and a stale cached True would render timestamp pivot
+    names in UTC while the key column stringifies in the new zone."""
+    from dataframe_kotlin_spark.core.litrender import render_literal
+
+    v = _dt.datetime(2021, 3, 4, 5, 6, 7)
+    # prime any cache under UTC: fast path renders locally
+    assert render_literal(v, _RL_TYPES["timestamp"], spark) == "2021-03-04 05:06:07"
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # the conf change must be seen immediately -> fall back (None)
+        assert render_literal(v, _RL_TYPES["timestamp"], spark) is None
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    # and back to UTC the fast path resumes
+    assert render_literal(v, _RL_TYPES["timestamp"], spark) == "2021-03-04 05:06:07"
