@@ -130,6 +130,63 @@ def bloom_prefilter(
     return big.filter(cond)
 
 
+def gated_broadcast(
+    side: DataFrame,
+    est_rows: int | None,
+    bytes_per_row: int = 64,
+    fallback_hint: str | None = "shuffle_hash",
+) -> DataFrame:
+    """`F.broadcast(side)` ONLY while a cheap cardinality estimate says
+    it fits the session's autoBroadcastJoinThreshold — else a
+    shuffle-side hint (default SHUFFLE_HASH: per-partition hash build of
+    the already-partitioned side, no corpus-wide sort, no single-task
+    broadcast build).
+
+    The guard for VOCAB-SIZED join sides (bigram LMs, unigram counts,
+    term dictionaries): bounded by distinct keys, not corpus rows — so
+    usually broadcastable, but UNBOUNDED as the corpus grows. An
+    unconditional `F.broadcast` on such a side is a latent executor OOM
+    at 100 TB (a multi-billion-row LM force-built as one hash relation);
+    no hint at all re-exposes the Generate-stats bug this hint exists to
+    fix (the static planner sizes an exploded side by its CHILD, so it
+    broadcasts the 50M-row corpus side — measured 48 s single-task build
+    on doc_surprisal_scores at 100x before the hint, VERDICT r7). The
+    explicit fallback hint keeps the side choice deterministic in BOTH
+    regimes instead of trusting stats that are known-wrong here.
+
+    est_rows: caller-supplied estimate, upward-biased preferred (a
+    too-big estimate only downgrades a broadcast to a shuffle join; a
+    too-small one OOMs). See `sampled_distinct_rows`. None -> no
+    broadcast (unknown size never force-broadcasts).
+    A disabled threshold (<= 0, i.e. user set -1) also suppresses the
+    hint — respect the session's "never broadcast" intent.
+    """
+    spark = side.sparkSession
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    if str(raw).strip().startswith("-"):
+        thresh = 0
+    else:
+        from dataframe_kotlin_spark.operators.similarity import _parse_byte_conf
+
+        thresh = _parse_byte_conf(raw, default=10 * 1024 * 1024)
+    if thresh > 0 and est_rows is not None and est_rows * bytes_per_row <= thresh:
+        return F.broadcast(side)
+    return side.hint(fallback_hint) if fallback_hint else side
+
+
+def sampled_distinct_rows(sampled_rel: DataFrame, col: Column | str, fraction: float) -> int:
+    """Upward-biased distinct-cardinality estimate from one SMALL job:
+    approx_count_distinct over a relation the CALLER already sampled at
+    `fraction`, scaled back by 1/fraction. Rare values sample ~linearly
+    (the scale factor recovers them); common values get over-scaled —
+    the SAFE bias direction for a broadcast gate, where overestimating
+    only turns the hint off. The caller samples so it can place the
+    sample BEFORE an explode (docs.sample(f).select(explode(...))) and
+    the probe tokenizes only the sample."""
+    n = sampled_rel.agg(F.approx_count_distinct(col).alias("nd")).first()["nd"]
+    return int((n or 0) / fraction)
+
+
 def ensure_scan_parallelism(df: DataFrame, min_frac: int = 4) -> DataFrame:
     """Guard a CPU-heavy map expansion (n-gram explosion, shingle
     hashing, per-row DP) against pathologically COARSE scan splits.

@@ -406,3 +406,66 @@ def test_plans_md_covers_exact_registry():
         f"(run `python tools/plan_digest.py /root/testdata/sf0.001 --write`): "
         f"{registry - digest_names}"
     )
+
+
+def test_gated_broadcast_respects_threshold(spark):
+    """VERDICT r7 item 1: gated_broadcast applies the broadcast hint only
+    while est_rows * bytes_per_row fits autoBroadcastJoinThreshold; above
+    it (or with the threshold disabled / size unknown) the side gets the
+    deterministic SHUFFLE_HASH fallback instead."""
+    from dataframe_kotlin_spark.operators import skew
+
+    df = spark.range(10).withColumnRenamed("id", "k")
+
+    def strategy(d):
+        s = d._jdf.queryExecution().analyzed().toString()
+        if "strategy=broadcast" in s:
+            return "broadcast"
+        if "strategy=shuffle_hash" in s:
+            return "shuffle_hash"
+        return "none"
+
+    assert strategy(skew.gated_broadcast(df, est_rows=100)) == "broadcast"
+    # over threshold: 10MB default / 64B per row < 10^9 rows
+    assert strategy(skew.gated_broadcast(df, est_rows=10**9)) == "shuffle_hash"
+    # unknown size never force-broadcasts
+    assert strategy(skew.gated_broadcast(df, est_rows=None)) == "shuffle_hash"
+    assert strategy(skew.gated_broadcast(df, None, fallback_hint=None)) == "none"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # shrink the threshold: the same small estimate now refuses the hint
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1k")
+        assert strategy(skew.gated_broadcast(df, est_rows=100)) == "shuffle_hash"
+        assert strategy(skew.gated_broadcast(df, est_rows=10)) == "broadcast"
+        # disabled threshold (-1): respect "never broadcast"
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert strategy(skew.gated_broadcast(df, est_rows=1)) == "shuffle_hash"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_surprisal_broadcast_gate_end_to_end(spark):
+    """doc_surprisal_scores above the broadcast threshold: the LM join
+    must become a ShuffledHashJoin (never a corpus-side broadcast — the
+    Generate-stats bug — and never an LM broadcast), with the result
+    identical to the broadcast regime."""
+    from dataframe_kotlin_spark.queries.pipeline import doc_surprisal_scores
+
+    base = sorted(map(tuple, doc_surprisal_scores(spark, SF).collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1k")
+        df = doc_surprisal_scores(spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "strategy=broadcast" not in analyzed, analyzed
+        assert "strategy=shuffle_hash" in analyzed, analyzed
+        rows = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the gated corpus<->LM join must execute as the pinned shuffle
+        # join. (AQE may still RUNTIME-convert the internal, vocab-sized
+        # bc<->uc join to broadcast from MEASURED sizes — that's the
+        # safe, adaptive kind the gate defers to, not a static hint.)
+        assert "ShuffledHashJoin [bigram" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert rows == base
