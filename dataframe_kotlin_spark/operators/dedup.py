@@ -35,6 +35,23 @@ def hash20(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 5), 16, 10).cast("bigint")
 
 
+def hash64(col: Column) -> Column:
+    """Deterministic 64-bit string hash: the first 16 hex chars of md5,
+    as a SIGNED bigint whose BIT PATTERN equals the unsigned value (so
+    DuckDB replays it as `('0x'||substr(md5(s),1,16))::UBIGINT` — the
+    two engines agree bit-for-bit under xor/popcount even though the
+    decimal renderings differ). Built as (high nibble << 60) | low 60
+    bits because neither engine can cast 16 hex chars straight into a
+    SIGNED 64-bit lane: Spark's conv returns the unsigned decimal
+    string (overflows the bigint cast), DuckDB overflow-checks the
+    cast. Spark's shiftleft wraps (Java semantics), giving the signed
+    view for free."""
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 1), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(hx, 2, 15), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 60).bitwiseOR(lo)
+
+
 def _ab(k: int) -> tuple[int, int]:
     # fixed affine family; mirrored literally in oracle SQL
     return 2 * k + 3, 5 * k + 1
@@ -178,21 +195,35 @@ def simhash(
     bits in one Arrow-batched pass ((h >> j) & 1 on int64 — EXACT
     integer math, so unlike the dgemm float switch the two paths are
     bit-identical on every input, pinned by tests); method='expr'
-    keeps the pure-expression form for SQL-replay audits."""
+    keeps the pure-expression form for SQL-replay audits.
+
+    bits up to 64 (the deployment width — SCALE.md): past 20 the word
+    hash switches from hash20 to hash64 (bit patterns replayable in
+    DuckDB as UBIGINT), bit tests use sign-safe shift+mask, and bit 63
+    lands as the bigint sign bit (two's complement — xor/popcount
+    downstream are sign-agnostic)."""
     from dataframe_kotlin_spark.operators.similarity import _check_method
 
     _check_method(method)
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
+    word_hash = hash64 if bits > 20 else hash20
     words = F.array_distinct(tokens(F.col(text_col)))
-    out = df.withColumn("__h__", F.transform(words, lambda w: hash20(w)))
+    out = df.withColumn("__h__", F.transform(words, lambda w: word_hash(w)))
     if method == "expr":
         acc = F.lit(0).cast("bigint")
         for j in range(bits):
             contrib = F.aggregate(
                 F.col("__h__"),
                 F.lit(0).cast("bigint"),
-                lambda s, h: s + F.when((F.floor(h / (2**j)) % 2) == 1, 1).otherwise(-1),
+                # shiftright is ARITHMETIC but &1 reads bit j exactly for
+                # any sign (hash64 values are negative when md5's top
+                # nibble >= 8); floor-div %2 would misread negatives
+                lambda s, h: s + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
             )
-            acc = acc + F.when(contrib > 0, F.lit(2**j)).otherwise(0)
+            # j=63 is the sign bit: its two's-complement weight
+            w_j = F.lit(2**j) if j < 63 else F.lit(-(2**63))
+            acc = acc + F.when(contrib > 0, w_j).otherwise(F.lit(0))
         return out.withColumn(out_col, acc).drop("__h__")
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -253,12 +284,23 @@ def hamming_pairs(
         w = base + (1 if i < rem else 0)
         blocks.append((i, lo, w))
         lo += w
+    # block key = bits [lo, lo+w) via logical shift + mask: sign-safe for
+    # 64-bit signatures (bit 63 = bigint sign bit). The old `shiftright %
+    # 2^w` misreads NEGATIVE shifted values (Java % keeps the dividend's
+    # sign: -5 % 4 = -1, low bits 11 = 3) — a silent recall hole once
+    # signatures went 64-bit; identical to the old form for nonnegative
+    # signatures (all <= 20-bit recipes), so existing oracles replay
+    # unchanged.
+    def _block_key(i: int, lo: int, w: int) -> Column:
+        mask = F.lit(-1) if w >= 64 else F.lit((1 << w) - 1)
+        return F.shiftrightunsigned(F.col(sim_col), lo).bitwiseAND(mask)
+
     probe = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(i).alias("block_id"),
-                    (F.shiftright(F.col(sim_col), lo) % (2**w)).alias("block_key"),
+                    _block_key(i, lo, w).alias("block_key"),
                 )
                 for i, lo, w in blocks
             ]

@@ -38,38 +38,35 @@ def query(name: str, oracle: str | None = None):
 # through joins, grouping, pivot/reshape, window analytics, TPC-H shapes,
 # dedup/similarity/text pipeline — instead of exhausting the budget on one
 # module's block.
-# Round-7 rotation (VERDICT r6 item 3): after r6 every registry name is
-# driver-green; evidence freshness is the only axis left. The 50-slot
-# window = the one query REGISTERED THIS ROUND (ann_ivf_scaled — the
-# scale-posture ANN with data-proportional cell count, VERDICT r6 item
-# 2) first, then the 9 LONGEST-UNCHECKED names (5 last seen in r1 + 4
-# in r2), then the 22 next-oldest (last seen in r3), then 12 flagships
-# re-confirming the bench/pipeline core, then the 6 oldest r4 names to
-# fill the window. After the r7 gate runs, no name's latest green row
-# is older than r4.
+# Round-8 rotation (VERDICT r7 item 4): oldest-first. The 50-slot
+# window = the 3 queries REGISTERED THIS ROUND (the scale-posture twins
+# semdedup_scaled + simhash_hamming_scaled and the composed
+# dedup_then_jaccard flow — VERDICT r7 items 2-3) first, then ALL 39
+# names whose latest green row is r4, then 8 r5 names (leading with
+# doc_surprisal_scores and resample_ffill_hours, whose code/measurement
+# changed this round) to fill the window. After the r8 gate runs, no
+# name's latest green row is older than r5.
 _PRIORITY = [
-    # first evidence: registered in round 7
-    "ann_ivf_scaled",
-    # oldest-green rotation: last checked in round 1 / round 2
-    "except_keys", "join_part_supplier_stats", "distinct_suppliers_brand",
-    "simhash_hamming_pairs", "heavy_hitter_terms",
-    "intersect_keys", "simhash_values", "jaccard_pairs", "language_id",
-    # next-oldest: last checked in round 3
-    "q6_revenue_band", "q4_priority_exists", "q10_returned_items",
-    "q14_type_share", "q18_large_orders", "q9_profit_nation_year",
-    "count_min_term_counts", "pii_redaction", "curate_corpus",
-    "pivot_counts", "gather_melt", "explode_embeddings",
-    "split_into_rows", "struct_roundtrip", "flatten_nested",
-    "diff_lag", "moving_average", "tumbling_window", "sliding_window",
-    "funnel_conversion", "cohort_retention", "decimal_exact_ledger",
-    # flagship re-confirmation (bench + pipeline core)
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "filter_predicates", "pivot_sum_segments", "sessionize",
-    "minhash_signatures", "ann_bruteforce_topk", "dedup_exact",
-    "semdedup_survivors", "dsir_log_weights", "decontamination_hits",
-    # window fill: oldest round-4 names, in their r4 order
-    "q2_min_cost_supplier", "q7_nation_volume", "q8_market_share",
-    "q11_important_value", "q12_late_priority", "q13_order_distribution",
+    # first evidence: registered in round 8
+    "semdedup_scaled", "simhash_hamming_scaled", "dedup_then_jaccard",
+    # oldest-green rotation: every name last checked in round 4
+    "ann_ivf_topk", "ann_ivf_trained", "bm25_topk", "chunked_groups",
+    "collocations_pmi", "dedup_clusters", "distinct_by_expr",
+    "doc_fingerprints", "fuzzy_pairs_editdist", "hash_split_counts",
+    "hll_deterministic_customers", "jaccard_prefix_pairs",
+    "kmeans_det_assignments", "mix_weighted_counts", "mixture_plan_langs",
+    "move_restructure", "neardup_embedding", "pack_sequences_stats",
+    "pagerank_parts", "pivot_matches", "pivot_multi_agg",
+    "psi_drift_priority", "q15_top_supplier", "q16_supplier_relation",
+    "q17_small_quantity", "q19_brand_bands", "q20_promotion_suppliers",
+    "q21_waiting_supplier", "q22_idle_balance", "quality_filter",
+    "repetition_filter", "reservoir_counts", "running_total_scan",
+    "split_leakage_pairs", "term_frequency_topk", "text_stats",
+    "tfidf_top_terms", "training_mix_report", "weighted_sample_langs",
+    # window fill: r5 names — the two touched this round first
+    "doc_surprisal_scores", "resample_ffill_hours",
+    "asof_last_purchase", "asof_nearest_purchase", "asof_next_purchase",
+    "bigram_lm_topk", "bloom_prefilter_join", "chunk_documents",
 ]
 
 

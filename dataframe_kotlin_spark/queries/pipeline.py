@@ -164,6 +164,60 @@ def simhash_hamming_pairs(spark, sf_dir):
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
+# 64-bit replay recipe for the DEPLOYMENT-width simhash: word hash =
+# first 16 md5 hex chars as UBIGINT (bit-identical to Spark's signed
+# hash64 — see dedup.hash64), per-bit majority via sign-safe shift+mask,
+# weights summed in HUGEINT then cast back to the unsigned 64-bit lane.
+_SIMHASH64_ORACLE = " + ".join(
+    f"""CASE WHEN list_sum(list_transform(toks,
+        w -> CASE WHEN ((('0x'||substr(md5(w),1,16))::UBIGINT >> {j}) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        THEN CAST(power(2,{j}) AS HUGEINT) ELSE 0::HUGEINT END"""
+    for j in range(64)
+)
+
+
+@query(
+    "simhash_hamming_scaled",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, CAST({_SIMHASH64_ORACLE} AS UBIGINT) AS s
+      FROM tok
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
+)
+def simhash_hamming_scaled(spark, sf_dir):
+    """The SCALE-POSTURE simhash near-dup pass, driver-gated (VERDICT r7
+    item 2): unlike simhash_hamming_pairs — whose 12-bit signatures are
+    a test artifact whose blocks go near-universal at 500k docs — this
+    runs the deployment form SCALE.md documents: 64-BIT signatures
+    (hash64 word hashes, bit 63 in the bigint sign bit; the numpy fold
+    and the expr path stay bit-identical — integer math) with the
+    ``max_bucket`` guard SET. The guard is data-proportional
+    (max(256, n_docs/2)): it clips only DEGENERATE blocks (a constant
+    block across a near-half-corpus family), so full pigeonhole recall
+    provably holds at gate scales — measured max 16-bit-block bucket is
+    159 at sf0.01 and 1639 at sf0.1, both under n/2 — which is exactly
+    what lets the brute-force oracle hash-match the banded join. The
+    signature itself never leaves either engine (pairs + hamming only),
+    so Spark's signed vs DuckDB's unsigned 64-bit lanes can't diverge
+    (xor/popcount are sign-agnostic)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    sigs = dedup.simhash(docs, "text", bits=64)
+    out = dedup.hamming_pairs(
+        sigs, "doc_id", "simhash", max_dist=3, bits=64, max_bucket=max(256, n // 2)
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
 @query(
     "jaccard_pairs",
     oracle="""
@@ -1638,6 +1692,51 @@ def jaccard_prefix_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_then_jaccard",
+    oracle="""
+    WITH kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    tok AS (
+      SELECT d.doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents d JOIN kept USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+    FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          len(list_distinct(a.toks || b.toks)) >= 0.6
+    """,
+)
+def dedup_then_jaccard(spark, sf_dir):
+    """THE deployment answer for near-dup enumeration on COPY-HEAVY
+    corpora (VERDICT r7 item 3; SCALE.md's dedup-then-enumerate
+    posture): exact dedup first (fingerprint groupBy keeps the smallest
+    id per normalized-text class), THEN full-recall prefix-filtered
+    Jaccard over the survivors only. On a corpus where many documents
+    are exact copies, enumerating pairs directly owes a pair PER COPY
+    PAIR (>= 25M output pairs by arithmetic on the 100x-replicated
+    corpus — the measured wall); collapsing exact classes first makes
+    the residual enumeration corpus-size-bound again (11.8 s end-to-end
+    at 100x vs the unbounded pair blowup). Composition is one DAG: the
+    semi-join on the kept ids flows straight into the prefix join, no
+    collect. The oracle replays GROUP BY-first + brute-force pair join,
+    so a hash match proves both the dedup class arithmetic and that the
+    prefix filter lost nothing on the surviving set."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = docs.join(kept, "doc_id", "left_semi")
+    out = dedup.jaccard_pairs_prefix(survivors, "doc_id", "text", threshold=0.6)
+    return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+
+
+@query(
     "pagerank_parts",
     oracle="""
     WITH e0 AS (
@@ -1902,6 +2001,85 @@ def semdedup_survivors(spark, sf_dir):
     tagged = emb.join(asg.select("vec_id", F.col("cell").cast("bigint").alias("cell")), "vec_id")
     out = dedup.semdedup_prune(tagged, "cell", "embedding", "vec_id", threshold=0.35)
     return out.select("vec_id", "cell")
+
+
+@query(
+    "semdedup_scaled",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_total,
+           TRUE AS partition_ok, TRUE AS prune_sound,
+           TRUE AS prune_complete, TRUE AS no_dup_survivors
+    """,
+)
+def semdedup_scaled(spark, sf_dir):
+    """The SCALE-POSTURE SemDeDup, driver-gated (VERDICT r7 item 2):
+    unlike semdedup_survivors — which pins k=4 deterministic-Lloyd cells
+    so DuckDB can replay every float, making the within-cell pair join
+    QUADRATIC in N/4 at 100x — this runs the deployment form (the
+    SemDeDup paper's): ``train_ivf_centroids`` with DATA-PROPORTIONAL
+    cell count (k = max(4, N/500), cell size stays ~500 as the corpus
+    grows — the same rule as ann_ivf_scaled; the Arrow dgemm argmin
+    engages at k >= 32) and the fast commutative-agg clustering.
+
+    Learned centroids aren't SQL-expressible, so the oracle is the
+    boolean-contract kind (the ann_ivf_scaled / r6-HLL template): the
+    query emits corpus-level facts the oracle reproduces literally —
+    n_total, plus four booleans VERIFIED DISTRIBUTED-SIDE in Spark:
+    partition_ok (every vector got exactly one non-null cell in
+    [0, k)), prune_sound (no survivor is the larger id of any
+    above-threshold same-cell pair), prune_complete (survivors +
+    distinct dropped ids partition the corpus exactly), and
+    no_dup_survivors (no two IDENTICAL embeddings both survive —
+    identical vectors always share a cell and have cosine 1, so
+    clustering nondeterminism can never excuse a duplicate pair). A
+    broken cell assignment, pair join, threshold, or anti-join flips a
+    boolean and the hash mismatches. All checks are aggregates over the
+    same cell-blocked relations the operator itself uses — one DAG, no
+    collect, no all-pairs join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(4, n // 500)
+    cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", k=k_cells, iters=1)
+    tagged = similarity.assign_cells(emb, cents, "embedding", "cell")
+    surv = dedup.semdedup_prune(tagged, "cell", "embedding", "vec_id", threshold=0.35)
+    pairs = similarity.cosine_neardup_pairs(
+        tagged, "cell", vec_col="embedding", id_col="vec_id", threshold=0.35
+    )
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    a_part = tagged.agg(
+        F.count(F.lit(1)).alias("n_asg"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.sum(
+            F.when(
+                F.col("cell").isNull() | (F.col("cell") < 0) | (F.col("cell") >= k_cells), 1
+            ).otherwise(0)
+        ).alias("n_bad_cell"),
+    )
+    a_surv = surv.agg(F.count(F.lit(1)).alias("n_surv"))
+    a_drop = dropped.agg(F.count(F.lit(1)).alias("n_drop"))
+    a_sound = (
+        surv.select("vec_id").join(dropped, "vec_id").agg(F.count(F.lit(1)).alias("n_unsound"))
+    )
+    a_dup = (
+        surv.groupBy("embedding")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_groups"))
+    )
+    return (
+        a_part.crossJoin(a_surv)
+        .crossJoin(a_drop)
+        .crossJoin(a_sound)
+        .crossJoin(a_dup)
+        .select(
+            F.lit(n).cast("bigint").alias("n_total"),
+            ((F.col("n_asg") == n) & (F.col("n_ids") == n) & (F.col("n_bad_cell") == 0)).alias(
+                "partition_ok"
+            ),
+            (F.col("n_unsound") == 0).alias("prune_sound"),
+            ((F.col("n_surv") + F.col("n_drop")) == n).alias("prune_complete"),
+            (F.coalesce(F.col("n_dup_groups"), F.lit(0)) == 0).alias("no_dup_survivors"),
+        )
+    )
 
 
 @query(

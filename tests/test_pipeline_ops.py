@@ -943,3 +943,92 @@ def test_simhash_numpy_matches_expr_bitexact(spark):
         a = {r["doc_id"]: r["simhash"] for r in simhash(frame, "text", bits=12, method="expr").select("doc_id", "simhash").collect()}
         b = {r["doc_id"]: r["simhash"] for r in simhash(frame, "text", bits=12, method="numpy").select("doc_id", "simhash").collect()}
         assert a == b
+
+
+def test_simhash64_paths_bitexact_and_negative(spark):
+    """64-bit simhash (the deployment width, r8): hash64 word hashes put
+    bit 63 in the bigint sign bit, so signatures go NEGATIVE — the expr
+    fold (sign-safe shift+mask, two's-complement weight for j=63) and
+    the numpy int64-wrap fold must still agree bit-for-bit on every
+    input, including NULL/empty text."""
+    from dataframe_kotlin_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b a"), (4, "the quick brown fox " * 9)],
+        "doc_id int, text string",
+    )
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    saw_negative = False
+    for frame in (df, small):
+        a = {r["doc_id"]: r["simhash"] for r in simhash(frame, "text", bits=64, method="expr").select("doc_id", "simhash").collect()}
+        b = {r["doc_id"]: r["simhash"] for r in simhash(frame, "text", bits=64, method="numpy").select("doc_id", "simhash").collect()}
+        assert a == b
+        saw_negative = saw_negative or any(v < 0 for v in a.values())
+    assert saw_negative  # the sign bit is genuinely exercised
+    with pytest.raises(ValueError, match="bits"):
+        simhash(df, "text", bits=65)
+
+
+def test_hamming_pairs_sign_safe_blocks_full_recall(spark):
+    """hamming_pairs block keys must be sign-safe: with 64-bit (negative)
+    signatures the old `shiftright % 2^w` key misread negative shifted
+    values (Java % keeps the dividend's sign), silently losing recall.
+    Banded pairs must equal brute force on a corpus with negative sigs."""
+    import itertools
+
+    from dataframe_kotlin_spark.operators.dedup import hamming_pairs, simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs = simhash(docs, "text", bits=64)
+    vals = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert any(v < 0 for v in vals.values())
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_pairs(sigs, "doc_id", "simhash", max_dist=3, bits=64).collect()
+    )
+    mask = (1 << 64) - 1
+    brute = sorted(
+        (a, b, bin((vals[a] ^ vals[b]) & mask).count("1"))
+        for a, b in itertools.combinations(sorted(vals), 2)
+        if bin((vals[a] ^ vals[b]) & mask).count("1") <= 3
+    )
+    assert got == brute and len(got) > 0
+
+
+def test_semdedup_scaled_registry_contract(spark):
+    """The scale-posture SemDeDup registry query (r8): one row of
+    corpus-level facts, every boolean TRUE, deterministic re-run."""
+    from dataframe_kotlin_spark.queries.pipeline import semdedup_scaled
+
+    rows = semdedup_scaled(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_total"] == 500
+    assert r["partition_ok"] and r["prune_sound"]
+    assert r["prune_complete"] and r["no_dup_survivors"]
+
+
+def test_dedup_then_jaccard_composes(spark):
+    """dedup_then_jaccard (r8): exact-dup classes collapse BEFORE pair
+    enumeration — no surviving pair may be an exact normalized-text
+    copy, and every surviving doc is its class's smallest id."""
+    from dataframe_kotlin_spark.queries.pipeline import dedup_then_jaccard
+    from dataframe_kotlin_spark.functions.text import normalize
+
+    out = dedup_then_jaccard(spark, "/root/testdata/sf0.001")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    norm = {r["doc_id"]: r["n"] for r in docs.select("doc_id", normalize(F.col("text")).alias("n")).collect()}
+    keep = {}
+    for d, n in norm.items():
+        keep[n] = min(keep.get(n, d), d)
+    kept_ids = set(keep.values())
+    pairs = out.collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        assert r["id_a"] in kept_ids and r["id_b"] in kept_ids
+        assert norm[r["id_a"]] != norm[r["id_b"]]  # exact copies never survive
+        assert r["jaccard"] >= 0.6

@@ -103,6 +103,10 @@ def main():
     from dataframe_kotlin_spark.session import get_spark
 
     spark = get_spark("scale-measure")
+    # whole-run load context (VERDICT r7 item 5): every summary dict this
+    # tool prints carries loadavg_start/_end so SCALE.md rows quote their
+    # own ambient-load context instead of a prose normalizer note.
+    run_load_start = round(os.getloadavg()[0], 2)
     # A pre-existing table set (e.g. SPARK_GRAFT_SCALE_DIR pointed at a
     # read-only sf dir to collect same-harness baselines) is used as-is;
     # only a missing/incomplete scaled build is (re)generated.
@@ -178,6 +182,11 @@ def main():
     for name in workloads:
         if only and name not in only:
             continue
+        # 1-min loadavg BEFORE the row runs (VERDICT r7 item 5, bench.py
+        # pattern): ambient load inflates unchanged-code rows 1.3-1.8x
+        # (the r7 sweep needed a prose normalizer paragraph in SCALE.md) —
+        # quoting it per row makes each number carry its own context.
+        row_load = round(os.getloadavg()[0], 2)
         if name not in heavy:
             _force(qs[name](spark, DST))  # warm codegen/scan
         times = []
@@ -189,7 +198,10 @@ def main():
             times.append(time.time() - t0)
         best = min(times)
         out[name] = best
-        print(f"{name}: {best:.2f}s (joins={joins_in_plan(last)})")
+        print(
+            f"{name}: {best:.2f}s (joins={joins_in_plan(last)}, "
+            f"loadavg_start={row_load}, loadavg_end={round(os.getloadavg()[0], 2)})"
+        )
 
     # positional-op bucket histogram at 100x: the distributed row number
     # is only as parallel as its value-derived buckets are balanced —
@@ -409,6 +421,7 @@ def main():
     from dataframe_kotlin_spark.operators import dedup, similarity
 
     if only and "semdedup_k_scaled" not in only:
+        out["loadavg_start"], out["loadavg_end"] = run_load_start, round(os.getloadavg()[0], 2)
         print({k: round(v, 2) for k, v in out.items()})
         return
 
@@ -426,6 +439,7 @@ def main():
         f"semdedup_k_scaled (k={k_cells}, fast-path kmeans): "
         f"{out['semdedup_k_scaled']:.2f}s (survivors={n}, joins={joins_in_plan(surv)})"
     )
+    out["loadavg_start"], out["loadavg_end"] = run_load_start, round(os.getloadavg()[0], 2)
     print({k: round(v, 2) for k, v in out.items()})
 
 
