@@ -646,6 +646,45 @@ def test_ngram_builders_match_python_reference(spark, texts):
         assert abs(r["dup_2gram_frac"] - expect) < 1e-9, (t, r["dup_2gram_frac"], expect)
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_texts, depth=st.integers(min_value=1, max_value=4))
+def test_bind1_composition_depth_bitexact(spark, texts, depth):
+    """VERDICT r7 item 8: bind1-inside-bind1 (nested grams over
+    normalized text use at least two levels) must stay bit-equal to the
+    naive direct-reference form at EVERY nesting depth — a refactor that
+    reintroduces an outer non-attribute reference inside a lambda body
+    would change performance silently but must never change content.
+    Each level references its bound variable twice, so the naive twin
+    repeats the whole subexpression; identical outputs prove the
+    transform(array(col), f)[1] binding is pure renaming."""
+    from dataframe_kotlin_spark.functions.text import bind1, normalize
+
+    def bound(col, d):
+        if d == 0:
+            return F.upper(col)
+        return bind1(
+            normalize(col),
+            lambda t: F.concat(bound(t, d - 1), F.lit("|"), F.length(t).cast("string")),
+        )
+
+    def naive(col, d):
+        if d == 0:
+            return F.upper(col)
+        n = normalize(col)
+        return F.concat(naive(n, d - 1), F.lit("|"), F.length(n).cast("string"))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    rows = df.select(
+        "id",
+        bound(F.col("text"), depth).alias("b"),
+        naive(F.col("text"), depth).alias("n"),
+    ).collect()
+    for r in rows:
+        assert r["b"] == r["n"], (depth, r["b"], r["n"])
+
+
 def test_render_literal_timestamp_requires_utc_session(spark):
     """The timestamp fast path is only proven under UTC session + UTC JVM
     zone (lit interprets naive datetimes in the JVM default zone, the
