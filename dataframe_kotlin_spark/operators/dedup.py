@@ -457,9 +457,26 @@ def jaccard_pairs_prefix(
     to same-block pairs) and lsh_candidate_pairs (probabilistic recall):
     this is the exact-threshold full-recall formulation that scales as
     long as prefixes stay rare-token-biased.
+
+    Parallelism guards (r8, found at 100x): (1) the same
+    ensure_scan_parallelism probe as gram_bucket_rows — a 1-file input
+    serialized the whole tokenize/window front half onto one task;
+    (2) the prefix relation and the candidate pairs are EXPLICITLY
+    repartitioned (REPARTITION_BY_NUM is exempt from AQE coalescing):
+    the prefix relation is tiny in BYTES (two small columns), so AQE's
+    size-based coalescing folded its post-shuffle partitions into ONE —
+    and the candidate join fans out 14k prefix rows into 22M pairs
+    INSIDE that one task, then the distinct and the array_intersect
+    verify inherited the same single partition: the whole back half of
+    the operator serialized (measured 110-116 s single-task vs ~8 s
+    pinned, on the 100x residual enumeration). Bytes-based coalescing
+    is blind to downstream fan-out and per-row compute; pin both.
     """
     import math
 
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+
+    df = ensure_scan_parallelism(df)
     toks = F.array_distinct(tokens(F.col(text_col)))
     base = df.select(F.col(id_col).alias("__id__"), toks.alias("__t__"))
     tok = base.select("__id__", F.explode("__t__").alias("__tok__"))
@@ -477,12 +494,21 @@ def jaccard_pairs_prefix(
     # far below 1/n for any real document, so non-boundary values are
     # unaffected.
     L = F.col("__n__") - F.ceil(F.col("__n__") * threshold - F.lit(1e-9)) + 1
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    # pin candidate-join parallelism: see the parallelism-guards note
+    # above. Placement matters: a keyed repartition AFTER the distinct
+    # gets optimized out of the plan entirely (verified on Spark 4.1);
+    # keyed on the join key BEFORE the fan-out and keyed on the full
+    # pair BEFORE the distinct both survive, and the (id_a, id_b)
+    # partitioning satisfies the distinct exactly (no extra exchange).
     prefix = ranked.filter(F.col("__pos__") <= L).select("__id__", "__tok__")
+    prefix = prefix.repartition(nparts, "__tok__")
     cand = (
         prefix.select(F.col("__id__").alias("id_a"), "__tok__")
         .join(prefix.select(F.col("__id__").alias("id_b"), "__tok__"), "__tok__")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .repartition(nparts, "id_a", "id_b")
         .distinct()
     )
     sets = base.select("__id__", "__t__")

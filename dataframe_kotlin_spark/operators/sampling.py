@@ -228,7 +228,11 @@ def _gram_bucket(gram: Column, buckets: int) -> Column:
 
 
 def gram_bucket_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", buckets: int = 256
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """The map-only front half of the hashed-n-gram featurizer: one row
     per unigram/bigram OCCURRENCE, tagged with its md5 feature bucket
@@ -261,9 +265,12 @@ def gram_bucket_rows(
 
     grams = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(bind1(tokens(F.col(text_col)), uni_bi)).alias("__gram__"),
     )
-    return grams.select(id_col, _gram_bucket(F.col("__gram__"), buckets).alias("__b__"))
+    return grams.select(
+        id_col, *carry, _gram_bucket(F.col("__gram__"), buckets).alias("__b__")
+    )
 
 
 def hashed_ngram_buckets(
@@ -324,9 +331,10 @@ def dsir_log_weights(
     When the target is a SLICE of the raw corpus, pass ``target_pred``
     (a boolean Column over raw's columns) instead of a second DataFrame:
     both distributions then come from ONE conditional aggregation over
-    the same gram rows (broadcast id-flag join) — identical counts and
-    buckets (so identical weights and oracles), and the distribution
-    job costs one gram pass instead of two.
+    the same gram rows (the membership flag rides the gram explode
+    map-side — r8: no id-list broadcast) — identical counts and buckets
+    (so identical weights and oracles), and the distribution job costs
+    one gram pass instead of two.
     """
     import math
 
@@ -334,9 +342,16 @@ def dsir_log_weights(
         raise ValueError("pass exactly one of target / target_pred")
     rows = gram_bucket_rows(raw, text_col, id_col, buckets)
     if target_pred is not None:
-        tids = raw.filter(target_pred).select(F.col(id_col), F.lit(1).alias("__t__"))
+        # the membership flag is computed on raw's columns BEFORE the gram
+        # explode and carried through it — no id join at all. The previous
+        # form broadcast the full target ID LIST (one row per target doc,
+        # SF-scaled: the same latent forced-broadcast class as the r7
+        # surprisal LM, caught by the r8 hint audit); the flag column is
+        # map-side at any corpus size and produces identical counts
+        # (when(pred,1) is null where the old left join left nulls).
+        flagged = raw.withColumn("__t__", F.when(target_pred, F.lit(1)))
         sums = (
-            rows.join(F.broadcast(tids), id_col, "left")
+            gram_bucket_rows(flagged, text_col, id_col, buckets, carry=("__t__",))
             .groupBy("__b__")
             .agg(
                 F.count(F.lit(1)).alias("__nq__"),

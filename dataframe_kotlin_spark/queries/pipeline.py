@@ -1709,7 +1709,7 @@ def jaccard_prefix_pairs(spark, sf_dir):
                  len(list_distinct(a.toks || b.toks)), 6) AS jaccard
     FROM tok a JOIN tok b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-          len(list_distinct(a.toks || b.toks)) >= 0.6
+          len(list_distinct(a.toks || b.toks)) >= 0.9
     """,
 )
 def dedup_then_jaccard(spark, sf_dir):
@@ -1720,19 +1720,25 @@ def dedup_then_jaccard(spark, sf_dir):
     Jaccard over the survivors only. On a corpus where many documents
     are exact copies, enumerating pairs directly owes a pair PER COPY
     PAIR (>= 25M output pairs by arithmetic on the 100x-replicated
-    corpus — the measured wall); collapsing exact classes first makes
-    the residual enumeration corpus-size-bound again (11.8 s end-to-end
-    at 100x vs the unbounded pair blowup). Composition is one DAG: the
-    semi-join on the kept ids flows straight into the prefix join, no
-    collect. The oracle replays GROUP BY-first + brute-force pair join,
-    so a hash match proves both the dedup class arithmetic and that the
-    prefix filter lost nothing on the surviving set."""
+    corpus — the measured wall); collapsing exact classes first removes
+    that term entirely, leaving the residual enumeration bound by the
+    corpus's GENUINE near-dup pair count. That count is a property of
+    the data, not the algorithm: this synthetic corpus is template-
+    heavy (4,992 survivors at sf0.1 still owe 7.1M pairs at J>=0.6,
+    0.9M at J>=0.9 — DuckDB brute-force ground truth), so the
+    registered flow uses the near-dup REMOVAL threshold 0.9, where
+    prefixes are short and the candidate set approaches the true pair
+    set. Composition is one DAG: the semi-join on the kept ids flows
+    straight into the prefix join, no collect. The oracle replays GROUP
+    BY-first + brute-force pair join, so a hash match proves both the
+    dedup class arithmetic and that the prefix filter lost nothing on
+    the surviving set."""
     docs = _t(spark, sf_dir, "documents")
     kept = dedup.exact_dedup(docs, "text", "doc_id").select(
         F.col("keep_id").alias("doc_id")
     )
     survivors = docs.join(kept, "doc_id", "left_semi")
-    out = dedup.jaccard_pairs_prefix(survivors, "doc_id", "text", threshold=0.6)
+    out = dedup.jaccard_pairs_prefix(survivors, "doc_id", "text", threshold=0.9)
     return out.withColumn("jaccard", F.round(F.col("jaccard"), 6))
 
 

@@ -594,14 +594,24 @@ def funnel_conversion(spark, sf_dir):
 def cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen day, counted
     distinct on each later activity day-offset. The first-touch frame is
-    one row per user (broadcastable); the main aggregate shuffles on
-    (cohort_day, day_offset) with a distinct-expand — the standard
-    retention-curve input. The events span is small so cohorts are by
-    DAY; at production scale the same plan truncates to week/month."""
+    one row per user — USER-CARDINALITY, not constant: broadcastable on
+    most cohorts but unbounded as the user base grows, so the hint goes
+    through skew.gated_broadcast (r8 hint audit — the same latent
+    forced-broadcast class as the surprisal LM; above the threshold the
+    gate pins SHUFFLE_HASH and the join co-partitions on user_id). The
+    main aggregate shuffles on (cohort_day, day_offset) with a
+    distinct-expand — the standard retention-curve input. The events
+    span is small so cohorts are by DAY; at production scale the same
+    plan truncates to week/month."""
+    from dataframe_kotlin_spark.operators import skew
+
     ev = _t(spark, sf_dir, "events").df
     first_day = ev.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    est_users = skew.sampled_distinct_rows(
+        ev.sample(fraction=0.02, seed=7), "user_id", 0.02
+    )
     return (
-        ev.join(F.broadcast(first_day), "user_id")
+        ev.join(skew.gated_broadcast(first_day, est_users, bytes_per_row=48), "user_id")
         .select(
             "user_id",
             "cohort_day",

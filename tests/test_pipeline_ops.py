@@ -1031,4 +1031,4 @@ def test_dedup_then_jaccard_composes(spark):
     for r in pairs:
         assert r["id_a"] in kept_ids and r["id_b"] in kept_ids
         assert norm[r["id_a"]] != norm[r["id_b"]]  # exact copies never survive
-        assert r["jaccard"] >= 0.6
+        assert r["jaccard"] >= 0.9
