@@ -179,10 +179,15 @@ _SIMHASH64_ORACLE = " + ".join(
 @query(
     "simhash_hamming_scaled",
     oracle=f"""
-    WITH tok AS (
-      SELECT doc_id,
-             list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+    WITH kept AS (
+      SELECT MIN(doc_id) AS doc_id
       FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    tok AS (
+      SELECT d.doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents d JOIN kept USING (doc_id)
     ), sig AS (
       SELECT doc_id, CAST({_SIMHASH64_ORACLE} AS UBIGINT) AS s
       FROM tok
@@ -197,21 +202,29 @@ def simhash_hamming_scaled(spark, sf_dir):
     """The SCALE-POSTURE simhash near-dup pass, driver-gated (VERDICT r7
     item 2): unlike simhash_hamming_pairs — whose 12-bit signatures are
     a test artifact whose blocks go near-universal at 500k docs — this
-    runs the deployment form SCALE.md documents: 64-BIT signatures
-    (hash64 word hashes, bit 63 in the bigint sign bit; the numpy fold
-    and the expr path stay bit-identical — integer math) with the
-    ``max_bucket`` guard SET. The guard is data-proportional
-    (max(256, n_docs/2)): it clips only DEGENERATE blocks (a constant
-    block across a near-half-corpus family), so full pigeonhole recall
-    provably holds at gate scales — measured max 16-bit-block bucket is
-    159 at sf0.01 and 1639 at sf0.1, both under n/2 — which is exactly
-    what lets the brute-force oracle hash-match the banded join. The
-    signature itself never leaves either engine (pairs + hamming only),
-    so Spark's signed vs DuckDB's unsigned 64-bit lanes can't diverge
-    (xor/popcount are sign-agnostic)."""
+    runs the deployment form SCALE.md documents: EXACT DEDUP FIRST
+    (exact-copy families share every signature block, so on a copy-
+    heavy corpus the banded self-join is owed C(family·copies, 2)
+    within-bucket candidates — ~1.3e10 at 100x by arithmetic; the same
+    dedup-first posture as dedup_then_jaccard removes that term), then
+    64-BIT signatures over the survivors (hash64 word hashes, bit 63 in
+    the bigint sign bit; the numpy fold and the expr path stay
+    bit-identical — integer math) with the ``max_bucket`` guard SET,
+    data-proportional (max(256, survivors/2)): it clips only DEGENERATE
+    blocks, so full pigeonhole recall provably holds at gate scales —
+    measured max 16-bit-block bucket on survivors is well under the cap
+    at sf0.01 (159) and sf0.1/100x (1639 vs cap 2496) — which is
+    exactly what lets the brute-force oracle hash-match the banded
+    join. The signature never leaves either engine (pairs + hamming
+    only), so Spark's signed vs DuckDB's unsigned 64-bit lanes can't
+    diverge (xor/popcount are sign-agnostic)."""
     docs = _t(spark, sf_dir, "documents")
-    n = docs.count()
-    sigs = dedup.simhash(docs, "text", bits=64)
+    kept = dedup.exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    survivors = docs.join(kept, "doc_id", "left_semi")
+    n = survivors.count()
+    sigs = dedup.simhash(survivors, "text", bits=64)
     out = dedup.hamming_pairs(
         sigs, "doc_id", "simhash", max_dist=3, bits=64, max_bucket=max(256, n // 2)
     )
