@@ -404,3 +404,21 @@ def test_ensure_scan_parallelism_repartitions_single_row_group(spark, tmp_path):
     out = ensure_scan_parallelism(df)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert out.count() == 50_000
+
+
+def test_sampled_distinct_rows_upward_bias(spark):
+    """skew.sampled_distinct_rows: on a relation whose keys repeat
+    (every key appears in any fraction-sample w.h.p.), the 1/fraction
+    scale-up must land AT or ABOVE the true distinct count — the safe
+    direction for the broadcast gate (overestimates only downgrade a
+    hint). Deterministic: fixed seed, fixed data."""
+    from pyspark.sql import functions as F
+
+    from dataframe_kotlin_spark.operators import skew
+
+    true_nd = 1000
+    df = spark.range(100_000).select((F.col("id") % true_nd).alias("k"))
+    est = skew.sampled_distinct_rows(df.sample(fraction=0.05, seed=7), "k", 0.05)
+    assert est >= true_nd  # each key sampled ~5 times -> acd sees ~all -> x20
+    # empty sample -> 0, never None
+    assert skew.sampled_distinct_rows(df.filter("k < 0"), "k", 0.05) == 0
