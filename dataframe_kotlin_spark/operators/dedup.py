@@ -100,6 +100,22 @@ def minhash_signature(
     return out.drop("__sh__", "__hs__")
 
 
+def _pin_fanout(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """REPARTITION_BY_NUM on the bucket keys before a bucket SELF-JOIN.
+
+    Bucket relations are tiny in BYTES (an id plus a short key per row),
+    so AQE's size-based shuffle coalescing folds them into one or two
+    post-shuffle partitions — and the self-join then fans every bucket
+    into C(bucket, 2) pairs INSIDE those few tasks, serializing the
+    operator's heaviest stage (the r8 jaccard_pairs_prefix finding:
+    110 s single-task vs ~8 s pinned at 100x; bytes-based coalescing is
+    blind to downstream fan-out). An explicit numPartitions repartition
+    is exempt from coalescing, and both self-join sides derive from the
+    SAME pinned relation, so the join adds no further exchange."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 def _cap_buckets(stacked: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
     """Drop rows in degenerate buckets (> max_bucket members) before a
     bucket self-join. A band key holding f% of N rows turns the join
@@ -164,6 +180,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band_id", "bk.band_key")
+    stacked = _pin_fanout(stacked, ["band_id", "band_key"])
     stacked = _cap_buckets(stacked, ["band_id", "band_key"], max_bucket)
     left = stacked.withColumnRenamed(id_col, "id_a")
     right = stacked.withColumnRenamed(id_col, "id_b")
@@ -309,6 +326,7 @@ def hamming_pairs(
     stacked = df.select(F.col(id_col), F.col(sim_col), probe).select(
         id_col, sim_col, "p.block_id", "p.block_key"
     )
+    stacked = _pin_fanout(stacked, ["block_id", "block_key"])
     stacked = _cap_buckets(stacked, ["block_id", "block_key"], max_bucket)
     a = stacked.select(
         F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"), "block_id", "block_key"
@@ -339,6 +357,7 @@ def jaccard_pairs(
     LSH buckets from lsh_candidate_pairs instead)."""
     toks = F.array_distinct(tokens(F.col(text_col)))
     base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], toks.alias("__t__"))
+    base = _pin_fanout(base, list(block_cols))
     a = base.select(
         F.col(id_col).alias("id_a"), *block_cols, F.col("__t__").alias("__ta__")
     )
