@@ -548,6 +548,7 @@ def semdedup_prune(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    method: str = "expr",
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): within each embedding cluster, find pairs whose
@@ -565,12 +566,19 @@ def semdedup_prune(
     sequential fold (similarity.dot), so the whole pass is
     whole-stage-codegen and bit-exactly replayable by the oracle.
 
+    method='expr' (default) keeps the bit-exactly replayable JVM fold
+    (the semdedup_survivors oracle path); 'numpy' routes pair scoring
+    through the Arrow-batched BLAS cosine (similarity.pandas_cosine) —
+    the deployment path once pair volume or embedding dim grows (the
+    interpreted fold measured 65 s of the k-proportional 100x pass;
+    production dims pay 12-64x more per pair).
+
     Returns the surviving rows of ``df`` (all original columns).
     """
     from dataframe_kotlin_spark.operators.similarity import cosine_neardup_pairs
 
     pairs = cosine_neardup_pairs(
-        df, cell_col, vec_col=vec_col, id_col=id_col, threshold=threshold
+        df, cell_col, vec_col=vec_col, id_col=id_col, threshold=threshold, method=method
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")

@@ -206,12 +206,46 @@ def hyperplane_lsh_buckets(
     return df.withColumn("lsh_bucket", bind1(as_double(F.col(vec_col)), bucket_of))
 
 
+def pandas_cosine() -> "Column":
+    """Arrow-batched cosine as a pandas_udf(double) factory: one BLAS
+    row-wise pass per batch instead of the interpreted zip_with/
+    aggregate fold (no codegen, O(dim) interpreted eval per pair — the
+    same wall class as the simhash bit fold, SCALE.md). Zero-norm
+    vectors yield NA (nullable Float64 -> Spark NULL), matching the
+    expr path's non-ANSI div-by-zero NULL: they rank last and fail any
+    >= threshold filter identically. numpy's pairwise summation can
+    differ from the sequential fold in the last ulp, so keep the expr
+    path where bit-exact SQL replay matters."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _pcos(va, vb):
+        import numpy as np
+        import pandas as pd
+
+        if len(va) == 0:
+            return pd.Series([], dtype="Float64")
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        masked = pd.array(out, dtype="Float64")
+        masked[den == 0.0] = pd.NA
+        return pd.Series(masked)
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them, which pandas_udf's hint inference rejects
+    return pandas_udf(_pcos, "double")
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     cell_col: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    method: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by a coarse cell.
 
@@ -222,7 +256,18 @@ def cosine_neardup_pairs(
     blocked one shuffles each side once on the cell key. Recall is the
     bucketing's recall; run multiple hash tables and union for higher
     recall (pairs dedup via distinct).
+
+    method='expr' (default) scores with the sequential JVM fold —
+    bit-exactly SQL-replayable, the oracle path (semdedup_survivors).
+    'numpy' scores candidates with the Arrow-batched BLAS cosine
+    (pandas_cosine): the interpreted fold costs O(dim) per CANDIDATE
+    PAIR with no codegen, and at 100x the k-proportional semdedup pair
+    join measured 65 s of interpreted folding — the deployment path for
+    real (768-4096-dim) embeddings. Same last-ulp contract as
+    assign_cells/ivf_topk_trained; 'auto' currently means 'expr' (no
+    cheap cardinality signal exists here — callers at scale opt in).
     """
+    _check_method(method)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(cell_col).alias("__cell__"),
@@ -233,10 +278,14 @@ def cosine_neardup_pairs(
         F.col(cell_col).alias("__cell__"),
         as_double(F.col(vec_col)).alias("__vb__"),
     )
+    if method == "numpy":
+        sim = pandas_cosine()(F.col("__va__"), F.col("__vb__"))
+    else:
+        sim = cosine(F.col("__va__"), F.col("__vb__"))
     return (
         a.join(b, "__cell__")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", cosine(F.col("__va__"), F.col("__vb__")))
+        .withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.col("__cell__").alias("cell"), "cosine_sim")
     )
@@ -650,34 +699,11 @@ def ivf_topk_trained(
     if method == "expr":
         scored = cand.withColumn("cosine_sim", cosine(F.col("__cv__"), F.col("__qv__")))
     else:
-        from pyspark.sql.functions import pandas_udf
-
-        def _pcos(va, vb):
-            import numpy as np
-            import pandas as pd
-
-            if len(va) == 0:
-                return pd.Series([], dtype="Float64")
-            A = np.stack(va.to_numpy()).astype(np.float64)
-            B = np.stack(vb.to_numpy()).astype(np.float64)
-            num = (A * B).sum(axis=1)
-            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                out = num / den
-            # zero-norm vectors: num/den = 0/0 = NaN, and Spark orders NaN
-            # ABOVE every double, so NaN candidates would fill the desc
-            # top-k — while the expr path yields NULL (non-ANSI div-by-
-            # zero), which sorts last. Mask to NA so both paths rank
-            # zero-norm candidates last (nullable Float64 -> Arrow null).
-            masked = pd.array(out, dtype="Float64")
-            masked[den == 0.0] = pd.NA
-            return pd.Series(masked)
-
-        # no type hints: the module's `from __future__ import annotations`
-        # stringifies them, which pandas_udf's hint inference rejects —
-        # the legacy (f, returnType) form is the stable SCALAR spelling
-        pcos = pandas_udf(_pcos, "double")
-        scored = cand.withColumn("cosine_sim", pcos(F.col("__cv__"), F.col("__qv__")))
+        # zero-norm masking + the no-type-hints caveat live in
+        # pandas_cosine (shared with cosine_neardup_pairs)
+        scored = cand.withColumn(
+            "cosine_sim", pandas_cosine()(F.col("__cv__"), F.col("__qv__"))
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
