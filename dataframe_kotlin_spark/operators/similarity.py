@@ -262,11 +262,19 @@ def cosine_neardup_pairs(
     'numpy' scores candidates with the Arrow-batched BLAS cosine
     (pandas_cosine): the interpreted fold costs O(dim) per CANDIDATE
     PAIR with no codegen, and at 100x the k-proportional semdedup pair
-    join measured 65 s of interpreted folding — the deployment path for
-    real (768-4096-dim) embeddings. Same last-ulp contract as
-    assign_cells/ivf_topk_trained; 'auto' currently means 'expr' (no
-    cheap cardinality signal exists here — callers at scale opt in).
+    join measured 65 s of interpreted folding. 'dgemm' goes further:
+    the join/score forms MATERIALIZE both vectors per candidate pair
+    (~1 KB x C(cell,2) rows of shuffle+Arrow traffic — ~50 GB at the
+    100x posture), while per-cell applyInPandas ships each vector ONCE
+    (~100 MB) and scores the cell with one normalized X @ X.T — the
+    deployment path for real (768-4096-dim) embeddings. Zero-norm
+    vectors never pair (expr: NULL cosine fails >=t; dgemm: masked).
+    Same last-ulp contract as assign_cells/ivf_topk_trained; 'auto'
+    currently means 'expr' (no cheap cardinality signal exists here —
+    callers at scale opt in).
     """
+    if method == "dgemm":
+        return _cell_pairs_dgemm(df, cell_col, vec_col, id_col, threshold)
     _check_method(method)
     a = df.select(
         F.col(id_col).alias("id_a"),
@@ -289,6 +297,85 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", F.col("__cell__").alias("cell"), "cosine_sim")
     )
+
+
+
+def _cell_pairs_dgemm(
+    df: DataFrame, cell_col: str, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """cosine_neardup_pairs method='dgemm': per-cell BLAS self-similarity
+    via applyInPandas. Each cell's vectors arrive once per task; the
+    upper-triangular block of normalized X @ X.T yields every within-
+    cell pair. Row-blocked (bounded B x n score tiles) so one oversized
+    cell cannot allocate an n^2 matrix; a genuinely huge cell still
+    lands on one task — that is the clustering's skew (cap cell sizes
+    with k proportional to N, the SemDeDup posture), not this operator's.
+    Output matches the join/score forms up to the usual BLAS-vs-fold
+    last-ulp contract at the threshold boundary."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    cell_field = df.schema[cell_col]
+    out_schema = StructType(
+        [
+            StructField("id_a", id_field.dataType, id_field.nullable),
+            StructField("id_b", id_field.dataType, id_field.nullable),
+            StructField("cell", cell_field.dataType, cell_field.nullable),
+            StructField("cosine_sim", DoubleType(), True),
+        ]
+    )
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cell": [], "cosine_sim": []})
+        if n < 2:
+            return empty
+        ids = pdf[id_col].to_numpy()
+        cell = pdf[cell_col].iloc[0]
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.sqrt((X * X).sum(axis=1))
+        zero = norms == 0.0
+        safe = np.where(zero, 1.0, norms)
+        Xn = X / safe[:, None]
+        out_a, out_b, out_s = [], [], []
+        # tile rows so the score block stays ~4M doubles even for a big cell
+        B = max(1, 4_000_000 // n)
+        for i0 in range(0, n - 1, B):
+            i1 = min(i0 + B, n)
+            S = Xn[i0:i1] @ Xn.T  # (i1-i0) x n
+            for r in range(i0, i1):
+                js = np.nonzero(S[r - i0, r + 1 :] >= threshold)[0] + r + 1
+                if zero[r]:
+                    continue
+                js = js[~zero[js]]
+                if len(js) == 0:
+                    continue
+                ia, ib = ids[r], ids[js]
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_s.append(S[r - i0, js])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cell": cell,
+                "cosine_sim": np.concatenate(out_s),
+            }
+        )
+
+    base = df.select(
+        F.col(id_col).alias(id_col),
+        F.col(cell_col).alias(cell_col),
+        as_double(F.col(vec_col)).alias(vec_col),
+    )
+    return base.groupBy(cell_col).applyInPandas(score, out_schema)
 
 
 def cosine_topk_blas(

@@ -2054,21 +2054,24 @@ def semdedup_scaled(spark, sf_dir):
     broken cell assignment, pair join, threshold, or anti-join flips a
     boolean and the hash mismatches. All checks are aggregates over the
     same cell-blocked relations the operator itself uses — one DAG, no
-    collect, no all-pairs join. Pair scoring runs the Arrow-batched
-    BLAS cosine (method='numpy' — the interpreted fold measured 65 s of
-    the 100x pass alone) in BOTH the prune and the verification pass,
-    so threshold decisions are path-consistent and the booleans cannot
-    flip on a last-ulp disagreement between paths."""
+    collect, no all-pairs join. Pair scoring runs the per-cell BLAS
+    self-similarity (method='dgemm': each vector ships ONCE per cell
+    task and the cell scores as one normalized X @ X.T — the
+    interpreted fold measured 65 s of the 100x pass alone, and the
+    pair-materialized Arrow form still shipped ~1 KB per candidate
+    pair) in BOTH the prune and the verification pass, so threshold
+    decisions are path-consistent and the booleans cannot flip on a
+    last-ulp disagreement between paths."""
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
     k_cells = max(4, n // 500)
     cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", k=k_cells, iters=1)
     tagged = similarity.assign_cells(emb, cents, "embedding", "cell")
     surv = dedup.semdedup_prune(
-        tagged, "cell", "embedding", "vec_id", threshold=0.35, method="numpy"
+        tagged, "cell", "embedding", "vec_id", threshold=0.35, method="dgemm"
     )
     pairs = similarity.cosine_neardup_pairs(
-        tagged, "cell", vec_col="embedding", id_col="vec_id", threshold=0.35, method="numpy"
+        tagged, "cell", vec_col="embedding", id_col="vec_id", threshold=0.35, method="dgemm"
     )
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     a_part = tagged.agg(

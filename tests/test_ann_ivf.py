@@ -212,3 +212,47 @@ def test_method_param_validated():
         sim.ivf_topk_trained(None, None, [[0.0]], method="numpyy")
     with _pytest.raises(ValueError, match="method"):
         dedup.simhash(None, "text", method="exrp")
+
+
+def test_cosine_neardup_pairs_three_paths_agree(spark):
+    """cosine_neardup_pairs: the SQL-replayable expr fold, the Arrow
+    pair-scored cosine, and the per-cell dgemm (r8 — ships each vector
+    once per cell instead of ~1KB per candidate pair) must produce the
+    same pair set with matching similarities, and all three must
+    exclude zero-norm vectors (NULL cosine / masked)."""
+    from pyspark.sql import functions as F
+
+    from dataframe_kotlin_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    asg = sim.kmeans_lloyd_det(emb, "vec_id", "embedding", k=4, iters=1)
+    tagged = emb.join(
+        asg.select("vec_id", F.col("cell").cast("bigint").alias("cell")), "vec_id"
+    )
+
+    def pairs(df, method):
+        return {
+            (r["id_a"], r["id_b"], round(r["cosine_sim"], 9))
+            for r in sim.cosine_neardup_pairs(
+                df, "cell", "embedding", "vec_id", 0.35, method=method
+            ).collect()
+        }
+
+    e = pairs(tagged, "expr")
+    assert len(e) > 0
+    assert e == pairs(tagged, "numpy") == pairs(tagged, "dgemm")
+
+    rows = [
+        (i, [0.0] * 4 if i % 3 == 0 else [float(i), 1.0, 0.5, -1.0], 0)
+        for i in range(12)
+    ]
+    z = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>, cell bigint")
+    zero_ids = {i for i in range(12) if i % 3 == 0}
+    for m in ("expr", "numpy", "dgemm"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in sim.cosine_neardup_pairs(
+                z, "cell", "embedding", "vec_id", -1.0, method=m
+            ).collect()
+        }
+        assert got and all(a not in zero_ids and b not in zero_ids for a, b in got), m
