@@ -424,6 +424,7 @@ def levenshtein_pairs(
         F.col(text_col).alias("__s__"),
         *hist_cols,
     )
+    base = _pin_fanout(base, list(block_cols))
     nh = len(alphabet)
     a = base.select(
         F.col(id_col).alias("id_a"), *block_cols,

@@ -432,7 +432,10 @@ def main():
         emb, "embedding", "vec_id", k=k_cells, iters=1
     )
     tagged = similarity.assign_cells(emb, cents, "embedding", "cell")
-    surv = dedup.semdedup_prune(tagged, "cell", "embedding", "vec_id", threshold=0.35)
+    # deployment method (r8): per-cell dgemm — see cosine_neardup_pairs
+    surv = dedup.semdedup_prune(
+        tagged, "cell", "embedding", "vec_id", threshold=0.35, method="dgemm"
+    )
     n = surv.count()
     out["semdedup_k_scaled"] = time.time() - t0
     print(
