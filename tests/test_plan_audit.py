@@ -469,3 +469,28 @@ def test_surprisal_broadcast_gate_end_to_end(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert rows == base
+
+
+@pytest.mark.parametrize(
+    "name,min_pins",
+    [
+        ("dedup_then_jaccard", 2),   # prefix relation + candidate pairs
+        ("jaccard_prefix_pairs", 2),
+        ("simhash_hamming_pairs", 1),  # banded probe relation
+        ("simhash_hamming_scaled", 1),
+        ("lsh_candidate_pairs", 1),
+    ],
+)
+def test_fanout_joins_keep_repartition_pins(spark, name, min_pins):
+    """r8 regression guard: bucket/prefix self-joins must keep their
+    REPARTITION_BY_NUM pins (dedup._pin_fanout and the inline
+    jaccard_pairs_prefix pins). AQE's bytes-based shuffle coalescing is
+    blind to join fan-out — losing a pin re-serializes the operator's
+    back half onto one task (measured 110s vs ~8s at 100x). The pins
+    are REPARTITION_BY_NUM exchanges, which survive in the pre-AQE
+    executed plan string; note a keyed repartition placed AFTER a
+    distinct is silently optimized OUT on Spark 4.1 — this test catches
+    that placement mistake too."""
+    df = spark_queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("REPARTITION_BY_NUM") >= min_pins, (name, plan[:2000])
