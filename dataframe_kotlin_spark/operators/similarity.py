@@ -765,7 +765,18 @@ def ivf_topk_trained(
     razor-edge similarity ties may differ between the two paths
     (measured identical rank sets, max |Δsim| = 2e-16 on this corpus)
     — same contract as assign_cells.
+
+    method='dgemm' (r8) replaces the candidate JOIN + per-pair scoring
+    with a per-cell COGROUP: the join/score forms materialize both
+    vectors per candidate row (~1 KB x |cells probed| x cell size of
+    shuffle+Arrow traffic — ~2 GB at the 100x posture), while the
+    cogroup ships each corpus vector once per cell and scores the cell
+    against its probes as one X @ Q.T — same candidate set, same
+    ranking window, same zero-norm-as-NULL contract, BLAS instead of
+    per-pair transfer. The deployment form at production dims.
     """
+    if method == "dgemm":
+        return _ivf_topk_dgemm(corpus, queries, centroids, vec_col, id_col, k, nprobe)
     _check_method(method)
     c = assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv__")),
@@ -791,6 +802,93 @@ def ivf_topk_trained(
         scored = cand.withColumn(
             "cosine_sim", pandas_cosine()(F.col("__cv__"), F.col("__qv__"))
         )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _ivf_topk_dgemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """ivf_topk_trained method='dgemm': per-cell cogroup scoring. The
+    corpus side arrives grouped by its assigned cell (each vector ships
+    ONCE), the probe side by probed cell (tiny); each task scores the
+    whole cell against its probes with one num = X @ Q.T and emits
+    (query_id, neighbor_id, cosine_sim) candidate rows — the SAME
+    candidate relation the join form builds, so the Spark-side ranking
+    window (and therefore the output contract) is shared verbatim.
+    Zero-norm rows emit NULL sims (rank last), matching both other
+    paths."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_field = corpus.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("query_id", id_field.dataType, True),
+            StructField("neighbor_id", id_field.dataType, True),
+            StructField("cosine_sim", DoubleType(), True),
+        ]
+    )
+
+    def score(key, cdf, qdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine_sim": []})
+        if len(cdf) == 0 or len(qdf) == 0:
+            return empty
+        X = np.stack(cdf["__cv__"].to_numpy()).astype(np.float64)
+        Q = np.stack(qdf["__qv__"].to_numpy()).astype(np.float64)
+        xn = np.sqrt((X * X).sum(axis=1))
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        num = X @ Q.T  # n x m
+        den = xn[:, None] * qn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = num / den
+        n, m = sims.shape
+        nid = np.repeat(cdf["neighbor_id"].to_numpy(), m)
+        qid = np.tile(qdf["query_id"].to_numpy(), n)
+        flat = sims.ravel()
+        dmask = den.ravel() == 0.0
+        out = pd.DataFrame(
+            {
+                "query_id": qid,
+                "neighbor_id": nid,
+                "cosine_sim": pd.array(flat, dtype="Float64"),
+            }
+        )
+        out.loc[dmask, "cosine_sim"] = pd.NA
+        return out[out["query_id"] != out["neighbor_id"]]
+
+    c = assign_cells(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv__")
+        ),
+        centroids,
+        "__cv__",
+        out="__cell__",
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv__")
+        )
+        .withColumn("__cells__", _nearest_cells(F.col("__qv__"), centroids, nprobe))
+        .select("query_id", "__qv__", F.explode("__cells__").alias("__cell__"))
+    )
+    scored = (
+        c.groupBy("__cell__")
+        .cogroup(q.groupBy("__cell__"))
+        .applyInPandas(score, out_schema)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

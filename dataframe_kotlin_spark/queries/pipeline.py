@@ -839,7 +839,14 @@ def ann_ivf_scaled(spark, sf_dir):
     reproduces the probe keys + literal 10/TRUE. Hit counts were
     measured run-over-run identical (centroid averages can move in the
     last ulp across aggregation orders, but a flip needs a vector
-    within that ulp of a k-means boundary).
+    within that ulp of a k-means boundary). The per-cell cogroup dgemm
+    (ivf_topk_trained method='dgemm', r8) A/B'd NEUTRAL here — 17-21 s
+    both paths at 100x — because the pair-scored form never shuffles
+    the corpus (broadcast probes, scored in scan partitions) while the
+    cogroup pays a corpus shuffle; at production dims (768-4096) the
+    pair transfer grows ~12-64x while the cogroup's stays flat, which
+    is when to flip the method. Rank sets verified identical across
+    all three scoring paths.
     """
     from dataframe_kotlin_spark.operators import similarity as sim
 

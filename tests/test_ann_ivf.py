@@ -256,3 +256,25 @@ def test_cosine_neardup_pairs_three_paths_agree(spark):
             ).collect()
         }
         assert got and all(a not in zero_ids and b not in zero_ids for a, b in got), m
+
+
+def test_ivf_topk_trained_dgemm_matches(emb, queries, centroids):
+    """ivf_topk_trained method='dgemm' (r8): per-cell cogroup X @ Q.T
+    must reproduce the expr and pair-scored paths exactly — same
+    candidate set (probe expansion + self-exclusion), same ranking.
+    Neutral at this corpus's dim=64 (the join form never shuffles the
+    corpus); the method exists for production dims where per-pair
+    transfer grows ~12-64x."""
+    from dataframe_kotlin_spark.operators import similarity as sim
+
+    def res(method):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], round(r["cosine_sim"], 9))
+            for r in sim.ivf_topk_trained(
+                emb, queries, centroids, k=5, nprobe=3, method=method
+            ).collect()
+        )
+
+    e = res("expr")
+    assert len(e) > 0
+    assert e == res("numpy") == res("dgemm")
