@@ -12,18 +12,25 @@ returns None for anything it cannot prove — callers keep the range(1)
 job as the fallback for that remainder only.
 
 Every fast path here is empirically pinned against Spark's cast by
-tests/test_property.py (hypothesis fuzz + the r5/r6 counterexample
-regressions) and was validated offline against 100k+ random doubles on
-the Java 17 runtime. The gates are deliberately conservative:
+tests/test_property.py (hypothesis fuzz + the r5/r6/r8 counterexample
+regressions). The type-specific contracts:
 
-- doubles: Java 17 still ships the pre-Ryu ``Double.toString`` whose
-  output is NOT always the shortest round-trip decimal — measured
-  divergence from Python ``repr`` digits starts at |d| >= ~5e16
-  (exact-integer doubles print extra digits, e.g. Java
-  "1.37342863480957901E18" vs shortest "1.373428634809579E18") and at
-  subnormals (Java "4.9E-324" vs shortest "5E-324"). Inside
-  1e-300 <= |d| < 2**52 a 104k-sample fuzz found zero mismatches, so
-  the fast path is gated to exactly that range (plus 0.0/NaN/Inf).
+- doubles: Java 17 still ships the legacy (pre-Ryu, JDK-4511638, fixed
+  only in JDK 19+) ``Double.toString`` whose output is NOT always the
+  shortest round-trip decimal: any double whose exact binary value has
+  a short decimal expansion can print MORE digits than Python ``repr``
+  (2**-24 prints all 17 digits "5.9604644775390625E-8"; exact-integer
+  doubles >= 2**53 print rounded exact digits "1.37342863480957901E18";
+  the smallest subnormal prints "4.9E-324" not "5E-324"). Reformatting
+  repr's shortest digits is therefore wrong on a measure-zero-but-real
+  set (VERDICT r8 "What's wrong" item 1 — found by hypothesis at
+  2**-24). ``java_double_str`` now EMULATES OpenJDK's legacy
+  ``FloatingDecimal.BinaryToASCIIBuffer.dtoa`` digit generation exactly
+  (the public algorithm from OpenJDK's java.base
+  jdk/internal/math/FloatingDecimal.java), using Python big ints for
+  the B/S/M scaled-integer loop, so it is exact for ALL doubles —
+  finite, subnormal, huge, NaN, +-Inf, -0.0 — and the double fast path
+  no longer has a fallback zone.
 - dates/timestamps: pre-1583 dates hit the java.sql hybrid-calendar
   rebase on the ``lit()`` ingestion side (1582-03-07 arrives as
   1582-02-25), so only proleptic-safe years >= 1583 render locally.
@@ -43,7 +50,7 @@ from __future__ import annotations
 
 import datetime as dt
 import math
-from decimal import Decimal
+import struct
 
 from pyspark.sql import types as T
 
@@ -56,15 +63,244 @@ _INT_RANGES = {
 
 _UTC_NAMES = {"UTC", "Etc/UTC", "GMT", "Etc/GMT", "Z", "+00:00", "GMT0", "Greenwich", "Universal", "Zulu"}
 
-# safe double range for the local Java-toString emulation (see module doc)
-_DBL_LO = 1e-300
-_DBL_HI = float(1 << 52)
+# --------------------------------------------------------------------------
+# Legacy OpenJDK FloatingDecimal emulation (Java <=18 Double.toString).
+#
+# Faithful port of the ALGORITHM of
+# jdk/internal/math/FloatingDecimal.java (getBinaryToASCIIConverter ->
+# dtoa -> getChars) with Python arbitrary-precision ints standing in for
+# FDBigInteger. The FDBigInteger normalization bias is a pure division
+# optimization (B, S, M, 10S are all scaled by the same 2**shiftBias),
+# so it is omitted; everything else — the easy developLongDigits case
+# with its half-up insignificant-digit rounding, the decimal-exponent
+# estimate done in IEEE double arithmetic with Java's exact constants,
+# the symmetric-half-ULP low/high stopping tests, the nFractBits==1
+# power-of-two M hack, the compatible-format forced second digit, and
+# the high/low tie-break round-up — is reproduced operation for
+# operation so the digit string matches Java 17 bit for bit.
+# --------------------------------------------------------------------------
+
+_EXP_SHIFT = 52
+_FRACT_HOB = 1 << 52
+_EXP_BIAS = 1023
+
+
+def _insignificant_digits_for_pow2(p2: int) -> int:
+    """FloatingDecimal.insignificantDigitsForPow2: digits of 2**p2 minus
+    one (== how many low-order decimal digits of an integer with that
+    trailing power of two are not significant), table-ranged 1<p2<64."""
+    if 1 < p2 < 64:
+        return len(str(1 << p2)) - 1
+    return 0
+
+
+def _dtoa(d: float) -> tuple[str, int]:
+    """Digit string + decimal exponent (value == 0.digits * 10**exp) for
+    a positive finite nonzero double, exactly as legacy dtoa computes
+    them with isCompatibleFormat=true (the Double.toString flavor)."""
+    bits = struct.unpack("<Q", struct.pack("<d", d))[0]
+    fract = bits & (_FRACT_HOB - 1)
+    raw_exp = (bits >> _EXP_SHIFT) & 0x7FF
+    if raw_exp == 0:
+        # subnormal: normalize the significand, tracking true bit count
+        n_sig = fract.bit_length()  # == 64 - numberOfLeadingZeros
+        shift = (64 - n_sig) - (63 - _EXP_SHIFT)
+        fract <<= shift
+        bin_exp = (1 - shift) - _EXP_BIAS
+    else:
+        fract |= _FRACT_HOB
+        bin_exp = raw_exp - _EXP_BIAS
+        n_sig = _EXP_SHIFT + 1
+
+    tail_zeros = (fract & -fract).bit_length() - 1
+    n_fract = _EXP_SHIFT + 1 - tail_zeros
+    n_tiny = max(0, n_fract - bin_exp - 1)
+
+    if -21 <= bin_exp <= 62 and n_tiny == 0:
+        # easy case: the value is an exact integer < 2**63
+        # (developLongDigits; the nTinyBits>0 sub-branch is dead code in
+        # OpenJDK too). Digits beyond the significand are insignificant
+        # and get discarded with HALF-UP rounding, matching Java.
+        insig = (
+            _insignificant_digits_for_pow2(bin_exp - n_sig - 1)
+            if bin_exp > n_sig
+            else 0
+        )
+        if bin_exp >= _EXP_SHIFT:
+            lval = fract << (bin_exp - _EXP_SHIFT)
+        else:
+            lval = fract >> (_EXP_SHIFT - bin_exp)
+        dec0 = 0
+        if insig:
+            pow10 = 10 ** insig
+            lval, residue = divmod(lval, pow10)
+            dec0 = insig
+            if residue >= pow10 >> 1:
+                lval += 1
+        s = str(lval)
+        return s.rstrip("0"), dec0 + len(s)
+
+    # hard case: scaled-integer digit generation. Estimate the decimal
+    # exponent with Java's exact double-precision formula (it may be one
+    # too high; the q==0 first-iteration check corrects that).
+    d2 = struct.unpack(
+        "<d", struct.pack("<Q", 0x3FF0000000000000 | (fract & ~_FRACT_HOB))
+    )[0]
+    dec_exp = math.floor(
+        (d2 - 1.5) * 0.289529654 + 0.176091259 + bin_exp * 0.301029995663981
+    )
+
+    b5 = max(0, -dec_exp)
+    b2 = b5 + n_tiny + bin_exp
+    s5 = max(0, dec_exp)
+    s2 = s5 + n_tiny
+    m5 = b5
+    m2 = b2 - n_sig
+
+    fract >>= tail_zeros
+    b2 -= n_fract - 1
+    common2 = min(b2, s2)
+    b2 -= common2
+    s2 -= common2
+    m2 -= common2
+    if n_fract == 1:
+        # exact powers of two: the gap to the next SMALLER double is
+        # half as wide, so halve the (symmetric) slop M
+        m2 -= 1
+    if m2 < 0:
+        b2 -= m2
+        s2 -= m2
+        m2 = 0
+
+    # Branch selection, exactly as dtoa's size estimates: fixed-width
+    # int/long arithmetic when everything fits (by the SAME conservative
+    # bit-count estimate Java uses), FDBigInteger otherwise. This is not
+    # just an optimization to reproduce — the branches differ observably
+    # (all verified against dtoa's JVM bytecode via javap AND pinned
+    # against the JVM's own cast output below):
+    # - int/long branches: STRICT stopping test (b+m > tens) in WRAPPING
+    #   two's-complement arithmetic. Only m carries an overflow guard —
+    #   and only inside the loop, where m <= 0 forces low=high=true (exit
+    #   through the tie-break). b+m overflows SILENTLY, suppressing
+    #   `high` and with it the final round-up — e.g.
+    #   0x1.3baacb18f2c5ep+84 prints ...66234E25, not the nearer ...235.
+    #   The strictness shows at exact half-ulp boundaries: 1e23 (where
+    #   d + 2**23 == 10**23) prints 9.999999999999999E22, not 1.0E23.
+    # - FDBigInteger branch: exact arithmetic, NON-strict test
+    #   (addAndCmp(B, M) <= 0, i.e. B+M >= tenS).
+    def _n5bits(p5: int) -> int:  # Java N_5_BITS[p5] table, p5*3 beyond it
+        if p5 >= 27:
+            return p5 * 3
+        return (5 ** p5).bit_length() if p5 else 0
+
+    b_bits = n_fract + b2 + _n5bits(b5)
+    ten_s_bits = s2 + 1 + _n5bits(s5 + 1)
+
+    S = 5 ** s5 << s2
+    B = (fract * 5 ** b5) << b2
+    M0 = 5 ** m5 << m2  # pre-x10 slop; each iteration multiplies by 10
+    ten_s = 10 * S
+
+    digits: list[int] = []
+    if b_bits < 64 and ten_s_bits < 64:
+        # Java's int (Bbits<32 && tenSbits<32) / long branch
+        bits_n = 32 if (b_bits < 32 and ten_s_bits < 32) else 64
+        half = 1 << (bits_n - 1)
+
+        def wrap(x: int) -> int:
+            return (x + half) % (1 << bits_n) - half
+
+        # unrolled first iteration: q = b/s; b = 10*(b%s); m *= 10 —
+        # NO m-overflow guard here, and high strict on wrapped b+m
+        q, r = divmod(B, S)
+        B = r * 10
+        M = wrap(M0 * 10)
+        low = B < M
+        high = wrap(B + M) > ten_s
+        if q == 0 and not high:
+            dec_exp -= 1  # estimate was one too high: drop the leading zero
+        else:
+            digits.append(q)
+        # compatible format always shows a digit after the point, so
+        # E-form output (decExp outside [-3, 8)) forces a second digit
+        if dec_exp < -3 or dec_exp >= 8:
+            high = low = False
+        while not (low or high):
+            q, r = divmod(B, S)
+            B = r * 10
+            M = wrap(M * 10)
+            if M <= 0:
+                # m overflowed: exit now, resolved by the tie-break below
+                low = high = True
+            else:
+                low = B < M
+                high = wrap(B + M) > ten_s
+            digits.append(q)
+        # computed unconditionally in these branches (wrapped), but only
+        # read when high && low
+        low_digit_difference = wrap(wrap(B << 1) - ten_s)
+    else:
+        # FDBigInteger branch: exact, non-strict high
+        q, r = divmod(B, S)
+        B = r * 10
+        M = M0 * 10
+        low = B < M
+        high = B + M >= ten_s
+        if q == 0 and not high:
+            dec_exp -= 1
+        else:
+            digits.append(q)
+        if dec_exp < -3 or dec_exp >= 8:
+            high = low = False
+        while not (low or high):
+            q, r = divmod(B, S)
+            B = r * 10
+            M *= 10
+            low = B < M
+            high = B + M >= ten_s
+            digits.append(q)
+        if high and low:
+            low_digit_difference = (B << 1) - ten_s
+        else:
+            low_digit_difference = 0
+
+    dec_exponent = dec_exp + 1
+    if high and (
+        not low
+        or low_digit_difference > 0
+        or (low_digit_difference == 0 and digits[-1] & 1 != 0)
+    ):
+        # roundup(): increment the last digit with carry; a full
+        # carry-out keeps the digit count ("9.99" -> "10.0")
+        i = len(digits) - 1
+        while i >= 0 and digits[i] == 9:
+            digits[i] = 0
+            i -= 1
+        if i < 0:
+            dec_exponent += 1
+            digits[0] = 1
+        else:
+            digits[i] += 1
+    return "".join(map(str, digits)), dec_exponent
+
+
+def _java_format(digits: str, dec_exp: int, neg: bool) -> str:
+    """FloatingDecimal.getChars: plain format for 10**-3 <= |d| < 10**7,
+    E-form with a mandatory fraction digit otherwise."""
+    sign = "-" if neg else ""
+    n = len(digits)
+    if 0 < dec_exp < 8:
+        if n <= dec_exp:
+            return f"{sign}{digits}{'0' * (dec_exp - n)}.0"
+        return f"{sign}{digits[:dec_exp]}.{digits[dec_exp:]}"
+    if -3 < dec_exp <= 0:
+        return f"{sign}0.{'0' * -dec_exp}{digits}"
+    return f"{sign}{digits[0]}.{digits[1:] or '0'}E{dec_exp - 1}"
 
 
 def java_double_str(d: float) -> str:
-    """Java ``Double.toString`` for doubles in the fuzz-proven range
-    (callers gate; outside the gate this returns the SHORTEST form,
-    which Java 17 does not always emit)."""
+    """Java 17 ``Double.toString`` for ANY double — exact legacy
+    FloatingDecimal emulation, no fallback zone (see module doc)."""
     if math.isnan(d):
         return "NaN"
     if math.isinf(d):
@@ -72,21 +308,8 @@ def java_double_str(d: float) -> str:
     neg = math.copysign(1.0, d) < 0
     if d == 0.0:
         return "-0.0" if neg else "0.0"
-    # Python repr = shortest round-trip digits; reformat them Java-style
-    _, digits, exponent = Decimal(repr(abs(d))).as_tuple()
-    ds = "".join(map(str, digits))
-    stripped = ds.rstrip("0") or "0"
-    exponent += len(ds) - len(stripped)
-    ds = stripped
-    sci = exponent + len(ds) - 1  # base-10 exponent of the leading digit
-    sign = "-" if neg else ""
-    if -3 <= sci < 7:  # Java's plain-format window
-        if sci >= len(ds) - 1:
-            return f"{sign}{ds}{'0' * (sci - len(ds) + 1)}.0"
-        if sci >= 0:
-            return f"{sign}{ds[: sci + 1]}.{ds[sci + 1:]}"
-        return f"{sign}0.{'0' * (-sci - 1)}{ds}"
-    return f"{sign}{ds[0]}.{ds[1:] or '0'}E{sci}"
+    digits, dec_exp = _dtoa(abs(d))
+    return _java_format(digits, dec_exp, neg)
 
 
 def _utc_session(spark) -> bool:
@@ -139,10 +362,7 @@ def render_literal(value, dtype: T.DataType, spark) -> str | None:
     if isinstance(dtype, T.DoubleType):
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             return None
-        d = float(value)
-        if d == 0.0 or math.isnan(d) or math.isinf(d) or _DBL_LO <= abs(d) < _DBL_HI:
-            return java_double_str(d)
-        return None  # Java 17 pre-Ryu divergence zone: fall back
+        return java_double_str(float(value))
     if isinstance(dtype, T.DateType):
         if isinstance(value, dt.datetime) or not isinstance(value, dt.date):
             return None  # datetime->date truncation is tz-dependent: fall back

@@ -461,10 +461,9 @@ def _in_local_gate(t: str, v) -> bool:
             isinstance(v, int) and -(2 ** lo) <= v <= 2**lo - 1
         )
     if t == "double":
-        if isinstance(v, bool) or not isinstance(v, (int, float)):
-            return False
-        d = float(v)
-        return d == 0.0 or _math.isnan(d) or _math.isinf(d) or 1e-300 <= abs(d) < 2**52
+        # r9: the FloatingDecimal emulation is exact for ALL doubles —
+        # no fallback zone remains (VERDICT r8 item 1)
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
     if t == "date":
         return isinstance(v, _dt.date) and not isinstance(v, _dt.datetime) and v.year >= 1583
     if t in ("timestamp", "timestamp_ntz"):
@@ -472,7 +471,7 @@ def _in_local_gate(t: str, v) -> bool:
     return False
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@settings(max_examples=200, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(pairs=st.lists(_typed_value, min_size=1, max_size=12))
 def test_render_literal_matches_spark_cast(spark, pairs):
     """Whenever render_literal claims a value, its string must equal
@@ -496,11 +495,29 @@ def test_render_literal_matches_spark_cast(spark, pairs):
     "t, v, expected",
     [
         ("double", 1, "1.0"),        # str(1) vs Spark "1.0" (ADVICE r5)
-        ("double", 1e20, None),      # '1e+20' vs '1.0E20': MUST fall back on Java 17
-        ("double", 5e-324, None),    # subnormal: Java prints 4.9E-324, repr 5e-324
         ("double", 0.0, "0.0"),
         ("double", 1e6, "1000000.0"),
         ("double", 12.25, "12.25"),
+        # r9 FloatingDecimal-emulation pins (VERDICT r8 item 1): Java 17's
+        # pre-Ryu Double.toString is NOT shortest-round-trip — these are
+        # the measured JVM strings, now rendered locally with no fallback
+        ("double", 2**-24, "5.9604644775390625E-8"),   # the hypothesis counterexample (JDK-4511638)
+        ("double", 2**-23, "1.1920928955078125E-7"),
+        ("double", 1e20, "1.0E20"),
+        # Java's long-arithmetic dtoa branch is strict at the half-ulp
+        # boundary (d + 2**23 == 10**23 exactly), so NOT "1.0E23":
+        ("double", 1e23, "9.999999999999999E22"),
+        # long-branch b+m overflow suppresses the final round-up (JVM quirk)
+        ("double", float.fromhex("0x1.3baacb18f2c5ep+84"), "2.3851136372966234E25"),
+        ("double", -2.1395081286910736e25, "-2.1395081286910735E25"),
+        ("double", 5e-324, "4.9E-324"),                # smallest subnormal: repr says 5e-324
+        ("double", 2.2250738585072014e-308, "2.2250738585072014E-308"),  # smallest normal
+        ("double", 1.7976931348623157e308, "1.7976931348623157E308"),    # largest finite
+        ("double", 1.373428634809579e18, "1.37342863480957901E18"),      # exact-int extra digit
+        ("double", float(2**53), "9.007199254740992E15"),
+        ("double", float("nan"), "NaN"),
+        ("double", float("inf"), "Infinity"),
+        ("double", -0.0, "-0.0"),
         ("boolean", True, "true"),   # str(True) vs Spark "true" (ADVICE r5)
         ("int", 300, "300"),
         ("smallint", 2**20, None),   # out of range: cast wraps -> fall back
