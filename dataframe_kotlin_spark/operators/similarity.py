@@ -20,13 +20,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _check_method(method: str) -> None:
+def _check_method(method: str, extra: tuple[str, ...] = ()) -> None:
     """'expr' exists specifically for SQL-replay audits, so a typo must
     NOT silently fall through to the numpy path (ADVICE r7) — validate
-    eagerly and loudly."""
-    if method not in ("auto", "expr", "numpy"):
+    eagerly and loudly. Call sites that accept more methods (e.g.
+    'dgemm') pass them via ``extra`` so the error names the ACTUAL
+    valid set for that operator (ADVICE r8) instead of a generic one."""
+    allowed = ("auto", "expr", "numpy") + extra
+    if method not in allowed:
         raise ValueError(
-            f"method must be one of 'auto', 'expr', 'numpy'; got {method!r}"
+            f"method must be one of {', '.join(map(repr, allowed))}; got {method!r}"
         )
 
 
@@ -273,9 +276,9 @@ def cosine_neardup_pairs(
     currently means 'expr' (no cheap cardinality signal exists here —
     callers at scale opt in).
     """
+    _check_method(method, extra=("dgemm",))
     if method == "dgemm":
         return _cell_pairs_dgemm(df, cell_col, vec_col, id_col, threshold)
-    _check_method(method)
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(cell_col).alias("__cell__"),
@@ -351,6 +354,10 @@ def _cell_pairs_dgemm(
                 if zero[r]:
                     continue
                 js = js[~zero[js]]
+                # duplicate ids sharing a cell would emit id_a == id_b
+                # after the min/max ordering; the join paths' strict
+                # id_a < id_b never does (ADVICE r8) — mirror it
+                js = js[ids[js] != ids[r]]
                 if len(js) == 0:
                     continue
                 ia, ib = ids[r], ids[js]
@@ -375,6 +382,10 @@ def _cell_pairs_dgemm(
         F.col(cell_col).alias(cell_col),
         as_double(F.col(vec_col)).alias(vec_col),
     )
+    # groupBy would gather NULL cells into one group and pair them; the
+    # join paths' equi-join on the cell key never matches NULL (ADVICE
+    # r8) — filter first so all three methods share one pair set
+    base = base.filter(F.col(cell_col).isNotNull())
     return base.groupBy(cell_col).applyInPandas(score, out_schema)
 
 
@@ -635,7 +646,9 @@ def train_ivf_centroids(
     k: int = 16,
     iters: int = 5,
     init: str = "hash",
-) -> list[list[float]]:
+    output: str = "auto",
+    frame_threshold_bytes: int | None = None,
+) -> "list[list[float]] | DataFrame":
     """Distributed Lloyd's k-means for IVF coarse cells.
 
     Each iteration is one Spark job: assignment rides assign_cells'
@@ -654,7 +667,38 @@ def train_ivf_centroids(
     assignment paths can differ on razor-edge centroid ties in the last
     ulp, but each path is itself deterministic). Empty cells keep their
     previous centroid.
+
+    ``output`` gates WHERE the model lives (VERDICT r8 item 2, the
+    gated_broadcast rule applied to model parameters): 'list' is the
+    classic driver-side list; 'frame' delegates to
+    ``train_ivf_centroids_frame`` (model never leaves the cluster);
+    'auto' (default) picks 'frame' once k*dim*8 exceeds
+    ``frame_threshold_bytes`` (default CENTROID_FRAME_THRESHOLD, 64 MB)
+    — under the k = N/500 rule the list is corpus_bytes/500, so the
+    driver/closure is the first wall at a literal 100 TB corpus. All
+    current pinned-k callers sit far below the threshold and keep
+    getting a list.
     """
+    if init not in ("hash", "kmeans||"):
+        raise ValueError(f"init must be 'hash' or 'kmeans||'; got {init!r}")
+    if output not in ("auto", "list", "frame"):
+        raise ValueError(f"output must be 'auto', 'list' or 'frame'; got {output!r}")
+    if output == "auto":
+        threshold = (
+            CENTROID_FRAME_THRESHOLD
+            if frame_threshold_bytes is None
+            else frame_threshold_bytes
+        )
+        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else 0
+        output = "frame" if centroid_model_bytes(k, dim) > threshold else "list"
+    if output == "frame":
+        if init == "kmeans||":
+            raise ValueError(
+                "init='kmeans||' is list-path-only (its sweep collects the "
+                "seed set by design); use init='hash' with output='frame'"
+            )
+        return train_ivf_centroids_frame(df, vec_col, id_col, k, iters)
     base = df.select(F.col(id_col).alias("__id__"), as_double(F.col(vec_col)).alias("__v__"))
     if init == "kmeans||":
         centroids = kmeanspp_init_centroids(df, vec_col, id_col, k)
@@ -682,12 +726,231 @@ def train_ivf_centroids(
     return centroids
 
 
+# --------------------------------------------------------------------------
+# Executor-resident centroids (VERDICT r8 item 2).
+#
+# The k-proportional-to-N families (semdedup_scaled, ann_ivf_scaled) size
+# the model as k = N/500 cells: the centroid list is corpus_bytes/500 —
+# linear in the data — so at a literal 100 TB embedding corpus the
+# driver-side list (~200 GB) is the first hard wall. Past a byte
+# threshold the model must stay ON THE CLUSTER: a (cell, centroid)
+# DataFrame, scored against the data with a salted cogroup dgemm argmin
+# instead of a closure-shipped numpy array. This is gated_broadcast's
+# rule applied to model parameters: small model -> driver list (cheap,
+# bit-replayable); big model -> distributed frame.
+# --------------------------------------------------------------------------
+
+#: past this many bytes (k*dim*8) the centroid model stops being shipped
+#: through the driver/closure and lives as a DataFrame instead
+CENTROID_FRAME_THRESHOLD = 64 * 1024 * 1024
+
+
+def centroid_model_bytes(k: int, dim: int) -> int:
+    """Size of the dense centroid model: k cells x dim float64."""
+    return int(k) * int(dim) * 8
+
+
+def assign_cells_frame(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out: str = "cell",
+    cell_col: str = "cell",
+    cvec_col: str = "centroid",
+    chunk_bytes: int = 256 * 1024 * 1024,
+    salt_parts: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment against EXECUTOR-RESIDENT centroids.
+
+    ``centroids_df`` is a (cell int, centroid array) frame that is never
+    collected, broadcast, or closure-shipped. Layout:
+
+    - the data shuffles ONCE by a hash salt into ``salt_parts`` buckets
+      (default: spark.sql.shuffle.partitions);
+    - the model replicates to every salt bucket (P * model_bytes of
+      shuffle — the standard sharded-scoring replication; the DATA,
+      which is the big side at 100 TB, moves once);
+    - models larger than ``chunk_bytes`` additionally split into
+      G = ceil(model_bytes/chunk_bytes) hash chunks so no single task
+      holds more than ~chunk_bytes of centroids — the data replicates
+      G-fold (blocked-matmul traffic, the unavoidable cost of a model
+      that fits neither driver nor one task) and a min_by reduce keyed
+      on the id merges the per-chunk argmins;
+    - each cogroup task scores its rows against its chunk as ONE
+      ``c2 - 2 * X @ C.T`` dgemm (same formula as assign_cells'
+      numpy path; BLAS blocking may differ from the full-matrix product
+      in the last ulp — the usual cross-path contract).
+
+    Ties break to the smallest cell id in both stages (chunk rows are
+    sorted by cell before the argmin; the reduce orders by (d2, cell)),
+    matching assign_cells' first-minimum. Returns the original ``df``
+    columns plus ``out`` (joined back on ``id_col``); callers that only
+    need the (id, cell) map should use ``_assign_frame_map`` directly
+    and skip that join."""
+    amap = _assign_frame_map(
+        df, centroids_df, vec_col, id_col, out, cell_col, cvec_col, chunk_bytes, salt_parts
+    )
+    return df.join(amap, id_col)
+
+
+def _assign_frame_map(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out: str,
+    cell_col: str = "cell",
+    cvec_col: str = "centroid",
+    chunk_bytes: int = 256 * 1024 * 1024,
+    salt_parts: int | None = None,
+) -> DataFrame:
+    """(id_col, out) nearest-cell map — assign_cells_frame's core."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    stats = centroids_df.agg(
+        F.count("*").alias("k"), F.first(F.size(cvec_col)).alias("dim")
+    ).first()
+    k, dim = int(stats["k"] or 0), int(stats["dim"] or 0)
+    if k == 0:
+        raise ValueError("assign_cells_frame: empty centroid frame")
+    n_chunks = max(1, -(-centroid_model_bytes(k, dim) // chunk_bytes))
+    if salt_parts is None:
+        salt_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    salt_parts = max(1, int(salt_parts))
+
+    data = df.select(
+        F.col(id_col).alias(id_col),
+        as_double(F.col(vec_col)).alias("__v__"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts)).cast("int").alias("__salt__"),
+    )
+    if n_chunks > 1:
+        data = data.withColumn(
+            "__g__", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
+        )
+    else:
+        data = data.withColumn("__g__", F.lit(0))
+    cents = centroids_df.select(
+        F.col(cell_col).cast("int").alias("__cell__"),
+        as_double(F.col(cvec_col)).alias("__c__"),
+        F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_chunks)).cast("int").alias("__g__"),
+    ).withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1))))
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(out, IntegerType(), False),
+            StructField("__d2p__", DoubleType(), False),
+        ]
+    )
+
+    def score(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({id_col: [], out: [], "__d2p__": []})
+        if len(ldf) == 0 or len(rdf) == 0:
+            return empty
+        cells = rdf["__cell__"].to_numpy()
+        order = np.argsort(cells, kind="stable")  # first-min tie -> smallest cell
+        cells = cells[order]
+        C = np.stack(rdf["__c__"].to_numpy()).astype(np.float64)[order]
+        X = np.stack(ldf["__v__"].to_numpy()).astype(np.float64)
+        d = (C * C).sum(axis=1) - 2.0 * (X @ C.T)  # n x kc; +||x||^2 irrelevant
+        j = np.argmin(d, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ldf[id_col].to_numpy(),
+                out: cells[j].astype("int32"),
+                "__d2p__": d[np.arange(len(ldf)), j],
+            }
+        )
+
+    partial = (
+        data.groupby("__salt__", "__g__")
+        .cogroup(cents.groupby("__salt__", "__g__"))
+        .applyInPandas(score, out_schema)
+    )
+    if n_chunks == 1:
+        return partial.select(id_col, out)
+    # merge per-chunk argmins; (d2, cell) ordering keeps the smallest-cell
+    # tie-break across chunk boundaries
+    return partial.groupBy(id_col).agg(
+        F.min_by(F.col(out), F.struct(F.col("__d2p__"), F.col(out))).alias(out)
+    )
+
+
+def train_ivf_centroids_frame(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 5,
+    chunk_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """train_ivf_centroids with the model kept ON THE CLUSTER end to end:
+    returns a (cell int, centroid array<double>) DataFrame; no step ever
+    collects k*dim floats to the driver (the k = N/500 rule makes that
+    list corpus_bytes/500 — the first hard wall at a literal 100 TB
+    corpus, VERDICT r8 item 2).
+
+    Same recipe as the list trainer: hash-deterministic seed (the k
+    smallest-xxhash64(id) vectors), Lloyd iterations of frame-assign ->
+    posexplode mean, empty cells keep their previous centroid. Each
+    iteration's centroids persist + materialize (one k-row count job)
+    so iteration i+1's jobs don't replay iteration i's assignment.
+    init='kmeans||' is list-path-only (its sweep collects by design).
+    Seed numbering runs one k-row single-task window — trivially
+    distributable with a two-level rank when k itself outgrows a task,
+    left single-task here because the seed is one pass over k rows."""
+    base = df.select(
+        F.col(id_col).alias("__id__"), as_double(F.col(vec_col)).alias("__v__")
+    )
+    wseed = Window.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
+    cents = (
+        base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
+        .limit(k)
+        .withColumn("cell", (F.row_number().over(wseed) - 1).cast("int"))
+        .select("cell", F.col("__v__").alias("centroid"))
+        .persist()
+    )
+    cents.count()
+    for _ in range(iters):
+        amap = _assign_frame_map(
+            base, cents, "__v__", "__id__", "__cell__", chunk_bytes=chunk_bytes
+        )
+        assigned = base.join(amap, "__id__")
+        means = (
+            assigned.select("__cell__", F.posexplode("__v__").alias("__pos__", "__x__"))
+            .groupBy("__cell__", "__pos__")
+            .agg(F.avg("__x__").alias("__m__"))
+            .groupBy("__cell__")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos__", "__m__"))).alias("__s__"))
+            .select(
+                F.col("__cell__").alias("cell"),
+                F.transform("__s__", lambda s: s["__m__"]).alias("__new__"),
+            )
+        )
+        prev = cents
+        cents = (
+            prev.join(means, "cell", "left")
+            .select("cell", F.coalesce("__new__", "centroid").alias("centroid"))
+            .persist()
+        )
+        cents.count()  # materialize before dropping the previous model
+        prev.unpersist()
+    return cents
+
+
 def assign_cells(
     df: DataFrame,
-    centroids: list[list[float]],
+    centroids: "list[list[float]] | DataFrame",
     vec_col: str = "embedding",
     out: str = "cell",
     method: str = "auto",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Tag each vector with its nearest learned centroid (the write-time
     step: at scale, partition/bucket the table by this column so probes
@@ -704,7 +967,20 @@ def assign_cells(
     smallest cell index under both paths; float rounding between the
     sequential expression fold and the BLAS dot can differ in the last
     ulp, so razor-edge ties may land differently — keep 'expr' where
-    bit-exact replay matters."""
+    bit-exact replay matters.
+
+    ``centroids`` may also be a (cell, centroid) DataFrame — the
+    executor-resident model form train_ivf_centroids returns past its
+    byte threshold (VERDICT r8 item 2). That path requires ``id_col``
+    (assignments come back as an (id, cell) map and re-join the input
+    on it) and ignores ``method`` (it is always the cogroup dgemm)."""
+    if isinstance(centroids, DataFrame):
+        if id_col is None:
+            raise ValueError(
+                "assign_cells with DataFrame centroids needs id_col= (the "
+                "assignment map joins back on it)"
+            )
+        return assign_cells_frame(df, centroids, vec_col, id_col, out)
     _check_method(method)
     if method == "auto":
         method = "numpy" if len(centroids) >= 32 else "expr"
@@ -775,9 +1051,15 @@ def ivf_topk_trained(
     ranking window, same zero-norm-as-NULL contract, BLAS instead of
     per-pair transfer. The deployment form at production dims.
     """
+    if isinstance(centroids, DataFrame):
+        raise TypeError(
+            "ivf_topk_trained takes a driver-side centroid list (probe-cell "
+            "selection closes over it); for an executor-resident model use "
+            "ivf_topk_det, or assign_cells_frame + an explicit cell join"
+        )
+    _check_method(method, extra=("dgemm",))
     if method == "dgemm":
         return _ivf_topk_dgemm(corpus, queries, centroids, vec_col, id_col, k, nprobe)
-    _check_method(method)
     c = assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv__")),
         centroids,

@@ -1,0 +1,194 @@
+"""Executor-resident centroids (VERDICT r8 item 2): the k-proportional-
+to-N families' model must stop being a driver-side list past a byte
+threshold. Pins path selection, rank-identity between the frame
+(cogroup dgemm) and list (closure numpy) assignment paths — including
+the multi-chunk reduce — and the frame trainer's parity with the list
+trainer. Also pins the r8 ADVICE dgemm contract fixes (NULL cells,
+duplicate ids)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataframe_kotlin_spark.operators import similarity as sim
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def _as_frame(spark, centroids):
+    return spark.createDataFrame(
+        [(i, list(map(float, c))) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+
+
+def test_frame_assign_matches_list_single_chunk(spark, emb):
+    cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells(emb, cents, out="cell", method="numpy").collect()
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells_frame(
+            emb, _as_frame(spark, cents), "embedding", "vec_id", "cell"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_frame_assign_matches_list_multi_chunk(spark, emb):
+    """chunk_bytes small enough that the model splits into several hash
+    chunks: exercises the min_by reduce and the cross-chunk tie order."""
+    cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
+    dim = len(cents[0])
+    # force ~8 chunks of 4 cells each
+    chunk = sim.centroid_model_bytes(4, dim)
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells(emb, cents, out="cell", method="numpy").collect()
+    }
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells_frame(
+            emb,
+            _as_frame(spark, cents),
+            "embedding",
+            "vec_id",
+            "cell",
+            chunk_bytes=chunk,
+            salt_parts=4,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_frame_assign_preserves_columns_and_rows(spark, emb):
+    cents = sim.train_ivf_centroids(emb, k=8, iters=0, output="list")
+    out = sim.assign_cells_frame(emb, _as_frame(spark, cents), "embedding", "vec_id")
+    assert set(out.columns) == set(emb.columns) | {"cell"}
+    assert out.count() == emb.count()
+
+
+def test_assign_cells_dispatches_on_frame(spark, emb):
+    cents = sim.train_ivf_centroids(emb, k=8, iters=0, output="list")
+    f = _as_frame(spark, cents)
+    via_dispatch = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells(emb, f, out="cell", id_col="vec_id").collect()
+    }
+    direct = {
+        r["vec_id"]: r["cell"]
+        for r in sim.assign_cells_frame(emb, f, "embedding", "vec_id").collect()
+    }
+    assert via_dispatch == direct
+    with pytest.raises(ValueError, match="id_col"):
+        sim.assign_cells(emb, f, out="cell")
+
+
+def test_train_frame_seed_matches_list_seed(spark, emb):
+    lst = sim.train_ivf_centroids(emb, k=8, iters=0, output="list")
+    frame = sim.train_ivf_centroids_frame(emb, k=8, iters=0)
+    got = {r["cell"]: list(r["centroid"]) for r in frame.collect()}
+    assert got == {i: list(map(float, c)) for i, c in enumerate(lst)}
+
+
+def test_train_frame_matches_list_training(spark, emb):
+    import numpy as np
+
+    lst = sim.train_ivf_centroids(emb, k=8, iters=2, output="list")
+    frame = sim.train_ivf_centroids_frame(emb, k=8, iters=2)
+    got = {r["cell"]: list(r["centroid"]) for r in frame.collect()}
+    assert set(got) == set(range(8))
+    for i, c in enumerate(lst):
+        assert np.allclose(got[i], c, rtol=1e-9, atol=1e-12), i
+
+
+def test_auto_gate_selects_by_model_bytes(emb):
+    from pyspark.sql import DataFrame
+
+    small = sim.train_ivf_centroids(emb, k=8, iters=0, output="auto")
+    assert isinstance(small, list)  # 8*64*8 bytes: far below the threshold
+    big = sim.train_ivf_centroids(
+        emb, k=8, iters=0, output="auto", frame_threshold_bytes=0
+    )
+    assert isinstance(big, DataFrame)  # any model exceeds a 0-byte budget
+
+
+def test_train_param_validation(emb):
+    with pytest.raises(ValueError, match="init"):
+        sim.train_ivf_centroids(emb, k=4, iters=0, init="kmens||")
+    with pytest.raises(ValueError, match="output"):
+        sim.train_ivf_centroids(emb, k=4, iters=0, output="lsit")
+    with pytest.raises(ValueError, match="list-path-only"):
+        sim.train_ivf_centroids(emb, k=4, iters=0, init="kmeans||", output="frame")
+
+
+def test_ivf_topk_trained_rejects_frame(spark, emb):
+    f = _as_frame(spark, sim.train_ivf_centroids(emb, k=4, iters=0, output="list"))
+    with pytest.raises(TypeError, match="driver-side centroid list"):
+        sim.ivf_topk_trained(emb, emb.limit(2), f)
+
+
+# --- r8 ADVICE dgemm contract fixes -----------------------------------------
+
+
+def test_dgemm_pairs_exclude_null_cells(spark):
+    """A NULL cell never matches in the join paths' equi-join; the
+    dgemm groupBy must not pair the NULL-cell group (ADVICE r8)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 0.0]),
+            (2, "a", [1.0, 0.0]),
+            (3, None, [1.0, 0.0]),
+            (4, None, [1.0, 0.0]),
+        ],
+        "vec_id int, cell string, embedding array<double>",
+    )
+    for method in ("expr", "dgemm"):
+        pairs = sorted(
+            (r["id_a"], r["id_b"])
+            for r in sim.cosine_neardup_pairs(
+                df, cell_col="cell", threshold=0.9, method=method
+            ).collect()
+        )
+        assert pairs == [(1, 2)], method
+
+
+def test_dgemm_pairs_exclude_duplicate_ids(spark):
+    """Duplicate ids sharing a cell must not emit an id_a == id_b row —
+    the join paths' strict id_a < id_b never does (ADVICE r8), and such
+    a row would drop a document as its own duplicate in semdedup_prune."""
+    df = spark.createDataFrame(
+        [
+            (7, "a", [1.0, 0.0]),
+            (7, "a", [1.0, 0.0]),
+            (9, "a", [1.0, 0.0]),
+        ],
+        "vec_id int, cell string, embedding array<double>",
+    )
+    for method in ("expr", "dgemm"):
+        pairs = sorted(
+            (r["id_a"], r["id_b"])
+            for r in sim.cosine_neardup_pairs(
+                df, cell_col="cell", threshold=0.9, method=method
+            ).collect()
+        )
+        assert all(a < b for a, b in pairs), (method, pairs)
+        assert set(pairs) == {(7, 9)}, (method, pairs)
+
+
+def test_check_method_error_names_per_site_set():
+    with pytest.raises(ValueError, match="dgemm"):
+        sim.cosine_neardup_pairs(None, cell_col="c", method="dgem")
+    # assign_cells does NOT accept dgemm: its error lists only its own set
+    with pytest.raises(ValueError, match=r"must be one of 'auto', 'expr', 'numpy'; got"):
+        sim.assign_cells(None, [[0.0]], method="dgemm")
