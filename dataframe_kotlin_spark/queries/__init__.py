@@ -38,35 +38,35 @@ def query(name: str, oracle: str | None = None):
 # through joins, grouping, pivot/reshape, window analytics, TPC-H shapes,
 # dedup/similarity/text pipeline — instead of exhausting the budget on one
 # module's block.
-# Round-8 rotation (VERDICT r7 item 4): oldest-first. The 50-slot
-# window = the 3 queries REGISTERED THIS ROUND (the scale-posture twins
-# semdedup_scaled + simhash_hamming_scaled and the composed
-# dedup_then_jaccard flow — VERDICT r7 items 2-3) first, then ALL 39
-# names whose latest green row is r4, then 8 r5 names (leading with
-# doc_surprisal_scores and resample_ffill_hours, whose code/measurement
-# changed this round) to fill the window. After the r8 gate runs, no
-# name's latest green row is older than r5.
+# Round-9 rotation (VERDICT r8 item 5): oldest-first. The 50-slot
+# window = ALL 30 names whose latest green row is r5 (leading with the
+# two the r9 litrender rewrite could touch via null/value rendering),
+# then 20 of the 38 r6 names — again rendering-adjacent first
+# (pivot_null_bucket, merge_null_render, transpose_stats,
+# describe_numeric all stringify values). After the r9 gate runs, no
+# name's latest green row is older than r6.
 _PRIORITY = [
-    # first evidence: registered in round 8
-    "semdedup_scaled", "simhash_hamming_scaled", "dedup_then_jaccard",
-    # oldest-green rotation: every name last checked in round 4
-    "ann_ivf_topk", "ann_ivf_trained", "bm25_topk", "chunked_groups",
-    "collocations_pmi", "dedup_clusters", "distinct_by_expr",
-    "doc_fingerprints", "fuzzy_pairs_editdist", "hash_split_counts",
-    "hll_deterministic_customers", "jaccard_prefix_pairs",
-    "kmeans_det_assignments", "mix_weighted_counts", "mixture_plan_langs",
-    "move_restructure", "neardup_embedding", "pack_sequences_stats",
-    "pagerank_parts", "pivot_matches", "pivot_multi_agg",
-    "psi_drift_priority", "q15_top_supplier", "q16_supplier_relation",
-    "q17_small_quantity", "q19_brand_bands", "q20_promotion_suppliers",
-    "q21_waiting_supplier", "q22_idle_balance", "quality_filter",
-    "repetition_filter", "reservoir_counts", "running_total_scan",
-    "split_leakage_pairs", "term_frequency_topk", "text_stats",
-    "tfidf_top_terms", "training_mix_report", "weighted_sample_langs",
-    # window fill: r5 names — the two touched this round first
-    "doc_surprisal_scores", "resample_ffill_hours",
-    "asof_last_purchase", "asof_nearest_purchase", "asof_next_purchase",
-    "bigram_lm_topk", "bloom_prefilter_join", "chunk_documents",
+    # oldest-green rotation: every name last checked in round 5
+    "multimodal_features", "quantize_embeddings_int8",
+    "cumulative_sum", "dq_profile_orders", "first_last_events",
+    "gather_groups_contacts", "gather_lists", "hypertable_rollup_events",
+    "incremental_agg_state", "interarrival_quantiles",
+    "interval_join_windows", "inverted_index", "json_extract_props",
+    "json_props_extract", "lead_next", "lsh_candidate_pairs",
+    "merge_cols_concat", "merge_rows_lists", "neighbour_values",
+    "nth_order_value", "percent_rank_dist", "rolling_dedup_events",
+    "rolling_range_revenue", "row_number_rank", "salted_join_agg",
+    "scd2_status_timeline", "skip_last_tail", "slice_rows_page",
+    "split_tokens", "winsorize_zscore_prices",
+    # window fill: 20 of the 38 r6 names, rendering-adjacent first
+    # (this round rewrote core/litrender.py's double path)
+    "pivot_null_bucket", "merge_null_render", "transpose_stats",
+    "describe_numeric", "null_handling", "update_convert",
+    "agg_minmax_count", "anti_join_customers", "approx_distinct_parts",
+    "argmax_row", "arithmetic_round", "corr_pair", "count_by_priority",
+    "count_conditional", "cube_flag_status", "distinct_by_first",
+    "distinct_pair", "drop_rows_inverse", "grouping_sets_qty",
+    "hll_rollup_customers",
 ]
 
 

@@ -406,6 +406,22 @@ def test_plans_md_covers_exact_registry():
         f"(run `python tools/plan_digest.py /root/testdata/sf0.001 --write`): "
         f"{registry - digest_names}"
     )
+    # VERDICT r8 item 4: the "0 cartesians" claim must be self-evident
+    # registry-wide, not just spot-asserted. The digest's total row now
+    # carries cartesian/bnlj columns; a CartesianProduct anywhere in the
+    # registry fails this gate (BNLJ stays nonzero — the intended 1-row
+    # scalar-aggregate crossJoin pattern — but is now reviewable per row).
+    assert "| cartesian | bnlj |" in text, (
+        "PLANS.md predates the cartesian/bnlj columns — regenerate it"
+    )
+    total = re.search(r"^\| \*\*total\*\* \|(.*)\|\s*$", text, flags=re.M)
+    assert total is not None, "PLANS.md has no **total** row"
+    cols = [c.strip() for c in total.group(1).split("|")]
+    cartesian_total = int(cols[-2])
+    assert cartesian_total == 0, (
+        f"{cartesian_total} CartesianProduct node(s) in registry plans — "
+        "see PLANS.md's cartesian column for the offending query"
+    )
 
 
 def test_gated_broadcast_respects_threshold(spark):
@@ -442,6 +458,37 @@ def test_gated_broadcast_respects_threshold(spark):
         assert strategy(skew.gated_broadcast(df, est_rows=1)) == "shuffle_hash"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_sampled_distinct_rows_memoizes_per_source(spark):
+    """ADVICE r8 item 4: the eager construction-time sampling job must
+    not re-run when the same query is rebuilt (bench warm loops, plan
+    digests); a different source table or probe must still miss."""
+    import os
+
+    from dataframe_kotlin_spark.operators import skew
+    from pyspark.sql import functions as F
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+    skew._SAMPLED_DISTINCT_CACHE.clear()
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def probe():
+        rel = docs.sample(fraction=0.5, seed=7).select(
+            F.explode(F.split("text", r"\s+")).alias("w")
+        )
+        return skew.sampled_distinct_rows(rel, "w", 0.5)
+
+    first = probe()
+    assert len(skew._SAMPLED_DISTINCT_CACHE) == 1
+    assert probe() == first  # rebuild of the same plan: cache hit
+    assert len(skew._SAMPLED_DISTINCT_CACHE) == 1
+    # a different probe column misses
+    rel2 = docs.sample(fraction=0.5, seed=7).select(
+        F.explode(F.split("text", r"\s+")).alias("w2")
+    )
+    skew.sampled_distinct_rows(rel2, "w2", 0.5)
+    assert len(skew._SAMPLED_DISTINCT_CACHE) == 2
 
 
 def test_surprisal_broadcast_gate_end_to_end(spark):
