@@ -779,6 +779,11 @@ class KDataFrame:
           dims (the planner's AQE can also decide this from stats).
         """
         right = other.df if isinstance(other, KDataFrame) else other
+        if how not in _JOIN_TYPES:
+            raise ValueError(
+                f"how must be one of {', '.join(map(repr, sorted(_JOIN_TYPES)))}; "
+                f"got {how!r}"
+            )
         how = _JOIN_TYPES[how]
         if on is None:
             on = [c for c in self.df.columns if c in set(right.columns)]

@@ -882,6 +882,166 @@ def _assign_frame_map(
     )
 
 
+def _probe_frame_map(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    nprobe: int,
+    out: str = "__cell__",
+    cell_col: str = "cell",
+    cvec_col: str = "centroid",
+    chunk_bytes: int = 256 * 1024 * 1024,
+    salt_parts: int | None = None,
+) -> DataFrame:
+    """(id_col, out) probe map: the nprobe NEAREST cells per row against
+    an executor-resident model — _assign_frame_map generalized from
+    argmin to top-n. Same salted cogroup dgemm layout (data shuffles
+    once by salt, the model replicates per salt bucket, oversize models
+    hash-chunk); each task emits its queries' top-nprobe (cell, d2)
+    rows, and with multiple chunks a (d2, cell) ranking window keeps
+    the global nprobe — the same smallest-cell tie rule as
+    _nearest_cells' struct sort (the probe d2 omits the +||x||² term,
+    constant per row, so the ORDER matches the list path modulo the
+    usual cross-path last-ulp contract)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    spark = df.sparkSession
+    stats = centroids_df.agg(
+        F.count("*").alias("k"), F.first(F.size(cvec_col)).alias("dim")
+    ).first()
+    k, dim = int(stats["k"] or 0), int(stats["dim"] or 0)
+    if k == 0:
+        raise ValueError("ivf_topk_frame: empty centroid frame")
+    n_chunks = max(1, -(-centroid_model_bytes(k, dim) // chunk_bytes))
+    if salt_parts is None:
+        salt_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    salt_parts = max(1, int(salt_parts))
+
+    data = df.select(
+        F.col(id_col).alias(id_col),
+        as_double(F.col(vec_col)).alias("__v__"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts)).cast("int").alias("__salt__"),
+    )
+    if n_chunks > 1:
+        data = data.withColumn(
+            "__g__", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
+        )
+    else:
+        data = data.withColumn("__g__", F.lit(0))
+    cents = centroids_df.select(
+        F.col(cell_col).cast("int").alias("__cell__"),
+        as_double(F.col(cvec_col)).alias("__c__"),
+        F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_chunks)).cast("int").alias("__g__"),
+    ).withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1))))
+
+    id_field = df.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField(out, IntegerType(), False),
+            StructField("__d2p__", DoubleType(), False),
+        ]
+    )
+
+    def score(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame({id_col: [], out: [], "__d2p__": []})
+        if len(ldf) == 0 or len(rdf) == 0:
+            return empty
+        cells = rdf["__cell__"].to_numpy()
+        order = np.argsort(cells, kind="stable")  # ascending: ties -> smallest cell
+        cells = cells[order]
+        C = np.stack(rdf["__c__"].to_numpy()).astype(np.float64)[order]
+        X = np.stack(ldf["__v__"].to_numpy()).astype(np.float64)
+        d = (C * C).sum(axis=1) - 2.0 * (X @ C.T)  # n x kc
+        top = min(nprobe, d.shape[1])
+        # stable argsort: equal d2 keeps ascending-cell order
+        j = np.argsort(d, axis=1, kind="stable")[:, :top]
+        rows = np.repeat(np.arange(len(ldf)), top)
+        picked = j.ravel()
+        return pd.DataFrame(
+            {
+                id_col: ldf[id_col].to_numpy()[rows],
+                out: cells[picked].astype("int32"),
+                "__d2p__": d[rows, picked],
+            }
+        )
+
+    partial = (
+        data.groupby("__salt__", "__g__")
+        .cogroup(cents.groupby("__salt__", "__g__"))
+        .applyInPandas(score, out_schema)
+    )
+    if n_chunks == 1:
+        # one chunk holds every cell, so the per-task top-n IS global
+        return partial.select(id_col, out)
+    w = Window.partitionBy(id_col).orderBy(F.col("__d2p__"), F.col(out))
+    return (
+        partial.withColumn("__r__", F.row_number().over(w))
+        .filter(F.col("__r__") <= nprobe)
+        .select(id_col, out)
+    )
+
+
+def ivf_topk_frame(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 2,
+    cell_col: str = "cell",
+    cvec_col: str = "centroid",
+    chunk_bytes: int = 256 * 1024 * 1024,
+    salt_parts: int | None = None,
+) -> DataFrame:
+    """ANN top-k with the model EXECUTOR-RESIDENT end to end — the
+    search-side completion of the frame-centroid family (VERDICT r8
+    item 2): past the 64 MB gate `train_ivf_centroids(output='auto')`
+    returns a DataFrame model, and until r9 only ASSIGNMENT could
+    consume it (`ivf_topk_trained` requires the driver list, since its
+    probe-cell selection closes over it). Here both sides stay on the
+    cluster: corpus cells via `_assign_frame_map`, probe cells via
+    `_probe_frame_map` (top-nprobe generalization, same salted cogroup
+    dgemm), candidates via the per-cell cogroup BLAS scorer shared with
+    `ivf_topk_trained(method='dgemm')` — identical candidate relation,
+    ranking window, zero-norm-as-NULL and self-pair contracts, so the
+    two paths are rank-identical modulo the documented cross-path
+    last-ulp tie contract (test-pinned against the list path)."""
+    csel = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("__cv__")
+    )
+    amap = _assign_frame_map(
+        csel, centroids_df, "__cv__", "neighbor_id", "__cell__",
+        cell_col, cvec_col, chunk_bytes, salt_parts,
+    )
+    c = csel.join(amap, "neighbor_id")
+    qsel = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("__qv__")
+    )
+    probes = _probe_frame_map(
+        qsel, centroids_df, "__qv__", "query_id", nprobe, "__cell__",
+        cell_col, cvec_col, chunk_bytes, salt_parts,
+    )
+    q = qsel.join(probes, "query_id")
+    out_schema, score = _cell_cosine_scorer(corpus.schema[id_col].dataType)
+    scored = (
+        c.groupBy("__cell__")
+        .cogroup(q.groupBy("__cell__"))
+        .applyInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def train_ivf_centroids_frame(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1055,7 +1215,7 @@ def ivf_topk_trained(
         raise TypeError(
             "ivf_topk_trained takes a driver-side centroid list (probe-cell "
             "selection closes over it); for an executor-resident model use "
-            "ivf_topk_det, or assign_cells_frame + an explicit cell join"
+            "ivf_topk_frame (rank-identical, model never leaves the cluster)"
         )
     _check_method(method, extra=("dgemm",))
     if method == "dgemm":
@@ -1092,31 +1252,20 @@ def ivf_topk_trained(
     )
 
 
-def _ivf_topk_dgemm(
-    corpus: DataFrame,
-    queries: DataFrame,
-    centroids: list[list[float]],
-    vec_col: str,
-    id_col: str,
-    k: int,
-    nprobe: int,
-) -> DataFrame:
-    """ivf_topk_trained method='dgemm': per-cell cogroup scoring. The
-    corpus side arrives grouped by its assigned cell (each vector ships
-    ONCE), the probe side by probed cell (tiny); each task scores the
-    whole cell against its probes with one num = X @ Q.T and emits
-    (query_id, neighbor_id, cosine_sim) candidate rows — the SAME
-    candidate relation the join form builds, so the Spark-side ranking
-    window (and therefore the output contract) is shared verbatim.
-    Zero-norm rows emit NULL sims (rank last), matching both other
-    paths."""
+def _cell_cosine_scorer(id_dtype):
+    """(out_schema, cogroup score fn) for per-cell BLAS cosine scoring —
+    shared by _ivf_topk_dgemm (driver-list model) and ivf_topk_frame
+    (executor-resident model): corpus rows arrive grouped by assigned
+    cell as (neighbor_id, __cv__), probes as (query_id, __qv__); the
+    task scores the whole cell against its probes with one X @ Q.T and
+    emits the candidate relation. Zero-norm rows emit NULL sims (rank
+    last); self-pairs are dropped."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    id_field = corpus.schema[id_col]
     out_schema = StructType(
         [
-            StructField("query_id", id_field.dataType, True),
-            StructField("neighbor_id", id_field.dataType, True),
+            StructField("query_id", id_dtype, True),
+            StructField("neighbor_id", id_dtype, True),
             StructField("cosine_sim", DoubleType(), True),
         ]
     )
@@ -1150,6 +1299,29 @@ def _ivf_topk_dgemm(
         )
         out.loc[dmask, "cosine_sim"] = pd.NA
         return out[out["query_id"] != out["neighbor_id"]]
+
+    return out_schema, score
+
+
+def _ivf_topk_dgemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """ivf_topk_trained method='dgemm': per-cell cogroup scoring. The
+    corpus side arrives grouped by its assigned cell (each vector ships
+    ONCE), the probe side by probed cell (tiny); each task scores the
+    whole cell against its probes with one num = X @ Q.T and emits
+    (query_id, neighbor_id, cosine_sim) candidate rows — the SAME
+    candidate relation the join form builds, so the Spark-side ranking
+    window (and therefore the output contract) is shared verbatim.
+    Zero-norm rows emit NULL sims (rank last), matching both other
+    paths."""
+    out_schema, score = _cell_cosine_scorer(corpus.schema[id_col].dataType)
 
     c = assign_cells(
         corpus.select(

@@ -71,14 +71,74 @@ def score_quality(df: DataFrame, text_col: str, out_col: str = "quality") -> Dat
     return df.withColumn(out_col, F.round(quality_score(F.col(text_col)) + 1e-9, 4))
 
 
-def repetition_stats(df: DataFrame, text_col: str, ns: Sequence[int] = (2, 3)) -> DataFrame:
+def repetition_stats(
+    df: DataFrame, text_col: str, ns: Sequence[int] = (2, 3), method: str = "auto"
+) -> DataFrame:
     """Gopher-style within-document repetition metrics (Rae et al. 2021,
     table A1): for each n in ``ns``, the fraction of duplicate n-grams
-    (1 - distinct/total). Pure Column expressions over the token array —
-    map-only, fuses into the scan, no shuffle, no UDF. High values flag
-    boilerplate/spam documents that a quality gate should drop before
-    training. Reference has no equivalent (pipeline extension, SURVEY §7 P6).
-    """
+    (1 - distinct/total). Map-only, fuses into the scan, no shuffle.
+    High values flag boilerplate/spam documents that a quality gate
+    should drop before training. Reference has no equivalent (pipeline
+    extension, SURVEY §7 P6).
+
+    method='expr' is the pure-Column form (transform + array_distinct
+    per n — SQL-replayable, but higher-order lambdas never reach
+    codegen, so it pays O(len·n) INTERPRETED eval per row per n: the
+    same wall simhash_values hit, 16.6 s of the 100x text sweep).
+    'numpy' moves ONLY the exact-integer gram counting into one Arrow
+    batch UDF (tokenization stays the shared ``tokens()`` expression;
+    per doc the counts are len(set(...)) over tuple n-grams) and keeps
+    the division + rounding in the IDENTICAL Spark expressions — counts
+    are integers with one representation, so the two paths are
+    bit-identical by construction (test-pinned on real corpus data,
+    nulls/empties/short docs included). 'auto' = 'numpy' (always safe;
+    'expr' remains for plan-audit SQL-replay demonstrations)."""
+    from dataframe_kotlin_spark.operators.similarity import _check_method
+
+    _check_method(method)
+    if method == "auto":
+        method = "numpy"
+    ns = tuple(ns)
+
+    def frac_expr(total: Column, n_distinct: Column) -> Column:
+        # +1e-9: keep exact .xxxx5 ratios off the Spark/duckdb
+        # rounding-boundary divergence (see text_stats)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            F.round((total - n_distinct) / total + 1e-9, 4)
+        )
+
+    if method == "numpy":
+        from pyspark.sql.types import ArrayType, LongType
+
+        # no type hints: the module's `from __future__ import annotations`
+        # stringifies them, which pandas_udf's hint inference rejects
+        def gram_counts(tok):
+            def counts(t):
+                if t is None:
+                    return [0] * (2 * len(ns))
+                out = []
+                lst = list(t)
+                for n in ns:
+                    total = max(len(lst) - (n - 1), 0)
+                    if total <= 0:
+                        out += [0, 0]
+                    else:
+                        out += [
+                            total,
+                            len(set(zip(*(lst[i:] for i in range(n))))),
+                        ]
+                return out
+
+            return tok.map(counts)
+
+        gram_counts_udf = F.pandas_udf(gram_counts, ArrayType(LongType()))
+        out = df.withColumn("__gc__", gram_counts_udf(tokens(F.col(text_col))))
+        for idx, n in enumerate(ns):
+            total = F.col("__gc__").getItem(2 * idx)
+            nd = F.col("__gc__").getItem(2 * idx + 1)
+            out = out.withColumn(f"dup_{n}gram_frac", frac_expr(total, nd))
+        return out.drop("__gc__")
+
     out = df
     for n in ns:
         # The token array is BOUND once per row (text.bind1): the

@@ -39,13 +39,18 @@ def query(name: str, oracle: str | None = None):
 # dedup/similarity/text pipeline — instead of exhausting the budget on one
 # module's block.
 # Round-9 rotation (VERDICT r8 item 5): oldest-first. The 50-slot
-# window = ALL 30 names whose latest green row is r5 (leading with the
-# two the r9 litrender rewrite could touch via null/value rendering),
-# then 20 of the 38 r6 names — again rendering-adjacent first
-# (pivot_null_bucket, merge_null_render, transpose_stats,
-# describe_numeric all stringify values). After the r9 gate runs, no
-# name's latest green row is older than r6.
+# window = the round's TWO new queries (the executor-resident centroid
+# postures — new code ships with first-round driver evidence), then ALL
+# 30 names whose latest green row is r5 (leading with the two the r9
+# litrender rewrite could touch via null/value rendering), then 18 of
+# the 38 r6 names — again rendering-adjacent first (pivot_null_bucket,
+# merge_null_render, transpose_stats, describe_numeric all stringify
+# values). After the r9 gate runs, no name's latest green row is older
+# than r6.
 _PRIORITY = [
+    # round-9 new registrations: the executor-resident centroid postures
+    # (assignment + end-to-end search)
+    "ivf_assign_frame_scaled", "ann_ivf_frame_topk",
     # oldest-green rotation: every name last checked in round 5
     "multimodal_features", "quantize_embeddings_int8",
     "cumulative_sum", "dq_profile_orders", "first_last_events",
@@ -65,8 +70,7 @@ _PRIORITY = [
     "agg_minmax_count", "anti_join_customers", "approx_distinct_parts",
     "argmax_row", "arithmetic_round", "corr_pair", "count_by_priority",
     "count_conditional", "cube_flag_status", "distinct_by_first",
-    "distinct_pair", "drop_rows_inverse", "grouping_sets_qty",
-    "hll_rollup_customers",
+    "distinct_pair", "drop_rows_inverse",
 ]
 
 

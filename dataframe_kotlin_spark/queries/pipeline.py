@@ -876,6 +876,55 @@ def ann_ivf_scaled(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_frame_topk",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(10 AS INT) AS n_results, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+)
+def ann_ivf_frame_topk(spark, sf_dir):
+    """ann_ivf_scaled's search with the model EXECUTOR-RESIDENT end to
+    end (r9; VERDICT r8 item 2's search-side completion): the Lloyd
+    loop runs as ``train_ivf_centroids_frame`` (model = persisted k-row
+    DataFrame, never collected) and ``ivf_topk_frame`` does assignment,
+    probe selection AND scoring through the salted cogroup-dgemm paths
+    — nothing model-sized ever reaches the driver or a task closure, so
+    this exact plan shape survives a model that outgrows both. Same
+    determinism-safe oracle contract as ann_ivf_scaled: per fixed probe
+    (vec_id % 100 = 0), exactly 10 results came back and >= 2 of the
+    BLAS brute-force exact top-10 were found (observed minima are far
+    higher; only a broken cell assignment, probe expansion, or ranking
+    flips the boolean). Rank-identity of ivf_topk_frame against the
+    driver-list dgemm path is separately pinned in
+    tests/test_centroid_frame.py, chunked model included."""
+    from dataframe_kotlin_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(4, n // 500)
+    cents = sim.train_ivf_centroids_frame(emb, "embedding", "vec_id", k=k_cells, iters=1)
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf = sim.ivf_topk_frame(emb, queries_df, cents, k=10, nprobe=2)
+    brute = sim.cosine_topk_blas(emb, queries_df, k=10)
+    nres = ivf.groupBy("query_id").agg(F.count(F.lit(1)).cast("int").alias("n_results"))
+    hits = (
+        ivf.join(brute.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qids = queries_df.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(nres, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_results"), F.lit(0)).alias("n_results"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 2).alias("recall_ok"),
+        )
+    )
+
+
+@query(
     "term_frequency_topk",
     oracle="""
     WITH tok AS (
@@ -2113,6 +2162,121 @@ def semdedup_scaled(spark, sf_dir):
             (F.col("n_unsound") == 0).alias("prune_sound"),
             ((F.col("n_surv") + F.col("n_drop")) == n).alias("prune_complete"),
             (F.coalesce(F.col("n_dup_groups"), F.lit(0)) == 0).alias("no_dup_survivors"),
+        )
+    )
+
+
+@query(
+    "ivf_assign_frame_scaled",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_total,
+           TRUE AS partition_ok, TRUE AS model_shape_ok, TRUE AS paths_agree
+    """,
+)
+def ivf_assign_frame_scaled(spark, sf_dir):
+    """EXECUTOR-RESIDENT centroid assignment, driver-gated (VERDICT r8
+    item 2): under the k = N/500 rule the centroid model is
+    corpus_bytes/500 — linear in the data — so at a literal 100 TB
+    embedding corpus the driver-side list (~200 GB) is the first hard
+    wall. This runs the past-the-threshold posture end to end:
+    ``train_ivf_centroids_frame`` (Lloyd with the model as a persisted
+    k-row DataFrame; nothing model-sized ever reaches the driver) +
+    the salted cogroup-dgemm argmin assignment (``_assign_frame_map``:
+    data shuffles ONCE by salt, the model replicates per salt bucket,
+    oversize models split into hash chunks with a (d2, cell) min_by
+    merge). The frame path is FORCED here — ``output='auto'`` only
+    engages it past 64 MB of centroids, and the gate corpus sits far
+    below that; the query exists to keep the big-model code path under
+    the same driver gate as the list path it must agree with.
+
+    Learned centroids aren't SQL-expressible, so the oracle is the
+    boolean-contract kind (semdedup_scaled's template): n_total plus
+    three booleans VERIFIED DISTRIBUTED-SIDE. partition_ok — every
+    vector got exactly one cell in [0, k). model_shape_ok — the trained
+    frame has exactly k rows whose dimensionality equals the data's.
+    paths_agree — the frame assignment matches ``assign_cells`` fed the
+    COLLECTED same model (k·dim floats — model parameters, the thing
+    the threshold exists to gate, collected here only as the
+    verification fixture): both paths argmin the same float64
+    c² − 2·X@Cᵀ, but their dgemm batch shapes differ (per-salt-bucket
+    cogroup vs Arrow batch), so a razor-edge centroid tie may land
+    differently in the last ulp. A disagreement therefore only counts
+    as REAL after an expression-fold audit of the two claimed cells
+    shows a distance gap above 1e-9 relative — the audit join touches
+    only disagreeing rows (expected zero), so it is free at any scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(4, n // 500)
+    cents = similarity.train_ivf_centroids_frame(
+        emb, "embedding", "vec_id", k=k_cells, iters=1
+    )
+    amap = similarity._assign_frame_map(emb, cents, "embedding", "vec_id", "cell_f")
+    model = [list(r["centroid"]) for r in cents.orderBy("cell").collect()]
+    tag_l = similarity.assign_cells(emb, model, "embedding", "cell_l").select(
+        "vec_id", "cell_l"
+    )
+    both = amap.join(tag_l, "vec_id")
+    dis = both.filter(F.col("cell_f") != F.col("cell_l"))
+
+    def _d2(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ca = cents.select(F.col("cell").alias("cell_f"), F.col("centroid").alias("__ca__"))
+    cb = cents.select(F.col("cell").alias("cell_l"), F.col("centroid").alias("__cb__"))
+    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__v__"))
+    audit = (
+        dis.join(vec, "vec_id")
+        .join(ca, "cell_f")
+        .join(cb, "cell_l")
+        .select(_d2(F.col("__v__"), F.col("__ca__")).alias("__da__"),
+                _d2(F.col("__v__"), F.col("__cb__")).alias("__db__"))
+    )
+    a_real = audit.agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("__da__") - F.col("__db__"))
+                > 1e-9 * (F.lit(1.0) + F.least("__da__", "__db__")),
+                1,
+            ).otherwise(0)
+        ).alias("n_real_disagree")
+    )
+    a_part = amap.agg(
+        F.count(F.lit(1)).alias("n_asg"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.sum(
+            F.when(
+                F.col("cell_f").isNull()
+                | (F.col("cell_f") < 0)
+                | (F.col("cell_f") >= k_cells),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad_cell"),
+    )
+    a_model = cents.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min(F.size("centroid")).alias("dim_lo"),
+        F.max(F.size("centroid")).alias("dim_hi"),
+    )
+    a_dim = emb.agg(F.min(F.size("embedding")).alias("data_dim"))
+    return (
+        a_part.crossJoin(a_model)
+        .crossJoin(a_dim)
+        .crossJoin(a_real)
+        .select(
+            F.lit(n).cast("bigint").alias("n_total"),
+            ((F.col("n_asg") == n) & (F.col("n_ids") == n) & (F.col("n_bad_cell") == 0)).alias(
+                "partition_ok"
+            ),
+            (
+                (F.col("n_cells") == k_cells)
+                & (F.col("dim_lo") == F.col("data_dim"))
+                & (F.col("dim_hi") == F.col("data_dim"))
+            ).alias("model_shape_ok"),
+            (F.coalesce(F.col("n_real_disagree"), F.lit(0)) == 0).alias("paths_agree"),
         )
     )
 

@@ -192,3 +192,71 @@ def test_check_method_error_names_per_site_set():
     # assign_cells does NOT accept dgemm: its error lists only its own set
     with pytest.raises(ValueError, match=r"must be one of 'auto', 'expr', 'numpy'; got"):
         sim.assign_cells(None, [[0.0]], method="dgemm")
+
+
+# ---- r9: frame-native top-k search (ivf_topk_frame) ------------------------
+
+
+def _topk_key(rows):
+    return sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+
+
+def test_ivf_topk_frame_matches_list_dgemm(spark, emb):
+    """The executor-resident search must be rank-identical to
+    ivf_topk_trained(method='dgemm') fed the SAME model as a list: both
+    build the identical candidate relation (same assignment argmin, same
+    probe top-nprobe with smallest-cell ties, shared cogroup scorer) and
+    share the ranking window verbatim."""
+    cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    want = _topk_key(
+        sim.ivf_topk_trained(emb, queries, cents, k=5, nprobe=2, method="dgemm").collect()
+    )
+    got = _topk_key(
+        sim.ivf_topk_frame(emb, queries, _as_frame(spark, cents), k=5, nprobe=2).collect()
+    )
+    assert got == want
+
+
+def test_ivf_topk_frame_matches_list_multi_chunk(spark, emb):
+    """Chunked model (several hash chunks): exercises the probe map's
+    cross-chunk (d2, cell) ranking window and the assignment min_by."""
+    cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
+    dim = len(cents[0])
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    want = _topk_key(
+        sim.ivf_topk_trained(emb, queries, cents, k=5, nprobe=3, method="dgemm").collect()
+    )
+    got = _topk_key(
+        sim.ivf_topk_frame(
+            emb,
+            queries,
+            _as_frame(spark, cents),
+            k=5,
+            nprobe=3,
+            chunk_bytes=sim.centroid_model_bytes(4, dim),
+            salt_parts=4,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ivf_topk_frame_nprobe_exceeds_cells(spark, emb):
+    """nprobe > k cells probes every cell on both paths (the list path's
+    slice() caps at the array length; the frame path's per-task top-n
+    caps at the chunk width and the window keeps them all)."""
+    cents = sim.train_ivf_centroids(emb, k=4, iters=1, output="list")
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    want = _topk_key(
+        sim.ivf_topk_trained(emb, queries, cents, k=3, nprobe=9, method="dgemm").collect()
+    )
+    got = _topk_key(
+        sim.ivf_topk_frame(emb, queries, _as_frame(spark, cents), k=3, nprobe=9).collect()
+    )
+    assert got == want
+
+
+def test_ivf_topk_frame_empty_model_raises(spark, emb):
+    empty = spark.createDataFrame([], "cell int, centroid array<double>")
+    with pytest.raises(ValueError, match="empty centroid frame"):
+        sim.ivf_topk_frame(emb, emb.limit(1), empty).collect()

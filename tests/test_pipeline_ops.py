@@ -427,6 +427,36 @@ def test_repetition_stats(spark):
     assert out[3]["dup_2gram_frac"] == 0.0
 
 
+def test_repetition_stats_numpy_matches_expr(spark):
+    """The Arrow gram-count path must be bit-identical to the expr path:
+    the UDF emits exact integer (total, distinct) counts and the float
+    division/rounding runs the SAME Spark expressions. Checked on real
+    corpus text plus the null/empty/short/repeat edge cases (the [''] of
+    the empty-string tokenizer quirk included)."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(300)
+    edge = spark.createDataFrame(
+        [(9000001, "a b a b a b"), (9000002, "x"), (9000003, ""), (9000004, None)],
+        ["doc_id", "text"],
+    )
+    base = docs.select("doc_id", "text").unionByName(edge)
+    cols = ["dup_2gram_frac", "dup_3gram_frac"]
+    e = textpipe.repetition_stats(base, "text", ns=(2, 3), method="expr")
+    n = textpipe.repetition_stats(base, "text", ns=(2, 3), method="numpy")
+    joined = e.select("doc_id", *[F.col(c).alias(f"e_{c}") for c in cols]).join(
+        n.select("doc_id", *[F.col(c).alias(f"n_{c}") for c in cols]), "doc_id"
+    )
+    bad = joined.filter(
+        " OR ".join(f"(e_{c} IS DISTINCT FROM n_{c})" for c in cols)
+    ).count()
+    assert bad == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        textpipe.repetition_stats(base, "text", ns=(2,), method="exrp")
+
+
 def test_chunk_pcm_audio_exact_bytes(spark):
     # 2.5 s of fake 8 kHz 2-byte PCM -> 3 chunks of 1 s (last partial);
     # chunks reassemble to the original payload byte-for-byte

@@ -156,6 +156,16 @@ def main():
         "pivot_sum_segments",
         "rolling_range_revenue",
         "dedup_exact",
+        # round-9 (VERDICT r8 item 6): the r8-registered dedup-family
+        # scale postures join the standard sweep — their first numbers
+        # were ad-hoc harness calls under load 2.5-4.3; living here they
+        # get per-row loadavg stamps and round-over-round comparability
+        "semdedup_scaled",
+        "simhash_hamming_scaled",
+        "dedup_then_jaccard",
+        # round-9: the executor-resident-model search posture (frame
+        # Lloyd + frame probe/assign/score + brute-force recall audit)
+        "ann_ivf_frame_topk",
     ]
     reps = 1 if "--quick" in sys.argv else 3
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -167,6 +177,10 @@ def main():
         "training_mix_report",
         "ann_ivf_scaled",
         "ann_ivf_trained",
+        "semdedup_scaled",
+        "simhash_hamming_scaled",
+        "dedup_then_jaccard",
+        "ann_ivf_frame_topk",
     }
     out = {}
 
@@ -412,6 +426,54 @@ def main():
             f"ann_ivf_k_scaled (k={4 * FACTOR} cells, nprobe=2): "
             f"train {t_train:.2f}s + search {t_search:.2f}s "
             f"(rows={n}, joins={joins_in_plan(res)})"
+        )
+
+    # executor-resident centroids (r9, VERDICT r8 item 2): same 100x
+    # corpus, k=400, iters=1 — the model-as-DataFrame path (salted
+    # cogroup dgemm argmin; nothing model-sized ever reaches the
+    # driver/closure) A/B'd against the driver-list path, plus an
+    # assignment-agreement count (both paths argmin the same squared
+    # distances; disagreement = razor-edge ulp ties only).
+    if not only or "centroid_frame_scaled" in only:
+        from pyspark.sql import functions as F
+
+        from dataframe_kotlin_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+        row_load = round(os.getloadavg()[0], 2)
+        t0 = time.time()
+        cents_f = similarity.train_ivf_centroids_frame(
+            emb, "embedding", "vec_id", k=4 * FACTOR, iters=1
+        )
+        t_train_f = time.time() - t0
+        t0 = time.time()
+        amap_f = similarity._assign_frame_map(
+            emb, cents_f, "embedding", "vec_id", "cell_f"
+        )
+        _force(amap_f)
+        t_assign_f = time.time() - t0
+        t0 = time.time()
+        cents_l = similarity.train_ivf_centroids(
+            emb, "embedding", "vec_id", k=4 * FACTOR, iters=1, output="list"
+        )
+        t_train_l = time.time() - t0
+        t0 = time.time()
+        tag_l = similarity.assign_cells(emb, cents_l, "embedding", "cell_l")
+        _force(tag_l.select("vec_id", "cell_l"))
+        t_assign_l = time.time() - t0
+        diff = (
+            tag_l.select("vec_id", "cell_l")
+            .join(amap_f, "vec_id")
+            .filter(F.col("cell_l") != F.col("cell_f"))
+            .count()
+        )
+        out["centroid_frame_scaled"] = t_train_f + t_assign_f
+        print(
+            f"centroid_frame_scaled (k={4 * FACTOR}, iters=1): frame "
+            f"train {t_train_f:.2f}s + assign {t_assign_f:.2f}s vs list "
+            f"train {t_train_l:.2f}s + assign {t_assign_l:.2f}s; "
+            f"assignment disagreements={diff} "
+            f"(loadavg_start={row_load}, loadavg_end={round(os.getloadavg()[0], 2)})"
         )
 
     # semdedup: the registry query pins k=4 k-means cells, which makes the
