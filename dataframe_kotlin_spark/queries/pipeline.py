@@ -855,7 +855,17 @@ def ann_ivf_scaled(spark, sf_dir):
     k_cells = max(4, n // 500)
     cents = sim.train_ivf_centroids(emb, "embedding", "vec_id", k=k_cells, iters=1)
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
-    ivf = sim.ivf_topk_trained(emb, queries_df, cents, k=10, nprobe=2)
+    # n_results and the recall join BOTH consume the IVF result, and AQE
+    # does not ReusedExchange the repeated subtree (the r7-dsir/r9-prefix
+    # replay class). A/B at 100x measured the persist NEUTRAL (shuffle-
+    # file reuse hides most of the replay warm), but the cached relation
+    # is queries*k rows — a few KB at any corpus size — so pinning it
+    # costs nothing and removes the replay risk outright.
+    from pyspark import StorageLevel
+
+    ivf = sim.ivf_topk_trained(emb, queries_df, cents, k=10, nprobe=2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     brute = sim.cosine_topk_blas(emb, queries_df, k=10)
     nres = ivf.groupBy("query_id").agg(F.count(F.lit(1)).cast("int").alias("n_results"))
     hits = (
@@ -904,7 +914,13 @@ def ann_ivf_frame_topk(spark, sf_dir):
     k_cells = max(4, n // 500)
     cents = sim.train_ivf_centroids_frame(emb, "embedding", "vec_id", k=k_cells, iters=1)
     queries_df = emb.filter(F.col("vec_id") % 100 == 0)
-    ivf = sim.ivf_topk_frame(emb, queries_df, cents, k=10, nprobe=2)
+    # same replay class + same reasoning as ann_ivf_scaled's persist:
+    # two consumers, no AQE reuse, queries*k-row cache = free insurance
+    from pyspark import StorageLevel
+
+    ivf = sim.ivf_topk_frame(emb, queries_df, cents, k=10, nprobe=2).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     brute = sim.cosine_topk_blas(emb, queries_df, k=10)
     nres = ivf.groupBy("query_id").agg(F.count(F.lit(1)).cast("int").alias("n_results"))
     hits = (
@@ -2122,6 +2138,14 @@ def semdedup_scaled(spark, sf_dir):
     n = emb.count()
     k_cells = max(4, n // 500)
     cents = similarity.train_ivf_centroids(emb, "embedding", "vec_id", k=k_cells, iters=1)
+    # `tagged` has three consumers (the prune, the verification pair
+    # pass, the partition aggregate) and AQE won't ReusedExchange them —
+    # but its lineage is MAP-ONLY (scan + closure dgemm argmin), so the
+    # scale-correct choice is RECOMPUTE, not a full-corpus-sized cache:
+    # persisting here was A/B'd neutral at 100x and at a literal 100 TB
+    # it would trade 3 map passes for 100 TB of cache spill. Contrast
+    # jaccard_pairs_prefix's base persist (r9), where the replayed
+    # subtree contains the caller's whole shuffle-heavy dedup.
     tagged = similarity.assign_cells(emb, cents, "embedding", "cell")
     surv = dedup.semdedup_prune(
         tagged, "cell", "embedding", "vec_id", threshold=0.35, method="dgemm"
@@ -2210,7 +2234,16 @@ def ivf_assign_frame_scaled(spark, sf_dir):
     cents = similarity.train_ivf_centroids_frame(
         emb, "embedding", "vec_id", k=k_cells, iters=1
     )
-    amap = similarity._assign_frame_map(emb, cents, "embedding", "vec_id", "cell_f")
+    # the agreement join and the partition aggregate both consume the
+    # frame assignment, whose replay is a full salt SHUFFLE + cogroup of
+    # the vectors; the cached relation is only (id, cell) — narrow at
+    # any corpus size — so this is the persist-wins shape (expensive
+    # replay, cheap cache), unlike semdedup_scaled's map-only `tagged`
+    from pyspark import StorageLevel
+
+    amap = similarity._assign_frame_map(
+        emb, cents, "embedding", "vec_id", "cell_f"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     model = [list(r["centroid"]) for r in cents.orderBy("cell").collect()]
     tag_l = similarity.assign_cells(emb, model, "embedding", "cell_l").select(
         "vec_id", "cell_l"
