@@ -29,8 +29,13 @@ regressions). The type-specific contracts:
   (the public algorithm from OpenJDK's java.base
   jdk/internal/math/FloatingDecimal.java), using Python big ints for
   the B/S/M scaled-integer loop, so it is exact for ALL doubles —
-  finite, subnormal, huge, NaN, +-Inf, -0.0 — and the double fast path
-  no longer has a fallback zone.
+  finite, subnormal, huge, NaN, +-Inf, -0.0. The emulation is of the
+  LEGACY algorithm, so the fast path engages only when the session JVM
+  is <= 18 (``_legacy_double_jvm``): JDK 19+ replaced Double.toString
+  with Ryū shortest-form (JDK-4511638), where the legacy digits would
+  be the wrong names — on such JVMs (and for Python ints too large for
+  float) the double path falls back to the range(1) cast job, which is
+  correct on every JDK.
 - dates/timestamps: pre-1583 dates hit the java.sql hybrid-calendar
   rebase on the ``lit()`` ingestion side (1582-03-07 arrives as
   1582-02-25), so only proleptic-safe years >= 1583 render locally.
@@ -312,6 +317,33 @@ def java_double_str(d: float) -> str:
     return _java_format(digits, dec_exp, neg)
 
 
+def _legacy_double_jvm(spark) -> bool:
+    """True when the session JVM stringifies doubles with the LEGACY
+    pre-JDK-19 FloatingDecimal algorithm that ``java_double_str``
+    emulates. JDK 19 replaced ``Double.toString`` with the Ryū
+    shortest-form algorithm (JDK-4511638), which renders e.g. 2**-24 as
+    5.960464477539063E-8 where legacy prints all 17 digits — so on a
+    19+ JVM the emulation would manufacture names that match nothing
+    (r9 review finding). Unknown/unreadable version → False (fall back
+    to the range(1) cast job, correct on every JDK). Cached per session
+    object: the JVM version is immutable for the process."""
+    cached = getattr(spark, "_kds_legacy_double_jvm", None)
+    if cached is not None:
+        return cached
+    try:
+        ver = spark._jvm.java.lang.System.getProperty("java.specification.version")
+        # "1.8" style for <=8, plain major ("17") afterwards
+        major = int(str(ver).split(".")[1 if str(ver).startswith("1.") else 0])
+        ok = major <= 18
+    except Exception:
+        ok = False
+    try:
+        spark._kds_legacy_double_jvm = ok
+    except Exception:
+        pass
+    return ok
+
+
 def _utc_session(spark) -> bool:
     """True when both the session tz and the JVM default tz are UTC —
     the only configuration where a naive datetime's lit->cast round
@@ -362,7 +394,12 @@ def render_literal(value, dtype: T.DataType, spark) -> str | None:
     if isinstance(dtype, T.DoubleType):
         if isinstance(value, bool) or not isinstance(value, (int, float)):
             return None
-        return java_double_str(float(value))
+        if not _legacy_double_jvm(spark):
+            return None  # JDK 19+ Ryu formatting: fall back (see helper)
+        try:
+            return java_double_str(float(value))
+        except OverflowError:
+            return None  # int too large for float: let the cast job decide
     if isinstance(dtype, T.DateType):
         if isinstance(value, dt.datetime) or not isinstance(value, dt.date):
             return None  # datetime->date truncation is tz-dependent: fall back

@@ -648,6 +648,7 @@ def train_ivf_centroids(
     init: str = "hash",
     output: str = "auto",
     frame_threshold_bytes: int | None = None,
+    dim: int | None = None,
 ) -> "list[list[float]] | DataFrame":
     """Distributed Lloyd's k-means for IVF coarse cells.
 
@@ -673,7 +674,9 @@ def train_ivf_centroids(
     classic driver-side list; 'frame' delegates to
     ``train_ivf_centroids_frame`` (model never leaves the cluster);
     'auto' (default) picks 'frame' once k*dim*8 exceeds
-    ``frame_threshold_bytes`` (default CENTROID_FRAME_THRESHOLD, 64 MB)
+    ``frame_threshold_bytes`` (default CENTROID_FRAME_THRESHOLD, 64 MB;
+    the embedding width comes from ``dim=`` when given, else one
+    1-row probe job)
     — under the k = N/500 rule the list is corpus_bytes/500, so the
     driver/closure is the first wall at a literal 100 TB corpus. All
     current pinned-k callers sit far below the threshold and keep
@@ -689,8 +692,12 @@ def train_ivf_centroids(
             if frame_threshold_bytes is None
             else frame_threshold_bytes
         )
-        dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(dim_row["d"]) if dim_row else 0
+        if dim is None:
+            # one O(1-row) probe job; callers that know their embedding
+            # width can pass dim= to keep 'auto' entirely job-free
+            # (r9 review note — the probe lands inside benchmark walls)
+            dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(dim_row["d"]) if dim_row else 0
         output = "frame" if centroid_model_bytes(k, dim) > threshold else "list"
     if output == "frame":
         if init == "kmeans||":
@@ -794,19 +801,29 @@ def assign_cells_frame(
     return df.join(amap, id_col)
 
 
-def _assign_frame_map(
+def _frame_cogroup_prep(
     df: DataFrame,
     centroids_df: DataFrame,
     vec_col: str,
     id_col: str,
     out: str,
-    cell_col: str = "cell",
-    cvec_col: str = "centroid",
-    chunk_bytes: int = 256 * 1024 * 1024,
-    salt_parts: int | None = None,
-) -> DataFrame:
-    """(id_col, out) nearest-cell map — assign_cells_frame's core."""
-    import pandas as pd
+    cell_col: str,
+    cvec_col: str,
+    chunk_bytes: int,
+    salt_parts: int | None,
+    caller: str,
+):
+    """Shared salted-cogroup layout for the frame-model paths
+    (_assign_frame_map's argmin and _probe_frame_map's top-n): the data
+    shuffles once by an id-hash salt, the model replicates per salt
+    bucket, oversize models split into hash chunks. Returns
+    (data, cents, n_chunks, out_schema). Extracted so a layout fix
+    lands in both paths at once (r9 review finding — the argmin and
+    top-n scaffolds had diverged-by-copy potential).
+
+    NULL ids salt to bucket 0 (xxhash64(NULL) is NULL, and a NULL salt
+    key would have no centroid cogroup partner — the row would silently
+    vanish from the map, unlike the list path which assigns every row)."""
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     spark = df.sparkSession
@@ -815,7 +832,7 @@ def _assign_frame_map(
     ).first()
     k, dim = int(stats["k"] or 0), int(stats["dim"] or 0)
     if k == 0:
-        raise ValueError("assign_cells_frame: empty centroid frame")
+        raise ValueError(f"{caller}: empty centroid frame")
     n_chunks = max(1, -(-centroid_model_bytes(k, dim) // chunk_bytes))
     if salt_parts is None:
         salt_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
@@ -824,7 +841,9 @@ def _assign_frame_map(
     data = df.select(
         F.col(id_col).alias(id_col),
         as_double(F.col(vec_col)).alias("__v__"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts)).cast("int").alias("__salt__"),
+        F.coalesce(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts)).cast("int"), F.lit(0)
+        ).alias("__salt__"),
     )
     if n_chunks > 1:
         data = data.withColumn(
@@ -845,6 +864,36 @@ def _assign_frame_map(
             StructField(out, IntegerType(), False),
             StructField("__d2p__", DoubleType(), False),
         ]
+    )
+    return data, cents, n_chunks, out_schema
+
+
+def _assign_frame_map(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out: str,
+    cell_col: str = "cell",
+    cvec_col: str = "centroid",
+    chunk_bytes: int = 256 * 1024 * 1024,
+    salt_parts: int | None = None,
+) -> DataFrame:
+    """(id_col, out) nearest-cell map — assign_cells_frame's core.
+
+    Contract: ``id_col`` values must be unique AND non-null (the
+    similarity/dedup family keys every join on them); the map is one
+    row per id, and the caller joins it back on the id — duplicate ids
+    would multiply rows in that join (the list path's withColumn
+    assigns per ROW), and a NULL id cannot match the equi-join back.
+    The layout itself is NULL-safe (NULL ids salt to bucket 0, see
+    _frame_cogroup_prep) so direct consumers of the map still see the
+    row; only the join-back requires non-null."""
+    import pandas as pd
+
+    data, cents, n_chunks, out_schema = _frame_cogroup_prep(
+        df, centroids_df, vec_col, id_col, out, cell_col, cvec_col,
+        chunk_bytes, salt_parts, "assign_cells_frame",
     )
 
     def score(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
@@ -903,46 +952,13 @@ def _probe_frame_map(
     the global nprobe — the same smallest-cell tie rule as
     _nearest_cells' struct sort (the probe d2 omits the +||x||² term,
     constant per row, so the ORDER matches the list path modulo the
-    usual cross-path last-ulp contract)."""
+    usual cross-path last-ulp contract). Same unique-``id_col``
+    contract as _assign_frame_map (the caller joins probes back on it)."""
     import pandas as pd
-    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    spark = df.sparkSession
-    stats = centroids_df.agg(
-        F.count("*").alias("k"), F.first(F.size(cvec_col)).alias("dim")
-    ).first()
-    k, dim = int(stats["k"] or 0), int(stats["dim"] or 0)
-    if k == 0:
-        raise ValueError("ivf_topk_frame: empty centroid frame")
-    n_chunks = max(1, -(-centroid_model_bytes(k, dim) // chunk_bytes))
-    if salt_parts is None:
-        salt_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    salt_parts = max(1, int(salt_parts))
-
-    data = df.select(
-        F.col(id_col).alias(id_col),
-        as_double(F.col(vec_col)).alias("__v__"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts)).cast("int").alias("__salt__"),
-    )
-    if n_chunks > 1:
-        data = data.withColumn(
-            "__g__", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
-        )
-    else:
-        data = data.withColumn("__g__", F.lit(0))
-    cents = centroids_df.select(
-        F.col(cell_col).cast("int").alias("__cell__"),
-        as_double(F.col(cvec_col)).alias("__c__"),
-        F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_chunks)).cast("int").alias("__g__"),
-    ).withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1))))
-
-    id_field = df.schema[id_col]
-    out_schema = StructType(
-        [
-            StructField(id_col, id_field.dataType, id_field.nullable),
-            StructField(out, IntegerType(), False),
-            StructField("__d2p__", DoubleType(), False),
-        ]
+    data, cents, n_chunks, out_schema = _frame_cogroup_prep(
+        df, centroids_df, vec_col, id_col, out, cell_col, cvec_col,
+        chunk_bytes, salt_parts, "ivf_topk_frame",
     )
 
     def score(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:

@@ -205,9 +205,15 @@ def sampled_distinct_rows(sampled_rel: DataFrame, col: Column | str, fraction: f
         # exprIds (#123), plan ids, and higher-order-function lambda
         # variables (x_3 vs x_7) are freshly numbered from global
         # counters on every build of the same query — normalize them or
-        # the key never hits
+        # the key never hits. LambdaVariable.toString always carries the
+        # "lambda " prefix (binding AND use sites), so that prefix is
+        # the discriminator: a bare `\b[a-z]+_\d+(?=#)` alternative
+        # would also swallow genuine COLUMN names like tag_1 vs tag_2
+        # and false-share one estimate between different queries
+        # (r9 review finding) — column exprIds only need the `#\d+`
+        # strip, which keeps the name.
         plan = re.sub(
-            r"#\d+|plan_id=\d+|\blambda [a-z]+_\d+\b|\b[a-z]+_\d+(?=#)",
+            r"#\d+|plan_id=\d+|\blambda [a-z]+_\d+\b",
             "#",
             str(sampled_rel._jdf.queryExecution().analyzed()),
         )

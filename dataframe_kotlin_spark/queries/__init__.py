@@ -63,7 +63,8 @@ _PRIORITY = [
     "rolling_range_revenue", "row_number_rank", "salted_join_agg",
     "scd2_status_timeline", "skip_last_tail", "slice_rows_page",
     "split_tokens", "winsorize_zscore_prices",
-    # window fill: 20 of the 38 r6 names, rendering-adjacent first
+    # window fill: 18 of the 38 r6 names (the two r9 registrations took
+    # the other slots), rendering-adjacent first
     # (this round rewrote core/litrender.py's double path)
     "pivot_null_bucket", "merge_null_render", "transpose_stats",
     "describe_numeric", "null_handling", "update_convert",

@@ -260,3 +260,19 @@ def test_ivf_topk_frame_empty_model_raises(spark, emb):
     empty = spark.createDataFrame([], "cell int, centroid array<double>")
     with pytest.raises(ValueError, match="empty centroid frame"):
         sim.ivf_topk_frame(emb, emb.limit(1), empty).collect()
+
+
+def test_frame_map_keeps_null_id_row(spark):
+    """xxhash64(NULL) is NULL; an uncoalesced NULL salt key would have
+    no centroid cogroup partner and the row would silently vanish from
+    the assignment map (r9 review finding). The layout salts NULL ids
+    to bucket 0, so the map still scores the row; the join-back contract
+    (non-null unique ids) is documented at _assign_frame_map."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    cents = _as_frame(spark, [[1.0, 0.0], [0.0, 1.0]])
+    rows = sim._assign_frame_map(df, cents, "embedding", "vec_id", "cell").collect()
+    got = {r["vec_id"]: r["cell"] for r in rows}
+    assert got == {1: 0, None: 1}

@@ -489,6 +489,24 @@ def test_sampled_distinct_rows_memoizes_per_source(spark):
     )
     skew.sampled_distinct_rows(rel2, "w2", 0.5)
     assert len(skew._SAMPLED_DISTINCT_CACHE) == 2
+    # two queries that differ ONLY in a column named like a lambda var
+    # (tag_1 vs tag_2) must NOT false-share one estimate: the plan
+    # normalization strips exprIds and "lambda x_N" identifiers but
+    # keeps genuine column names (r9 review finding)
+    df = docs.sparkSession.createDataFrame(
+        [("a b", 1, 2)], "text string, tag_1 int, tag_2 int"
+    )
+
+    def probe_tagged(col):
+        rel = df.filter(F.col(col) >= 0).select(
+            F.explode(F.transform(F.split("text", " "), lambda t: t)).alias("w")
+        )
+        return skew.sampled_distinct_rows(rel, "w", 1.0)
+
+    before = len(skew._SAMPLED_DISTINCT_CACHE)
+    probe_tagged("tag_1")
+    probe_tagged("tag_2")
+    assert len(skew._SAMPLED_DISTINCT_CACHE) == before + 2
 
 
 def test_surprisal_broadcast_gate_end_to_end(spark):

@@ -744,3 +744,38 @@ def test_render_literal_tracks_session_tz_changes(spark):
         spark.conf.set("spark.sql.session.timeZone", old)
     # and back to UTC the fast path resumes
     assert render_literal(v, _RL_TYPES["timestamp"], spark) == "2021-03-04 05:06:07"
+
+
+def test_render_literal_double_gated_on_legacy_jvm(spark):
+    """java_double_str emulates the PRE-JDK-19 Double.toString; on a
+    Ryu-era (19+) JVM the legacy digits would be wrong names, so the
+    double fast path must fall back there (r9 review finding). Also:
+    a Python int too large for float must fall back, not crash."""
+    import types
+
+    from dataframe_kotlin_spark.core.litrender import (
+        _legacy_double_jvm,
+        render_literal,
+    )
+
+    # this container's JVM is 17 -> the fast path engages
+    assert _legacy_double_jvm(spark) is True
+    assert render_literal(0.5, _RL_TYPES["double"], spark) == "0.5"
+    # overflow int: documented fallback instead of OverflowError
+    assert render_literal(10**400, _RL_TYPES["double"], spark) is None
+
+    class FakeSystem:
+        @staticmethod
+        def getProperty(key):
+            return "21"
+
+    fake = types.SimpleNamespace(
+        _jvm=types.SimpleNamespace(
+            java=types.SimpleNamespace(lang=types.SimpleNamespace(System=FakeSystem))
+        )
+    )
+    assert _legacy_double_jvm(fake) is False
+    assert render_literal(0.5, _RL_TYPES["double"], fake) is None
+    # unreadable version -> conservative fallback
+    broken = types.SimpleNamespace()
+    assert _legacy_double_jvm(broken) is False
