@@ -475,6 +475,35 @@ def main():
             f"assignment disagreements={diff} "
             f"(loadavg_start={row_load}, loadavg_end={round(os.getloadavg()[0], 2)})"
         )
+        # chunked-model path at 100x: force ~8 hash chunks (the blocked-
+        # matmul layout a model beyond chunk_bytes takes — data
+        # replicates per chunk, per-chunk argmins merge via the
+        # (d2, cell) min_by). Identity vs the unchunked map is the
+        # evidence the cross-chunk reduce holds at scale, not just in
+        # the sf0.01 unit test.
+        from dataframe_kotlin_spark.operators.similarity import (
+            centroid_model_bytes,
+        )
+
+        dim_row = emb.select(F.size("embedding").alias("d")).first()
+        chunk = centroid_model_bytes(4 * FACTOR // 8, int(dim_row["d"]))
+        t0 = time.time()
+        amap_c = similarity._assign_frame_map(
+            emb, cents_f, "embedding", "vec_id", "cell_c", chunk_bytes=chunk
+        )
+        _force(amap_c)
+        t_assign_c = time.time() - t0
+        cdiff = (
+            amap_f.join(amap_c, "vec_id")
+            .filter(F.col("cell_f") != F.col("cell_c"))
+            .count()
+        )
+        out["centroid_frame_chunked"] = t_assign_c
+        print(
+            f"centroid_frame_chunked (8 hash chunks): assign "
+            f"{t_assign_c:.2f}s; disagreements vs unchunked={cdiff} "
+            f"(loadavg_end={round(os.getloadavg()[0], 2)})"
+        )
 
     # semdedup: the registry query pins k=4 k-means cells, which makes the
     # within-cell cosine self-join quadratic in N/k — the correct scale
