@@ -14,9 +14,10 @@ count() lets Catalyst prune any work that doesn't change the row count
 flattered map-heavy workloads through round 5.
 
 Round-over-round comparison protocol: compare runs at SIMILAR
-loadavg_start only. NOTE r9 added dedup_then_jaccard to the headline
-set, so the TOTAL jumps vs r8 records by construction — compare
-per-query values across that boundary, not totals. Pre-existing machine load inflates wall times ~10%
+loadavg_start only. NOTE r9 added dedup_then_jaccard AND
+semdedup_scaled to the headline set, so the TOTAL jumps vs r8 records
+by construction — compare per-query values across that boundary, not
+totals. Pre-existing machine load inflates wall times ~10%
 with unchanged plans (the r5 driver record ran at loadavg 2.5 and read
 +12% vs the idle judge re-run of the same commit) — before chasing a
 regression, check this artifact's loadavg_start against the prior
@@ -65,6 +66,10 @@ def main():
         # repartition pins and any future regression in the bucket
         # self-joins are otherwise invisible to BENCH (VERDICT r8 item 3)
         "dedup_then_jaccard",
+        # r9: the semantic-dedup posture too (k∝N learned cells,
+        # per-cell dgemm scoring + the boolean-contract verification
+        # pass) — the other half of VERDICT r8 item 3's suggestion
+        "semdedup_scaled",
     ]
 
     # Warm the JVM so per-query times measure the plan, not startup: run
