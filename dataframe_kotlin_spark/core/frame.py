@@ -36,6 +36,14 @@ _JOIN_TYPES = {
     "outer": "full",
     "semi": "left_semi",
     "anti": "left_anti",
+    # Spark-canonical spellings accepted as pass-throughs (ADVICE r9:
+    # a user handing us 'left_semi' or 'left_outer' should not be told
+    # a legitimate Spark join type is invalid)
+    "left_outer": "left",
+    "right_outer": "right",
+    "full_outer": "full",
+    "left_semi": "left_semi",
+    "left_anti": "left_anti",
 }
 
 _NUMERIC_TYPES = (
@@ -781,8 +789,10 @@ class KDataFrame:
         right = other.df if isinstance(other, KDataFrame) else other
         if how not in _JOIN_TYPES:
             raise ValueError(
-                f"how must be one of {', '.join(map(repr, sorted(_JOIN_TYPES)))}; "
-                f"got {how!r}"
+                "how must be one of the join aliases "
+                f"{', '.join(map(repr, sorted(_JOIN_TYPES)))} "
+                "(Spark-canonical spellings like 'left_outer' are "
+                f"accepted as pass-throughs); got {how!r}"
             )
         how = _JOIN_TYPES[how]
         if on is None:

@@ -332,11 +332,18 @@ def _legacy_double_jvm(spark) -> bool:
         return cached
     try:
         ver = spark._jvm.java.lang.System.getProperty("java.specification.version")
+    except Exception:
+        # transient py4j/gateway failure: do NOT cache, so a later call
+        # can retry instead of disabling the fast path for the whole
+        # session on a JDK<=18 JVM (ADVICE r9; correctness never
+        # depended on this — the fallback cast job is always right)
+        return False
+    try:
         # "1.8" style for <=8, plain major ("17") afterwards
         major = int(str(ver).split(".")[1 if str(ver).startswith("1.") else 0])
         ok = major <= 18
     except Exception:
-        ok = False
+        ok = False  # version READ but unparseable: permanent, cache it
     try:
         spark._kds_legacy_double_jvm = ok
     except Exception:

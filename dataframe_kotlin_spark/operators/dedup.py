@@ -19,18 +19,13 @@ so the DuckDB oracle can reproduce it bit-for-bit.
 
 from __future__ import annotations
 
-from collections import deque
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataframe_kotlin_spark.functions.text import normalize, tokens, word_shingles
-
-#: bounded FIFO of jaccard_pairs_prefix's persisted base relations —
-#: the handle never escapes the function, so this is the only
-#: unpersist path (see the persist comment in jaccard_pairs_prefix)
-_PREFIX_BASE_CACHE: deque = deque()
+from dataframe_kotlin_spark.operators.cachereg import PREFIX_BASE
 
 MINHASH_P = 1048583  # smallest prime > 2^20
 
@@ -519,13 +514,11 @@ def jaccard_pairs_prefix(
     # cached base beyond the last few (a long session sweeping many
     # corpora would otherwise accumulate one relation on local disk
     # per distinct input, unbounded; r9 review finding). The newest
-    # entries stay cached so bench/scale warm reps still hit.
+    # entries stay cached so bench/scale warm reps still hit. The
+    # registry's lock makes concurrent callers safe (ADVICE r9).
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
-    _PREFIX_BASE_CACHE.append(base)
-    while len(_PREFIX_BASE_CACHE) > 4:
-        _PREFIX_BASE_CACHE.popleft().unpersist()
+    base = PREFIX_BASE.retain(base.persist(StorageLevel.MEMORY_AND_DISK))
     tok = base.select("__id__", F.explode("__t__").alias("__tok__"))
     dfreq = tok.groupBy("__tok__").agg(F.count(F.lit(1)).alias("__df__"))
     w = Window.partitionBy("__id__").orderBy(F.col("__df__").asc(), F.col("__tok__"))

@@ -10,7 +10,14 @@ from pyspark.sql import functions as F
 
 from dataframe_kotlin_spark.core.frame import KDataFrame
 from dataframe_kotlin_spark.functions.text import bind1, tokens
-from dataframe_kotlin_spark.operators import dedup, multimodal, sampling, similarity, textpipe
+from dataframe_kotlin_spark.operators import (
+    cachereg,
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textpipe,
+)
 from dataframe_kotlin_spark.queries import query
 
 
@@ -863,8 +870,10 @@ def ann_ivf_scaled(spark, sf_dir):
     # costs nothing and removes the replay risk outright.
     from pyspark import StorageLevel
 
-    ivf = sim.ivf_topk_trained(emb, queries_df, cents, k=10, nprobe=2).persist(
-        StorageLevel.MEMORY_AND_DISK
+    ivf = cachereg.QUERY_RESULTS.retain(
+        sim.ivf_topk_trained(emb, queries_df, cents, k=10, nprobe=2).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     brute = sim.cosine_topk_blas(emb, queries_df, k=10)
     nres = ivf.groupBy("query_id").agg(F.count(F.lit(1)).cast("int").alias("n_results"))
@@ -918,8 +927,10 @@ def ann_ivf_frame_topk(spark, sf_dir):
     # two consumers, no AQE reuse, queries*k-row cache = free insurance
     from pyspark import StorageLevel
 
-    ivf = sim.ivf_topk_frame(emb, queries_df, cents, k=10, nprobe=2).persist(
-        StorageLevel.MEMORY_AND_DISK
+    ivf = cachereg.QUERY_RESULTS.retain(
+        sim.ivf_topk_frame(emb, queries_df, cents, k=10, nprobe=2).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     brute = sim.cosine_topk_blas(emb, queries_df, k=10)
     nres = ivf.groupBy("query_id").agg(F.count(F.lit(1)).cast("int").alias("n_results"))
@@ -2241,9 +2252,11 @@ def ivf_assign_frame_scaled(spark, sf_dir):
     # replay, cheap cache), unlike semdedup_scaled's map-only `tagged`
     from pyspark import StorageLevel
 
-    amap = similarity._assign_frame_map(
-        emb, cents, "embedding", "vec_id", "cell_f"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    amap = cachereg.QUERY_RESULTS.retain(
+        similarity._assign_frame_map(
+            emb, cents, "embedding", "vec_id", "cell_f"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     model = [list(r["centroid"]) for r in cents.orderBy("cell").collect()]
     tag_l = similarity.assign_cells(emb, model, "embedding", "cell_l").select(
         "vec_id", "cell_l"
@@ -2590,8 +2603,10 @@ def training_mix_report(spark, sf_dir):
     # far smaller than the corpus.
     from pyspark import StorageLevel
 
-    pool = pool.repartition(spark.sparkContext.defaultParallelism).persist(
-        StorageLevel.MEMORY_AND_DISK
+    pool = cachereg.QUERY_RESULTS.retain(
+        pool.repartition(spark.sparkContext.defaultParallelism).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     # target_pred derives the en-slice distribution from the SAME feature
     # bags — one md5-gram pass over the pool instead of two

@@ -49,3 +49,15 @@ def test_interval_join_how_typo_fails_loudly(spark):
         temporal.interval_join(
             ev, iv, "ts", "lo", "hi", 10, keys=["k"], how="lefty"
         )
+
+
+def test_join_spark_canonical_names_pass_through(spark):
+    # ADVICE r9: 'left_outer' / 'left_semi' are legitimate Spark names;
+    # the alias table now accepts them instead of rejecting with a
+    # message that only listed the short aliases.
+    a = KDataFrame(spark.createDataFrame([(1, "x"), (2, "y")], "k int, a string"))
+    b = KDataFrame(spark.createDataFrame([(1, "z")], "k int, b string"))
+    assert a.join(b, how="left_outer").df.count() == 2
+    assert a.join(b, how="left_semi").df.columns == ["k", "a"]
+    assert a.join(b, how="left_anti").df.count() == 1
+    assert a.join(b, how="full_outer").df.count() == 2
