@@ -62,3 +62,9 @@ PREFIX_BASE = PersistRegistry(cap=4)
 #: entry is one (id, cell) map per invocation; eight invocations of
 #: narrow relations stay far under one corpus scan's footprint.
 QUERY_RESULTS = PersistRegistry(cap=8)
+
+#: the coarse router's persisted (fine cell -> chunk) maps — k rows of
+#: two ints per distinct chunked model (operators/similarity.py
+#: _coarse_layer). The memo dict keeps serving an evicted entry's
+#: DataFrame handle; reads after eviction silently recompute.
+COARSE_MAPS = PersistRegistry(cap=4)

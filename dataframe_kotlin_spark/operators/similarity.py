@@ -767,6 +767,7 @@ def assign_cells_frame(
     cvec_col: str = "centroid",
     chunk_bytes: int = 256 * 1024 * 1024,
     salt_parts: int | None = None,
+    route: str = "auto",
 ) -> DataFrame:
     """Nearest-centroid assignment against EXECUTOR-RESIDENT centroids.
 
@@ -779,10 +780,13 @@ def assign_cells_frame(
       shuffle — the standard sharded-scoring replication; the DATA,
       which is the big side at 100 TB, moves once);
     - models larger than ``chunk_bytes`` additionally split into
-      G = ceil(model_bytes/chunk_bytes) hash chunks so no single task
-      holds more than ~chunk_bytes of centroids — the data replicates
-      G-fold (blocked-matmul traffic, the unavoidable cost of a model
-      that fits neither driver nor one task) and a min_by reduce keyed
+      G = ceil(model_bytes/chunk_bytes) chunks so no single task holds
+      more than ~chunk_bytes of centroids. Chunks are groups of COARSE
+      quantizer cells (r10, _coarse_layer): each row routes to only the
+      chunks that can hold its nearest fine cell — exact by the
+      triangle-inequality bound, with data traffic independent of G
+      (the r9 layout replicated the whole corpus G-fold; ``route=
+      'replicate'`` keeps it available for A/B). A min_by reduce keyed
       on the id merges the per-chunk argmins;
     - each cogroup task scores its rows against its chunk as ONE
       ``c2 - 2 * X @ C.T`` dgemm (same formula as assign_cells'
@@ -796,9 +800,146 @@ def assign_cells_frame(
     need the (id, cell) map should use ``_assign_frame_map`` directly
     and skip that join."""
     amap = _assign_frame_map(
-        df, centroids_df, vec_col, id_col, out, cell_col, cvec_col, chunk_bytes, salt_parts
+        df, centroids_df, vec_col, id_col, out, cell_col, cvec_col,
+        chunk_bytes, salt_parts, route,
     )
     return df.join(amap, id_col)
+
+
+#: memoized (k, dim) probes of centroid model frames, keyed on exact
+#: lineage (skew.plan_memo_key): repeated assign/probe builds over the
+#: same model launch ZERO jobs (VERDICT r9 item 5 — the eager stats job
+#: was the construction-time-job class the skew memo already fixed)
+_FRAME_STATS_CACHE: dict = {}
+
+#: memoized coarse-router layers per (model lineage, n_chunks) — each
+#: entry holds the broadcast coarse arrays and the persisted
+#: (fine cell -> chunk) map frame
+_COARSE_LAYER_CACHE: dict = {}
+
+
+def _frame_model_stats(centroids_df: DataFrame, cvec_col: str, caller: str):
+    """(k, dim) of a centroid model frame, one k-row job, memoized per
+    exact lineage (plan_memo_key — semanticHash distinguishes two
+    in-memory models with the same schema). The empty-model error is
+    raised BEFORE the cache insert so a later non-empty rebuild of the
+    same lineage retries."""
+    from dataframe_kotlin_spark.operators.skew import plan_memo_key
+
+    key = plan_memo_key(centroids_df, cvec_col)
+    if key is not None and key in _FRAME_STATS_CACHE:
+        return _FRAME_STATS_CACHE[key]
+    stats = centroids_df.agg(
+        F.count("*").alias("k"), F.first(F.size(cvec_col)).alias("dim")
+    ).first()
+    k, dim = int(stats["k"] or 0), int(stats["dim"] or 0)
+    if k == 0:
+        raise ValueError(f"{caller}: empty centroid frame")
+    if key is not None:
+        if len(_FRAME_STATS_CACHE) > 256:
+            _FRAME_STATS_CACHE.clear()
+        _FRAME_STATS_CACHE[key] = (k, dim)
+    return k, dim
+
+
+def _coarse_layer(
+    centroids_df: DataFrame, cell_col: str, cvec_col: str, n_chunks: int, k: int
+):
+    """Two-level (coarse-quantizer) routing layer for a CHUNKED frame
+    model (VERDICT r9 item 1): kc ~ sqrt(k) coarse centroids — always
+    driver/broadcast-sized under the k = N/500 rule — partition the
+    fine cells, chunks are groups of coarse cells (greedy count
+    balance), and each data row later shuffles ONLY to the chunks whose
+    coarse cells could hold its nearest fine centroids. Data traffic
+    becomes O(1) in model size, replacing the G-fold full-corpus
+    replication of the replicate layout (the r9 scale wall: at the
+    documented k = N/500 extreme, a 100 TB corpus implies a ~200 GB
+    model, G ~ 800 chunks, and 800 full-data re-shuffles per pass).
+
+    Routing is EXACT by the triangle inequality, not approximate: with
+    d_j = ||x - coarse_j|| and r_j = max over fine members c of
+    ||c - coarse_j||, every fine member of cell j satisfies
+    d_j - r_j <= ||x - c|| <= d_j + r_j. Sorting cells by (d_j + r_j)
+    and accumulating member counts to ``nprobe`` yields an upper bound
+    U on the nprobe-th nearest fine distance; any cell with
+    d_j - r_j > U cannot contribute, so pruning it never changes the
+    argmin / top-nprobe (a float-slack tol covers rounding at the
+    boundary — extra chunks probed, never missing ones).
+
+    Returns (bc, chunk_map): ``bc`` broadcasts numpy arrays {C, c2, r,
+    n, G1} (kc x dim coarse matrix, its row norms, radii, member
+    counts, and the kc x n_chunks one-hot chunk membership); ``chunk_map``
+    is a persisted (``__cell__`` int, ``__g__`` int) frame — k rows of
+    two ints, the model's own scale class, never collected. Memoized
+    per (model lineage, n_chunks); the whole build is a handful of
+    k-row jobs plus kc-row collects (kc = sqrt(k) stays driver-sized by
+    construction — at k = 4e8 fine cells, kc = 2e4)."""
+    import numpy as np
+
+    from dataframe_kotlin_spark.operators.cachereg import COARSE_MAPS
+    from dataframe_kotlin_spark.operators.skew import plan_memo_key
+
+    key = plan_memo_key(centroids_df, cell_col, cvec_col, n_chunks)
+    if key is not None and key in _COARSE_LAYER_CACHE:
+        return _COARSE_LAYER_CACHE[key]
+
+    from pyspark import StorageLevel
+
+    spark = centroids_df.sparkSession
+    kc = min(max(n_chunks, int(np.ceil(np.sqrt(k)))), k)
+    fine = centroids_df.select(
+        F.col(cell_col).cast("int").alias("__fc__"),
+        as_double(F.col(cvec_col)).alias("__fv__"),
+    )
+    coarse = train_ivf_centroids(
+        fine, "__fv__", "__fc__", k=kc, iters=1, init="hash", output="list"
+    )
+    kc = len(coarse)
+    tagged = assign_cells(fine, coarse, vec_col="__fv__", out="__coarse__")
+    tagged = _with_min_sq_dist(tagged, coarse, "__fv__", "__d2c__")
+    stats = (
+        tagged.groupBy("__coarse__")
+        .agg(
+            F.max(F.sqrt(F.greatest(F.col("__d2c__"), F.lit(0.0)))).alias("__r__"),
+            F.count(F.lit(1)).alias("__n__"),
+        )
+        .collect()
+    )  # kc rows: model-parameter sized by construction
+    radius = np.zeros(kc, dtype=np.float64)
+    counts = np.zeros(kc, dtype=np.int64)
+    for row in stats:
+        radius[row["__coarse__"]] = float(row["__r__"])
+        counts[row["__coarse__"]] = int(row["__n__"])
+    # greedy balance: heaviest coarse cells first onto the lightest chunk
+    chunk_of = np.zeros(kc, dtype=np.int64)
+    load = [0] * n_chunks
+    for j in sorted(range(kc), key=lambda j: (-counts[j], j)):
+        g = min(range(n_chunks), key=lambda t: (load[t], t))
+        chunk_of[j] = g
+        load[g] += counts[j]
+    C = np.asarray(coarse, dtype=np.float64)
+    G1 = np.zeros((kc, n_chunks), dtype=np.float64)
+    G1[np.arange(kc), chunk_of] = 1.0
+    bc = spark.sparkContext.broadcast(
+        {"C": C, "c2": (C * C).sum(axis=1), "r": radius, "n": counts, "G1": G1}
+    )
+    cmap = spark.createDataFrame(
+        [(int(j), int(chunk_of[j])) for j in range(kc)], "__coarse__ int, __g__ int"
+    )
+    chunk_map = (
+        tagged.select("__fc__", "__coarse__")
+        .join(F.broadcast(cmap), "__coarse__")
+        .select(F.col("__fc__").alias("__cell__"), "__g__")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    COARSE_MAPS.retain(chunk_map)
+    chunk_map.count()  # materialize: every assign/probe joins this map
+    entry = (bc, chunk_map)
+    if key is not None:
+        if len(_COARSE_LAYER_CACHE) > 64:
+            _COARSE_LAYER_CACHE.clear()
+        _COARSE_LAYER_CACHE[key] = entry
+    return entry
 
 
 def _frame_cogroup_prep(
@@ -812,30 +953,53 @@ def _frame_cogroup_prep(
     chunk_bytes: int,
     salt_parts: int | None,
     caller: str,
+    nprobe: int = 1,
+    route: str = "auto",
 ):
     """Shared salted-cogroup layout for the frame-model paths
     (_assign_frame_map's argmin and _probe_frame_map's top-n): the data
     shuffles once by an id-hash salt, the model replicates per salt
-    bucket, oversize models split into hash chunks. Returns
+    bucket, oversize models split into chunks. Returns
     (data, cents, n_chunks, out_schema). Extracted so a layout fix
     lands in both paths at once (r9 review finding — the argmin and
     top-n scaffolds had diverged-by-copy potential).
+
+    ``salt_parts`` (None = auto) is sized from DATA volume, not
+    defaulted to spark.sql.shuffle.partitions (VERDICT r9 item 7): the
+    model replicates salt_parts-fold, so a small input should not pay
+    200 model copies, and a huge one should not squeeze its rows into
+    200 pandas groups (applyInPandas materializes each cogroup in one
+    task's memory — the scan-split estimate keeps buckets near
+    maxPartitionBytes). Non-file sources fall back to the conf.
+
+    Chunk ROUTING (``route``): 'replicate' is the r8/r9 layout — chunks
+    are hash groups of cells and the data explodes G-fold (every row
+    visits every chunk). 'coarse' routes each row through the
+    _coarse_layer quantizer to only the chunks that can hold its
+    top-``nprobe`` fine cells — exact by the triangle-inequality bound,
+    with data traffic independent of G. 'auto' (default) picks 'coarse'
+    whenever the model is chunked at all; single-chunk models skip
+    routing entirely (every cell is in the one chunk).
 
     NULL ids salt to bucket 0 (xxhash64(NULL) is NULL, and a NULL salt
     key would have no centroid cogroup partner — the row would silently
     vanish from the map, unlike the list path which assigns every row)."""
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
+    if route not in ("auto", "replicate", "coarse"):
+        raise ValueError(
+            f"route must be one of 'auto', 'replicate', 'coarse'; got {route!r}"
+        )
     spark = df.sparkSession
-    stats = centroids_df.agg(
-        F.count("*").alias("k"), F.first(F.size(cvec_col)).alias("dim")
-    ).first()
-    k, dim = int(stats["k"] or 0), int(stats["dim"] or 0)
-    if k == 0:
-        raise ValueError(f"{caller}: empty centroid frame")
+    k, dim = _frame_model_stats(centroids_df, cvec_col, caller)
     n_chunks = max(1, -(-centroid_model_bytes(k, dim) // chunk_bytes))
     if salt_parts is None:
-        salt_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        est = _estimate_scan_splits(df)
+        dp = spark.sparkContext.defaultParallelism
+        if est:
+            salt_parts = max(dp, est)
+        else:
+            salt_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     salt_parts = max(1, int(salt_parts))
 
     data = df.select(
@@ -845,18 +1009,6 @@ def _frame_cogroup_prep(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts)).cast("int"), F.lit(0)
         ).alias("__salt__"),
     )
-    if n_chunks > 1:
-        data = data.withColumn(
-            "__g__", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
-        )
-    else:
-        data = data.withColumn("__g__", F.lit(0))
-    cents = centroids_df.select(
-        F.col(cell_col).cast("int").alias("__cell__"),
-        as_double(F.col(cvec_col)).alias("__c__"),
-        F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_chunks)).cast("int").alias("__g__"),
-    ).withColumn("__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1))))
-
     id_field = df.schema[id_col]
     out_schema = StructType(
         [
@@ -865,7 +1017,92 @@ def _frame_cogroup_prep(
             StructField("__d2p__", DoubleType(), False),
         ]
     )
+    routed = n_chunks > 1 and route != "replicate"
+    if n_chunks == 1:
+        data = data.withColumn("__g__", F.lit(0))
+        cents_g = F.lit(0)
+    elif not routed:
+        data = data.withColumn(
+            "__g__", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
+        )
+        cents_g = F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_chunks)).cast("int")
+    else:
+        bc, chunk_map = _coarse_layer(centroids_df, cell_col, cvec_col, n_chunks, k)
+        data = _route_to_chunks(data, id_field, nprobe, bc)
+        cents_g = None
+
+    if cents_g is not None:
+        cents = centroids_df.select(
+            F.col(cell_col).cast("int").alias("__cell__"),
+            as_double(F.col(cvec_col)).alias("__c__"),
+            cents_g.alias("__g__"),
+        )
+    else:
+        cents = centroids_df.select(
+            F.col(cell_col).cast("int").alias("__cell__"),
+            as_double(F.col(cvec_col)).alias("__c__"),
+        ).join(chunk_map, "__cell__")
+    cents = cents.withColumn(
+        "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
+    )
     return data, cents, n_chunks, out_schema
+
+
+def _route_to_chunks(data: DataFrame, id_field, nprobe: int, bc) -> DataFrame:
+    """Tag each (id, __v__, __salt__) row with the chunk ids that can
+    hold its top-``nprobe`` fine cells (one output row per routed
+    chunk), using the broadcast coarse layer. One vectorized pass: a
+    dgemm against the kc x dim coarse matrix, the sorted
+    (d_j + r_j)-cumulative-count bound U, the d_j - r_j <= U + tol
+    prune, and a keep @ one-hot fold to distinct chunks — no python
+    row loop, no explode of a G-sequence."""
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+    route_schema = StructType(
+        [
+            StructField(id_field.name, id_field.dataType, id_field.nullable),
+            StructField("__v__", ArrayType(DoubleType()), True),
+            StructField("__salt__", IntegerType(), False),
+            StructField("__g__", IntegerType(), False),
+        ]
+    )
+    id_name = id_field.name
+
+    def route(batches):
+        import numpy as np
+
+        b = bc.value
+        C, c2, r, n, G1 = b["C"], b["c2"], b["r"], b["n"], b["G1"]
+        valid = n > 0
+        total = int(n.sum())
+        need = max(1, min(int(nprobe), total))
+        for pdf in batches:
+            if len(pdf) == 0:
+                out = pdf.iloc[[]].copy()
+                out["__g__"] = np.array([], dtype="int32")
+                yield out
+                continue
+            X = np.stack(pdf["__v__"].to_numpy()).astype(np.float64)
+            x2 = (X * X).sum(axis=1)
+            d2 = x2[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            d = np.sqrt(np.maximum(d2, 0.0))
+            ub = np.where(valid[None, :], d + r[None, :], np.inf)
+            order = np.argsort(ub, axis=1, kind="stable")
+            cum = np.cumsum(n[order], axis=1)
+            # first sorted position whose cumulative member count
+            # reaches `need` — argmax finds the first True
+            pos = np.argmax(cum >= need, axis=1)
+            U = np.take_along_axis(ub, order, axis=1)[np.arange(len(X)), pos]
+            tol = 1e-9 * (1.0 + np.abs(U)) + 1e-12
+            lb = np.where(valid[None, :], d - r[None, :], np.inf)
+            keep = lb <= (U + tol)[:, None]
+            hit = (keep.astype(np.float64) @ G1) > 0.0  # rows x n_chunks
+            ri, gi = np.nonzero(hit)
+            out = pdf.iloc[ri].copy()
+            out["__g__"] = gi.astype("int32")
+            yield out
+
+    return data.select(id_name, "__v__", "__salt__").mapInPandas(route, route_schema)
 
 
 def _assign_frame_map(
@@ -878,6 +1115,7 @@ def _assign_frame_map(
     cvec_col: str = "centroid",
     chunk_bytes: int = 256 * 1024 * 1024,
     salt_parts: int | None = None,
+    route: str = "auto",
 ) -> DataFrame:
     """(id_col, out) nearest-cell map — assign_cells_frame's core.
 
@@ -893,7 +1131,7 @@ def _assign_frame_map(
 
     data, cents, n_chunks, out_schema = _frame_cogroup_prep(
         df, centroids_df, vec_col, id_col, out, cell_col, cvec_col,
-        chunk_bytes, salt_parts, "assign_cells_frame",
+        chunk_bytes, salt_parts, "assign_cells_frame", nprobe=1, route=route,
     )
 
     def score(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
@@ -942,6 +1180,7 @@ def _probe_frame_map(
     cvec_col: str = "centroid",
     chunk_bytes: int = 256 * 1024 * 1024,
     salt_parts: int | None = None,
+    route: str = "auto",
 ) -> DataFrame:
     """(id_col, out) probe map: the nprobe NEAREST cells per row against
     an executor-resident model — _assign_frame_map generalized from
@@ -958,7 +1197,7 @@ def _probe_frame_map(
 
     data, cents, n_chunks, out_schema = _frame_cogroup_prep(
         df, centroids_df, vec_col, id_col, out, cell_col, cvec_col,
-        chunk_bytes, salt_parts, "ivf_topk_frame",
+        chunk_bytes, salt_parts, "ivf_topk_frame", nprobe=nprobe, route=route,
     )
 
     def score(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
@@ -1014,6 +1253,7 @@ def ivf_topk_frame(
     cvec_col: str = "centroid",
     chunk_bytes: int = 256 * 1024 * 1024,
     salt_parts: int | None = None,
+    route: str = "auto",
 ) -> DataFrame:
     """ANN top-k with the model EXECUTOR-RESIDENT end to end — the
     search-side completion of the frame-centroid family (VERDICT r8
@@ -1033,7 +1273,7 @@ def ivf_topk_frame(
     )
     amap = _assign_frame_map(
         csel, centroids_df, "__cv__", "neighbor_id", "__cell__",
-        cell_col, cvec_col, chunk_bytes, salt_parts,
+        cell_col, cvec_col, chunk_bytes, salt_parts, route,
     )
     c = csel.join(amap, "neighbor_id")
     qsel = queries.select(
@@ -1041,7 +1281,7 @@ def ivf_topk_frame(
     )
     probes = _probe_frame_map(
         qsel, centroids_df, "__qv__", "query_id", nprobe, "__cell__",
-        cell_col, cvec_col, chunk_bytes, salt_parts,
+        cell_col, cvec_col, chunk_bytes, salt_parts, route,
     )
     q = qsel.join(probes, "query_id")
     out_schema, score = _cell_cosine_scorer(corpus.schema[id_col].dataType)

@@ -177,6 +177,45 @@ def gated_broadcast(
 _SAMPLED_DISTINCT_CACHE: dict = {}
 
 
+def plan_memo_key(rel: DataFrame, *extra) -> tuple | None:
+    """Memo key pinning a DataFrame's exact lineage without running a
+    job: (applicationId, semanticHash, normalized analyzed plan, input
+    files, *extra), or None when any py4j step fails (callers then skip
+    memoization — correct, just slower).
+
+    - exprIds (#123), plan ids, and higher-order-function lambda
+      variables are freshly numbered from global counters on every
+      build of the same query — normalize them or the key never hits.
+      LambdaVariable.toString always carries the "lambda " prefix
+      (binding AND use sites), so that prefix is the discriminator: a
+      bare `\\b[a-z]+_\\d+(?=#)` alternative would also swallow genuine
+      COLUMN names like tag_1 vs tag_2 and false-share between
+      different queries (r9 review finding).
+    - the analyzed plan prints relations WITHOUT their file paths, so
+      the same query over another sf_dir would false-share — pin the
+      actual source files (metadata-only, no job).
+    - in-memory frames (createDataFrame) print as a bare
+      `LogicalRDD [cols]` — the plan string hides the DATA, so two
+      different local models with the same schema would false-share on
+      the string alone. semanticHash() is computed per plan instance
+      (distinct RDDs hash differently) and closes that hole, while
+      staying stable across re-builds of the same file-based lineage
+      (canonicalization strips exprIds)."""
+    try:
+        import re
+
+        app = rel.sparkSession.sparkContext.applicationId
+        plan = re.sub(
+            r"#\d+|plan_id=\d+|\blambda [a-z]+_\d+\b",
+            "#",
+            str(rel._jdf.queryExecution().analyzed()),
+        )
+        files = tuple(rel.inputFiles())
+        return (app, rel.semanticHash(), plan, files, *extra)
+    except Exception:
+        return None
+
+
 def sampled_distinct_rows(sampled_rel: DataFrame, col: Column | str, fraction: float) -> int:
     """Upward-biased distinct-cardinality estimate from one SMALL job:
     approx_count_distinct over a relation the CALLER already sampled at
@@ -198,32 +237,7 @@ def sampled_distinct_rows(sampled_rel: DataFrame, col: Column | str, fraction: f
     mid-session would serve a stale estimate — safe for this gate (the
     bias rules only decide broadcast-vs-shuffle-hash) and the usual
     immutable-input assumption holds for every registry source."""
-    try:
-        import re
-
-        app = sampled_rel.sparkSession.sparkContext.applicationId
-        # exprIds (#123), plan ids, and higher-order-function lambda
-        # variables (x_3 vs x_7) are freshly numbered from global
-        # counters on every build of the same query — normalize them or
-        # the key never hits. LambdaVariable.toString always carries the
-        # "lambda " prefix (binding AND use sites), so that prefix is
-        # the discriminator: a bare `\b[a-z]+_\d+(?=#)` alternative
-        # would also swallow genuine COLUMN names like tag_1 vs tag_2
-        # and false-share one estimate between different queries
-        # (r9 review finding) — column exprIds only need the `#\d+`
-        # strip, which keeps the name.
-        plan = re.sub(
-            r"#\d+|plan_id=\d+|\blambda [a-z]+_\d+\b",
-            "#",
-            str(sampled_rel._jdf.queryExecution().analyzed()),
-        )
-        # the analyzed plan prints relations WITHOUT their file paths, so
-        # the same query over another sf_dir would false-share — pin the
-        # actual source files (metadata-only, no job)
-        files = tuple(sampled_rel.inputFiles())
-        key = (app, plan, files, str(col), fraction)
-    except Exception:
-        key = None
+    key = plan_memo_key(sampled_rel, str(col), fraction)
     if key is not None and key in _SAMPLED_DISTINCT_CACHE:
         return _SAMPLED_DISTINCT_CACHE[key]
     n = sampled_rel.agg(F.approx_count_distinct(col).alias("nd")).first()["nd"]

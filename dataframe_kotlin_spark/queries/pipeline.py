@@ -2328,6 +2328,125 @@ def ivf_assign_frame_scaled(spark, sf_dir):
 
 
 @query(
+    "ivf_assign_routed_chunks",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_total,
+           TRUE AS route_plan_ok, TRUE AS partition_ok, TRUE AS paths_agree
+    """,
+)
+def ivf_assign_routed_chunks(spark, sf_dir):
+    """The CHUNKED-model scale posture with two-level coarse routing
+    (VERDICT r9 item 1), driver-gated: past ``chunk_bytes`` the r9
+    layout exploded the DATA G-fold — at the documented k = N/500
+    extreme (100 TB corpus, ~200 GB model, G ~ 800 chunks) that is
+    ~800 full-corpus re-shuffles per assignment pass, the last genuine
+    scale wall in the similarity family. The r10 layout
+    (similarity._coarse_layer) groups fine cells under a sqrt(k)-sized
+    coarse quantizer, makes chunks groups of coarse cells, and routes
+    each row to only the chunks that can hold its nearest fine cell —
+    exact by the triangle inequality (d_coarse - radius <= d_fine <=
+    the sorted cumulative-count bound U), so data traffic is O(1) in
+    model size.
+
+    This query FORCES a multi-chunk model on the gate corpus
+    (chunk_bytes sized to ~2 cells per chunk) and verifies the posture
+    end to end, emitting the boolean-contract oracle shape
+    (ivf_assign_frame_scaled's template):
+
+    - route_plan_ok — the routed plan's physical text contains NO
+      data-side ``sequence(0, G-1)`` explode (the replicate layout's
+      signature; the model-side salt explode remains) — the VERDICT r9
+      done-criterion checked in-query;
+    - partition_ok — every vector got exactly one cell in [0, k);
+    - paths_agree — routed assignments match the r9 replicate layout
+      row for row, with the same last-ulp audit discipline as
+      ivf_assign_frame_scaled: both layouts argmin the same float64
+      c² − 2·X@Cᵀ per chunk but cogroup different row batches, so a
+      razor-edge tie may flip; a disagreement counts as REAL only when
+      an expression-fold audit shows a distance gap above 1e-9
+      relative (the audit join touches only disagreeing rows —
+      expected zero — so it is free at any scale)."""
+    import re
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(16, n // 100)
+    cents = similarity.train_ivf_centroids_frame(
+        emb, "embedding", "vec_id", k=k_cells, iters=1
+    )
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    chunk = similarity.centroid_model_bytes(2, int(dim_row["d"]))
+    n_chunks = max(1, -(-similarity.centroid_model_bytes(k_cells, int(dim_row["d"])) // chunk))
+    from pyspark import StorageLevel
+
+    routed = cachereg.QUERY_RESULTS.retain(
+        similarity._assign_frame_map(
+            emb, cents, "embedding", "vec_id", "cell_r",
+            chunk_bytes=chunk, route="coarse",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    plan = routed._jdf.queryExecution().toString()
+    gfold = re.search(rf"sequence\(0, {n_chunks - 1}[,)]", plan)
+    route_plan_ok = gfold is None and "MapInPandas" in plan
+    rep = similarity._assign_frame_map(
+        emb, cents, "embedding", "vec_id", "cell_p",
+        chunk_bytes=chunk, route="replicate",
+    )
+    both = routed.join(rep, "vec_id")
+    dis = both.filter(F.col("cell_r") != F.col("cell_p"))
+
+    def _d2(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ca = cents.select(F.col("cell").alias("cell_r"), F.col("centroid").alias("__ca__"))
+    cb = cents.select(F.col("cell").alias("cell_p"), F.col("centroid").alias("__cb__"))
+    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__v__"))
+    a_real = (
+        dis.join(vec, "vec_id")
+        .join(ca, "cell_r")
+        .join(cb, "cell_p")
+        .select(_d2(F.col("__v__"), F.col("__ca__")).alias("__da__"),
+                _d2(F.col("__v__"), F.col("__cb__")).alias("__db__"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("__da__") - F.col("__db__"))
+                    > 1e-9 * (F.lit(1.0) + F.least("__da__", "__db__")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_real_disagree")
+        )
+    )
+    a_part = routed.agg(
+        F.count(F.lit(1)).alias("n_asg"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.sum(
+            F.when(
+                F.col("cell_r").isNull()
+                | (F.col("cell_r") < 0)
+                | (F.col("cell_r") >= k_cells),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad_cell"),
+    )
+    return (
+        a_part.crossJoin(a_real)
+        .select(
+            F.lit(n).cast("bigint").alias("n_total"),
+            F.lit(bool(route_plan_ok)).alias("route_plan_ok"),
+            ((F.col("n_asg") == n) & (F.col("n_ids") == n) & (F.col("n_bad_cell") == 0)).alias(
+                "partition_ok"
+            ),
+            (F.coalesce(F.col("n_real_disagree"), F.lit(0)) == 0).alias("paths_agree"),
+        )
+    )
+
+
+@query(
     "dsir_log_weights",
     oracle="""
     WITH tok AS (

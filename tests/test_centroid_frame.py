@@ -276,3 +276,117 @@ def test_frame_map_keeps_null_id_row(spark):
     rows = sim._assign_frame_map(df, cents, "embedding", "vec_id", "cell").collect()
     got = {r["vec_id"]: r["cell"] for r in rows}
     assert got == {1: 0, None: 1}
+
+
+# ---- r10: two-level coarse-quantizer routing (VERDICT r9 item 1) ----------
+
+
+def test_routed_assign_matches_replicate_multi_chunk(spark, emb):
+    """The coarse-routed layout must agree with the r9 replicate layout
+    (and therefore with the list path) on a forced multi-chunk model —
+    routing is exact by the triangle-inequality bound, not an
+    approximation."""
+    cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
+    dim = len(cents[0])
+    f = _as_frame(spark, cents)
+    chunk = sim.centroid_model_bytes(4, dim)  # ~8 chunks of 4 cells
+    kw = dict(chunk_bytes=chunk, salt_parts=4)
+    rep = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_frame_map(
+            emb, f, "embedding", "vec_id", "cell", route="replicate", **kw
+        ).collect()
+    }
+    routed = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_frame_map(
+            emb, f, "embedding", "vec_id", "cell", route="coarse", **kw
+        ).collect()
+    }
+    assert routed == rep
+    assert len(routed) == emb.count()
+
+
+def test_routed_probe_matches_replicate_multi_chunk(spark, emb):
+    cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
+    dim = len(cents[0])
+    f = _as_frame(spark, cents)
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    kw = dict(chunk_bytes=sim.centroid_model_bytes(4, dim), salt_parts=4)
+    key = lambda rows: sorted((r["vec_id"], r["c"]) for r in rows)
+    rep = key(
+        sim._probe_frame_map(
+            q, f, "embedding", "vec_id", 3, "c", route="replicate", **kw
+        ).collect()
+    )
+    routed = key(
+        sim._probe_frame_map(
+            q, f, "embedding", "vec_id", 3, "c", route="coarse", **kw
+        ).collect()
+    )
+    assert routed == rep
+
+
+def test_routed_plan_has_no_gfold_explode(spark, emb):
+    """The done-criterion plan shape (VERDICT r9 item 1): no
+    explode(sequence(0, G-1)) on the DATA side — the only explode left
+    is the model side's salt replication."""
+    cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
+    dim = len(cents[0])
+    f = _as_frame(spark, cents)
+    amap = sim._assign_frame_map(
+        emb, f, "embedding", "vec_id", "cell",
+        chunk_bytes=sim.centroid_model_bytes(4, dim), salt_parts=4,
+    )
+    plan = amap._jdf.queryExecution().toString()
+    import re
+    # the replicate layout's data-side G-fold: explode(sequence(0, G-1))
+    # = sequence(0, 7) for the 8-chunk model forced here; only the
+    # cents-side salt explode sequence(0, salt_parts-1) may remain
+    assert not re.search(r"sequence\(0, 7", plan)
+    assert re.search(r"sequence\(0, 3", plan)  # the salt explode stays
+    # routing goes through mapInPandas (ArrowEvalPython/MapInPandas node)
+    assert "MapInPandas" in plan or "mapInPandas" in plan
+
+
+def test_frame_stats_memoized_zero_jobs(spark, emb):
+    """VERDICT r9 item 5: repeated assign/probe builds over the SAME
+    model frame launch zero stats jobs — asserted with job groups (the
+    second build's group must record no job ids)."""
+    sc = spark.sparkContext
+    cents = sim.train_ivf_centroids_frame(emb, k=8, iters=0)
+    sc.setJobGroup("stats-probe-1", "first build")
+    k1 = sim._frame_model_stats(cents, "centroid", "t")
+    sc.setJobGroup("stats-probe-2", "second build")
+    k2 = sim._frame_model_stats(cents, "centroid", "t")
+    ids = sc.statusTracker().getJobIdsForGroup("stats-probe-2")
+    sc.setJobGroup(None, None)
+    assert k1 == k2 == (8, 64)
+    assert list(ids) == []
+
+
+def test_frame_stats_no_false_share_between_local_models(spark):
+    """Two in-memory models with the SAME schema but different contents
+    must not share a memo entry (the analyzed-plan string hides
+    LogicalRDD data; semanticHash discriminates)."""
+    a = _as_frame(spark, [[1.0, 0.0], [0.0, 1.0]])
+    b = _as_frame(spark, [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    assert sim._frame_model_stats(a, "centroid", "t")[0] == 2
+    assert sim._frame_model_stats(b, "centroid", "t")[0] == 3
+
+
+def test_routed_keeps_null_id_row(spark):
+    """Routing must preserve the NULL-id row the salt coalesce protects
+    (r9 finding) — the router replicates rows by chunk, never drops."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    cents = _as_frame(spark, [[1.0, 0.0], [0.0, 1.0], [0.5, 0.5], [2.0, 2.0]])
+    rows = sim._assign_frame_map(
+        df, cents, "embedding", "vec_id", "cell",
+        chunk_bytes=sim.centroid_model_bytes(1, 2),  # 4 chunks of 1 cell
+        salt_parts=2,
+    ).collect()
+    got = {r["vec_id"]: r["cell"] for r in rows}
+    assert got == {1: 0, None: 1}
