@@ -15,9 +15,10 @@ flattered map-heavy workloads through round 5.
 
 Round-over-round comparison protocol: compare runs at SIMILAR
 loadavg_start only. NOTE r9 added dedup_then_jaccard AND
-semdedup_scaled to the headline set, so the TOTAL jumps vs r8 records
-by construction — compare per-query values across that boundary, not
-totals. Pre-existing machine load inflates wall times ~10%
+semdedup_scaled to the headline set, and r10 added
+ivf_assign_frame_scaled AND ivf_assign_routed_chunks, so the TOTAL
+jumps across those boundaries by construction — compare per-query
+values across a set-change boundary, not totals. Pre-existing machine load inflates wall times ~10%
 with unchanged plans (the r5 driver record ran at loadavg 2.5 and read
 +12% vs the idle judge re-run of the same commit) — before chasing a
 regression, check this artifact's loadavg_start against the prior
@@ -70,6 +71,14 @@ def main():
         # per-cell dgemm scoring + the boolean-contract verification
         # pass) — the other half of VERDICT r8 item 3's suggestion
         "semdedup_scaled",
+        # r10 (VERDICT r9 item 4): the executor-resident-model family
+        # gets round-over-round tracking — the frame Lloyd + salted
+        # cogroup assignment + list-agreement audit, and the chunked
+        # model with two-level coarse routing (this round's layout).
+        # Cold first-runs pay the one-off coarse-layer build; the memo
+        # makes warm reps measure the steady-state plan.
+        "ivf_assign_frame_scaled",
+        "ivf_assign_routed_chunks",
     ]
 
     # Warm the JVM so per-query times measure the plan, not startup: run

@@ -663,11 +663,13 @@ def train_ivf_centroids(
     driver. Only model parameters ever reach the driver (k*dim floats);
     the data never does. init='hash' seeds with the k
     smallest-xxhash64(id) vectors; init='kmeans||' runs the distributed
-    scalable-k-means++ sweep (better spread, ~4 extra jobs). Both are
-    deterministic — no driver-side RNG, stable across retries (the two
-    assignment paths can differ on razor-edge centroid ties in the last
-    ulp, but each path is itself deterministic). Empty cells keep their
-    previous centroid.
+    scalable-k-means++ sweep (better spread, ~4 extra jobs) — on the
+    frame path it is the fully frame-resident variant
+    (kmeanspp_init_centroids_frame, r10), so the better initializer is
+    available at ANY k. Both are deterministic — no driver-side RNG,
+    stable across retries (the two assignment paths can differ on
+    razor-edge centroid ties in the last ulp, but each path is itself
+    deterministic). Empty cells keep their previous centroid.
 
     ``output`` gates WHERE the model lives (VERDICT r8 item 2, the
     gated_broadcast rule applied to model parameters): 'list' is the
@@ -700,12 +702,7 @@ def train_ivf_centroids(
             dim = int(dim_row["d"]) if dim_row else 0
         output = "frame" if centroid_model_bytes(k, dim) > threshold else "list"
     if output == "frame":
-        if init == "kmeans||":
-            raise ValueError(
-                "init='kmeans||' is list-path-only (its sweep collects the "
-                "seed set by design); use init='hash' with output='frame'"
-            )
-        return train_ivf_centroids_frame(df, vec_col, id_col, k, iters)
+        return train_ivf_centroids_frame(df, vec_col, id_col, k, iters, init=init)
     base = df.select(F.col(id_col).alias("__id__"), as_double(F.col(vec_col)).alias("__v__"))
     if init == "kmeans||":
         centroids = kmeanspp_init_centroids(df, vec_col, id_col, k)
@@ -1116,6 +1113,7 @@ def _assign_frame_map(
     chunk_bytes: int = 256 * 1024 * 1024,
     salt_parts: int | None = None,
     route: str = "auto",
+    keep_d2: bool = False,
 ) -> DataFrame:
     """(id_col, out) nearest-cell map — assign_cells_frame's core.
 
@@ -1126,7 +1124,13 @@ def _assign_frame_map(
     assigns per ROW), and a NULL id cannot match the equi-join back.
     The layout itself is NULL-safe (NULL ids salt to bucket 0, see
     _frame_cogroup_prep) so direct consumers of the map still see the
-    row; only the join-back requires non-null."""
+    row; only the join-back requires non-null.
+
+    ``keep_d2`` also returns the winning ``__d2p__`` — the SHIFTED
+    squared distance c² − 2·x·c (the per-row +‖x‖² term is dropped in
+    the scorer because it cannot change the argmin). Consumers needing
+    the true squared distance add ‖x‖² back themselves (one JVM-side
+    dot per row); the k-means|| sampler does exactly that."""
     import pandas as pd
 
     data, cents, n_chunks, out_schema = _frame_cogroup_prep(
@@ -1161,12 +1165,15 @@ def _assign_frame_map(
         .applyInPandas(score, out_schema)
     )
     if n_chunks == 1:
-        return partial.select(id_col, out)
+        return partial.select(id_col, out, "__d2p__") if keep_d2 else partial.select(id_col, out)
     # merge per-chunk argmins; (d2, cell) ordering keeps the smallest-cell
-    # tie-break across chunk boundaries
-    return partial.groupBy(id_col).agg(
-        F.min_by(F.col(out), F.struct(F.col("__d2p__"), F.col(out))).alias(out)
+    # tie-break across chunk boundaries (the per-chunk minimum of the
+    # shifted d2 is the global minimum — the shift is constant per row)
+    merged = partial.groupBy(id_col).agg(
+        F.min_by(F.col(out), F.struct(F.col("__d2p__"), F.col(out))).alias(out),
+        F.min("__d2p__").alias("__d2p__"),
     )
+    return merged if keep_d2 else merged.select(id_col, out)
 
 
 def _probe_frame_map(
@@ -1298,6 +1305,162 @@ def ivf_topk_frame(
     )
 
 
+def kmeanspp_init_centroids_frame(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    rounds: int = 3,
+    oversample: int | None = None,
+    chunk_bytes: int = 256 * 1024 * 1024,
+) -> DataFrame:
+    """Deterministic k-means|| (Bahmani et al. VLDB'12) initialization
+    with the candidate set kept ON THE CLUSTER end to end (VERDICT r9
+    item 3): returns a (cell int, centroid array<double>) k-row frame;
+    nothing model-sized is ever collected — the list-path sweep
+    (kmeanspp_init_centroids) collects ~rounds*oversample vectors by
+    design, which is exactly what breaks past the frame gate where
+    clustering quality matters most.
+
+    Same deterministic coin as the list path: per round, point x joins
+    the candidate frame iff xxhash64(id, round) in [0,1) falls under
+    l * d²(x, C) / φ — d² from the frame-assign map's shifted distance
+    plus the JVM-side ‖x‖² term, φ one scalar agg. The final reduction
+    to k is frame-resident too: candidates weighted by attraction (one
+    frame-assign of the corpus onto the candidate frame), seeded from
+    the k heaviest candidates, then ``recluster_iters``(=2) weighted
+    Lloyd steps OVER THE CANDIDATE FRAME (candidate-scale jobs, not
+    corpus-scale). Candidate numbering runs one candidate-count-row
+    single-task window per round — same documented single-task seed
+    contract as train_ivf_centroids_frame.
+
+    Degenerate corpora (φ = 0 or fewer candidates than k) top up from
+    the hash-ordered corpus, mirroring the list path."""
+    from pyspark import StorageLevel
+
+    l = oversample or 2 * k
+    base = df.select(
+        F.col(id_col).alias("__id__"), as_double(F.col(vec_col)).alias("__v__")
+    )
+    x2 = dot(F.col("__v__"), F.col("__v__"))
+    # round-0 seed: the smallest-hash vector (list-path parity)
+    cand = (
+        base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
+        .limit(1)
+        .select(
+            F.lit(0).cast("int").alias("cell"),
+            F.col("__id__"),
+            F.col("__v__").alias("centroid"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_cand = cand.count()
+    for r in range(rounds):
+        d2map = _assign_frame_map(
+            base, cand, "__v__", "__id__", "__c__",
+            chunk_bytes=chunk_bytes, keep_d2=True,
+        )
+        tagged = base.join(d2map, "__id__").withColumn(
+            "__d2t__", F.greatest(x2 + F.col("__d2p__"), F.lit(0.0))
+        )
+        phi_row = tagged.agg(F.sum("__d2t__").alias("s")).first()
+        phi = float(phi_row["s"] or 0.0)
+        if phi <= 0:
+            break
+        u = (
+            F.pmod(F.xxhash64(F.col("__id__"), F.lit(r + 101)), F.lit(1_000_000_000)).cast(
+                "double"
+            )
+            / 1e9
+        )
+        picked = tagged.filter(u < F.lit(float(l)) * F.col("__d2t__") / F.lit(phi))
+        wnum = Window.orderBy(F.col("__id__"))
+        new_cand = picked.select(
+            (F.row_number().over(wnum) + F.lit(n_cand - 1)).cast("int").alias("cell"),
+            F.col("__id__"),
+            F.col("__v__").alias("centroid"),
+        )
+        prev = cand
+        cand = prev.unionByName(new_cand).persist(StorageLevel.MEMORY_AND_DISK)
+        n_cand = cand.count()
+        prev.unpersist()
+    # attraction weights: one corpus-scale frame-assign onto the candidates
+    amap = _assign_frame_map(
+        base, cand, "__v__", "__id__", "__c__", chunk_bytes=chunk_bytes
+    )
+    w = amap.groupBy("__c__").agg(F.count(F.lit(1)).alias("__w__"))
+    weighted = (
+        cand.join(w, cand["cell"] == w["__c__"], "left")
+        .select("cell", "__id__", "centroid", F.coalesce("__w__", F.lit(0)).alias("__w__"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # top up below k from the hash-ordered corpus (weight 0, unseen ids)
+    deficit = k - weighted.count()
+    if deficit > 0:
+        extra = (
+            base.join(weighted.select("__id__"), "__id__", "left_anti")
+            .orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
+            .limit(deficit)
+        )
+        wnum = Window.orderBy(F.col("__id__"))
+        extra = extra.select(
+            (F.row_number().over(wnum) + F.lit(n_cand - 1)).cast("int").alias("cell"),
+            "__id__",
+            F.col("__v__").alias("centroid"),
+            F.lit(0).cast("bigint").alias("__w__"),
+        )
+        prev_w = weighted
+        weighted = prev_w.unionByName(extra).persist(StorageLevel.MEMORY_AND_DISK)
+        weighted.count()
+        prev_w.unpersist()
+    weighted.count()
+    cand.unpersist()
+    # seed the final k from the heaviest candidates (the list path's
+    # reduction also starts at max weight), renumbered 0..k-1
+    wrank = Window.orderBy(F.col("__w__").desc(), F.col("cell"))
+    seeds = (
+        weighted.orderBy(F.col("__w__").desc(), F.col("cell"))
+        .limit(k)
+        .withColumn("__new__", (F.row_number().over(wrank) - 1).cast("int"))
+        .select(F.col("__new__").alias("cell"), F.col("centroid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seeds.count()
+    # weighted Lloyd over the CANDIDATE frame (candidate-scale, not
+    # corpus-scale): empty seed cells keep their centroid
+    cpoints = weighted.select(
+        F.col("cell").alias("__cid__"), F.col("centroid").alias("__cv__"), "__w__"
+    ).filter(F.col("__w__") > 0)
+    for _ in range(2):
+        cmap = _assign_frame_map(
+            cpoints, seeds, "__cv__", "__cid__", "__s__", chunk_bytes=chunk_bytes
+        )
+        assigned = cpoints.join(cmap, "__cid__")
+        means = (
+            assigned.select(
+                "__s__", "__w__", F.posexplode("__cv__").alias("__pos__", "__x__")
+            )
+            .groupBy("__s__", "__pos__")
+            .agg((F.sum(F.col("__w__") * F.col("__x__")) / F.sum("__w__")).alias("__m__"))
+            .groupBy("__s__")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos__", "__m__"))).alias("__sl__"))
+            .select(
+                F.col("__s__").alias("cell"),
+                F.transform("__sl__", lambda s: s["__m__"]).alias("__new__"),
+            )
+        )
+        prev = seeds
+        seeds = (
+            prev.join(means, "cell", "left")
+            .select("cell", F.coalesce("__new__", "centroid").alias("centroid"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        seeds.count()
+        prev.unpersist()
+    weighted.unpersist()
+    return seeds
+
+
 def train_ivf_centroids_frame(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -1305,6 +1468,7 @@ def train_ivf_centroids_frame(
     k: int = 16,
     iters: int = 5,
     chunk_bytes: int = 256 * 1024 * 1024,
+    init: str = "hash",
 ) -> DataFrame:
     """train_ivf_centroids with the model kept ON THE CLUSTER end to end:
     returns a (cell int, centroid array<double>) DataFrame; no step ever
@@ -1312,26 +1476,36 @@ def train_ivf_centroids_frame(
     list corpus_bytes/500 — the first hard wall at a literal 100 TB
     corpus, VERDICT r8 item 2).
 
-    Same recipe as the list trainer: hash-deterministic seed (the k
-    smallest-xxhash64(id) vectors), Lloyd iterations of frame-assign ->
-    posexplode mean, empty cells keep their previous centroid. Each
-    iteration's centroids persist + materialize (one k-row count job)
-    so iteration i+1's jobs don't replay iteration i's assignment.
-    init='kmeans||' is list-path-only (its sweep collects by design).
-    Seed numbering runs one k-row single-task window — trivially
-    distributable with a two-level rank when k itself outgrows a task,
-    left single-task here because the seed is one pass over k rows."""
+    Same recipe as the list trainer: deterministic seed — init='hash'
+    takes the k smallest-xxhash64(id) vectors; init='kmeans||' runs the
+    frame-resident scalable-k-means++ sweep
+    (kmeanspp_init_centroids_frame, r10 — better spread, ~2 corpus
+    passes per round, nothing collected) — then Lloyd iterations of
+    frame-assign -> posexplode mean, empty cells keep their previous
+    centroid. Each iteration's centroids persist + materialize (one
+    k-row count job) so iteration i+1's jobs don't replay iteration
+    i's assignment. Seed numbering runs one k-row single-task window —
+    trivially distributable with a two-level rank when k itself
+    outgrows a task, left single-task here because the seed is one
+    pass over k rows."""
+    if init not in ("hash", "kmeans||"):
+        raise ValueError(f"init must be 'hash' or 'kmeans||'; got {init!r}")
     base = df.select(
         F.col(id_col).alias("__id__"), as_double(F.col(vec_col)).alias("__v__")
     )
-    wseed = Window.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
-    cents = (
-        base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
-        .limit(k)
-        .withColumn("cell", (F.row_number().over(wseed) - 1).cast("int"))
-        .select("cell", F.col("__v__").alias("centroid"))
-        .persist()
-    )
+    if init == "kmeans||":
+        cents = kmeanspp_init_centroids_frame(
+            df, vec_col, id_col, k, chunk_bytes=chunk_bytes
+        )
+    else:
+        wseed = Window.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
+        cents = (
+            base.orderBy(F.xxhash64(F.col("__id__")), F.col("__id__"))
+            .limit(k)
+            .withColumn("cell", (F.row_number().over(wseed) - 1).cast("int"))
+            .select("cell", F.col("__v__").alias("centroid"))
+            .persist()
+        )
     cents.count()
     for _ in range(iters):
         amap = _assign_frame_map(

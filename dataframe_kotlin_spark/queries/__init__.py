@@ -48,30 +48,30 @@ def query(name: str, oracle: str | None = None):
 # values). After the r9 gate runs, no name's latest green row is older
 # than r6.
 _PRIORITY = [
-    # round-9 new registrations: the executor-resident centroid postures
-    # (assignment + end-to-end search)
-    "ivf_assign_frame_scaled", "ann_ivf_frame_topk",
-    # oldest-green rotation: every name last checked in round 5
-    "multimodal_features", "quantize_embeddings_int8",
-    "cumulative_sum", "dq_profile_orders", "first_last_events",
-    "gather_groups_contacts", "gather_lists", "hypertable_rollup_events",
-    "incremental_agg_state", "interarrival_quantiles",
-    "interval_join_windows", "inverted_index", "json_extract_props",
-    "json_props_extract", "lead_next", "lsh_candidate_pairs",
-    "merge_cols_concat", "merge_rows_lists", "neighbour_values",
-    "nth_order_value", "percent_rank_dist", "rolling_dedup_events",
-    "rolling_range_revenue", "row_number_rank", "salted_join_agg",
-    "scd2_status_timeline", "skip_last_tail", "slice_rows_page",
-    "split_tokens", "winsorize_zscore_prices",
-    # window fill: 18 of the 38 r6 names (the two r9 registrations took
-    # the other slots), rendering-adjacent first
-    # (this round rewrote core/litrender.py's double path)
-    "pivot_null_bucket", "merge_null_render", "transpose_stats",
-    "describe_numeric", "null_handling", "update_convert",
-    "agg_minmax_count", "anti_join_customers", "approx_distinct_parts",
-    "argmax_row", "arithmetic_round", "corr_pair", "count_by_priority",
-    "count_conditional", "cube_flag_status", "distinct_by_first",
-    "distinct_pair", "drop_rows_inverse",
+    # round-10 new registration: the chunked-model coarse-routed posture
+    "ivf_assign_routed_chunks",
+    # oldest-green rotation (VERDICT r9 item 6): the 20 names whose
+    # latest green row is round 6
+    "digitize_bins", "grouping_sets_qty", "hll_rollup_customers",
+    "join_left_nulls", "median_quantity", "merge_upsert_customers",
+    "mode_per_segment", "ntile_quartiles", "outer_join_nations",
+    "quantiles_price", "rollup_region_nation", "select_project",
+    "semi_join_customers", "split_generated_names", "stats_summary",
+    "stddev_variance", "string_funcs", "top_k_orders",
+    "union_missing_cols", "union_widen",
+    # window fill: 29 of the 50 r7 names, new-code-adjacent first —
+    # this round touched the similarity frame paths, the dedup persist
+    # registry, the join-type alias table, and litrender's JVM gate
+    "ann_ivf_scaled", "ann_bruteforce_topk", "semdedup_survivors",
+    "jaccard_pairs", "simhash_hamming_pairs", "simhash_values",
+    "minhash_signatures", "dedup_exact", "curate_corpus",
+    "heavy_hitter_terms", "count_min_term_counts", "language_id",
+    "pii_redaction", "dsir_log_weights", "decontamination_hits",
+    "join_part_supplier_stats", "except_keys", "intersect_keys",
+    "distinct_suppliers_brand", "q3_shipping_priority",
+    "q5_local_supplier", "q2_min_cost_supplier", "q7_nation_volume",
+    "q9_profit_nation_year", "pivot_counts", "pivot_sum_segments",
+    "gather_melt", "q1_pricing_summary", "filter_predicates",
 ]
 
 

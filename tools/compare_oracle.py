@@ -3,6 +3,11 @@ entry on Spark AND its oracle_sql() on DuckDB, compare row count, column
 names, and order-insensitive values.
 
 Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+       python tools/compare_oracle.py --record ORACLE_SWEEP_r10.json [sf_dir]
+
+--record writes the sweep as a JSON artifact {name: {status, rows,
+sec}} plus a summary header — the full-registry local evidence the
+round ships instead of re-deriving by hand (VERDICT r9 item 8).
 """
 
 from __future__ import annotations
@@ -58,8 +63,14 @@ def main():
 
     from dataframe_kotlin_spark.session import TABLES, get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    record = None
+    if "--record" in args:
+        i = args.index("--record")
+        record = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
 
@@ -81,6 +92,7 @@ def main():
         )
 
     n_pass = n_fail = n_noracle = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -89,37 +101,59 @@ def main():
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "why": f"spark error: {type(e).__name__}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"SKIP  {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"status": "no-oracle", "rows": len(sdf)}
             n_noracle += 1
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "why": f"oracle error: {type(e).__name__}"}
             n_fail += 1
             continue
         scols, srows = canon(sdf)
         ocols, orows = canon(odf)
+        why = None
         if [c.lower() for c in scols] != [c.lower() for c in ocols]:
-            print(f"FAIL  {name}: columns spark={scols} oracle={ocols}")
-            n_fail += 1
-            continue
-        if len(srows) != len(orows):
-            print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
-            n_fail += 1
-            continue
-        if srows != orows:
+            why = f"columns spark={scols} oracle={ocols}"
+        elif len(srows) != len(orows):
+            why = f"rowcount spark={len(srows)} oracle={len(orows)}"
+        elif srows != orows:
             bad = [(a, b) for a, b in zip(srows, orows) if a != b][:3]
-            print(f"FAIL  {name}: value mismatch, first diffs: {bad}")
+            why = f"value mismatch, first diffs: {bad}"
+        if why is not None:
+            print(f"FAIL  {name}: {why}")
+            results[name] = {"status": "fail", "why": why[:400]}
             n_fail += 1
             continue
         print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+        results[name] = {"status": "pass", "rows": len(srows), "sec": round(time.time() - t0, 2)}
         n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} no-oracle")
+    if record:
+        import json
+
+        session = "vanilla" if os.environ.get("SPARK_GRAFT_VANILLA") else "get_spark"
+        with open(record, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "session": session,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_noracle": n_noracle,
+                    "queries": results,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"recorded -> {record}")
     return 1 if n_fail else 0
 
 

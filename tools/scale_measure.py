@@ -475,12 +475,12 @@ def main():
             f"assignment disagreements={diff} "
             f"(loadavg_start={row_load}, loadavg_end={round(os.getloadavg()[0], 2)})"
         )
-        # chunked-model path at 100x: force ~8 hash chunks (the blocked-
-        # matmul layout a model beyond chunk_bytes takes — data
-        # replicates per chunk, per-chunk argmins merge via the
-        # (d2, cell) min_by). Identity vs the unchunked map is the
-        # evidence the cross-chunk reduce holds at scale, not just in
-        # the sf0.01 unit test.
+        # chunked-model path at 100x: force ~8 chunks (the layout a
+        # model beyond chunk_bytes takes). r10: the default layout is
+        # the two-level coarse-routed one (data routes to O(1) chunks);
+        # A/B it against the r9 replicate layout (data explodes G-fold)
+        # and against the unchunked map — both disagreement counts are
+        # the 0-of-200k done-criterion (VERDICT r9 item 1).
         from dataframe_kotlin_spark.operators.similarity import (
             centroid_model_bytes,
         )
@@ -493,17 +493,64 @@ def main():
         )
         _force(amap_c)
         t_assign_c = time.time() - t0
+        # warm rep: the first routed run pays the one-off coarse-layer
+        # build (memoized per model lineage)
+        t0 = time.time()
+        _force(
+            similarity._assign_frame_map(
+                emb, cents_f, "embedding", "vec_id", "cell_c", chunk_bytes=chunk
+            )
+        )
+        t_assign_c_warm = time.time() - t0
+        t0 = time.time()
+        amap_r = similarity._assign_frame_map(
+            emb, cents_f, "embedding", "vec_id", "cell_p",
+            chunk_bytes=chunk, route="replicate",
+        )
+        _force(amap_r)
+        t_assign_rep = time.time() - t0
         cdiff = (
             amap_f.join(amap_c, "vec_id")
             .filter(F.col("cell_f") != F.col("cell_c"))
             .count()
         )
+        rdiff = (
+            amap_r.join(amap_c, "vec_id")
+            .filter(F.col("cell_p") != F.col("cell_c"))
+            .count()
+        )
         out["centroid_frame_chunked"] = t_assign_c
         print(
-            f"centroid_frame_chunked (8 hash chunks): assign "
-            f"{t_assign_c:.2f}s; disagreements vs unchunked={cdiff} "
+            f"centroid_frame_chunked (8 chunks, coarse-routed): assign "
+            f"{t_assign_c:.2f}s cold / {t_assign_c_warm:.2f}s warm vs "
+            f"replicate {t_assign_rep:.2f}s; disagreements vs "
+            f"unchunked={cdiff}, vs replicate={rdiff} "
             f"(loadavg_end={round(os.getloadavg()[0], 2)})"
         )
+        # salt_parts sizing (VERDICT r9 item 7): the auto default now
+        # derives from the scan-split estimate instead of
+        # spark.sql.shuffle.partitions — sweep manual bucket counts
+        # around it so the chosen value's cost has context.
+        from dataframe_kotlin_spark.operators.similarity import (
+            _estimate_scan_splits,
+        )
+
+        auto_salt = max(
+            spark.sparkContext.defaultParallelism, _estimate_scan_splits(emb) or 0
+        )
+        for label, sp in [
+            ("8", 8), ("auto", None), ("64", 64), ("200", 200),
+        ]:
+            t0 = time.time()
+            _force(
+                similarity._assign_frame_map(
+                    emb, cents_f, "embedding", "vec_id", "cell_s", salt_parts=sp
+                )
+            )
+            print(
+                f"salt_sweep[{label}{'=' + str(auto_salt) if sp is None else ''}]: "
+                f"{time.time()-t0:.2f}s"
+            )
 
     # semdedup: the registry query pins k=4 k-means cells, which makes the
     # within-cell cosine self-join quadratic in N/k — the correct scale
