@@ -974,9 +974,14 @@ def _frame_cogroup_prep(
     visits every chunk). 'coarse' routes each row through the
     _coarse_layer quantizer to only the chunks that can hold its
     top-``nprobe`` fine cells — exact by the triangle-inequality bound,
-    with data traffic independent of G. 'auto' (default) picks 'coarse'
-    whenever the model is chunked at all; single-chunk models skip
-    routing entirely (every cell is in the one chunk).
+    with data traffic independent of G on clusterable corpora. 'auto'
+    (default) probes the realized fan-out on a small sample
+    (_routing_fanout, memoized) and picks 'coarse' only when routing
+    saves at least half the chunk traffic — on CONCENTRATED data
+    (near-equal pairwise distances; random unit vectors are the
+    extreme) exact pruning is geometrically impossible and replicate
+    without the routing pass is strictly cheaper. Single-chunk models
+    skip routing entirely (every cell is in the one chunk).
 
     NULL ids salt to bucket 0 (xxhash64(NULL) is NULL, and a NULL salt
     key would have no centroid cogroup partner — the row would silently
@@ -1015,6 +1020,19 @@ def _frame_cogroup_prep(
         ]
     )
     routed = n_chunks > 1 and route != "replicate"
+    if routed and route == "auto":
+        # Exact metric pruning only pays when the corpus CLUSTERS: on
+        # concentrated high-dim data (near-equal pairwise distances —
+        # the sf testdata's random unit vectors are the extreme case)
+        # the triangle-inequality bound prunes nothing, every row
+        # routes to every chunk, and the layout degrades to replicate
+        # traffic PLUS a routing pass. Probe the realized fan-out on a
+        # small deterministic sample and keep routing only when it
+        # saves at least half the chunk traffic; the probe is one
+        # limit-2048 job, memoized per (data, model, G) lineage.
+        fanout = _routing_fanout(df, centroids_df, vec_col, id_col,
+                                 cell_col, cvec_col, n_chunks, k, nprobe)
+        routed = fanout is None or fanout <= n_chunks / 2
     if n_chunks == 1:
         data = data.withColumn("__g__", F.lit(0))
         cents_g = F.lit(0)
@@ -1043,6 +1061,60 @@ def _frame_cogroup_prep(
         "__salt__", F.explode(F.sequence(F.lit(0), F.lit(salt_parts - 1)))
     )
     return data, cents, n_chunks, out_schema
+
+
+#: memoized routing fan-out probes per (data, model, G, nprobe) lineage
+_ROUTING_FANOUT_CACHE: dict = {}
+
+
+def _routing_fanout(
+    df: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    cvec_col: str,
+    n_chunks: int,
+    k: int,
+    nprobe: int,
+) -> float | None:
+    """Mean routed-chunks-per-row on a deterministic 2048-row sample —
+    the layout decision signal for route='auto'. limit() reads the
+    first scan partitions, which is a biased sample of the corpus but
+    an adequate one for a binary layout choice (the fan-out is a
+    property of the metric geometry, not of row order). Returns None
+    when the probe fails (callers then keep the coarse posture — the
+    scale-correct default). Memoized with the same lineage keys as the
+    other construction-time probes (skew.plan_memo_key)."""
+    from dataframe_kotlin_spark.operators.skew import plan_memo_key
+
+    key = plan_memo_key(df, vec_col, id_col, n_chunks, int(nprobe))
+    mkey = plan_memo_key(centroids_df, cell_col, cvec_col)
+    full_key = (key, mkey) if key is not None and mkey is not None else None
+    if full_key is not None and full_key in _ROUTING_FANOUT_CACHE:
+        return _ROUTING_FANOUT_CACHE[full_key]
+    try:
+        bc, _ = _coarse_layer(centroids_df, cell_col, cvec_col, n_chunks, k)
+        sample = df.select(
+            F.col(id_col).alias(id_col),
+            as_double(F.col(vec_col)).alias("__v__"),
+            F.lit(0).alias("__salt__"),
+        ).limit(2048)
+        id_field = df.schema[id_col]
+        routed = _route_to_chunks(sample, id_field, nprobe, bc)
+        stats = routed.agg(
+            F.count(F.lit(1)).alias("n_routed"),
+            F.count_distinct(F.col(id_col)).alias("n_rows"),
+        ).first()
+        n_rows = int(stats["n_rows"] or 0)
+        fanout = float(stats["n_routed"]) / n_rows if n_rows else None
+    except Exception:
+        fanout = None
+    if full_key is not None:
+        if len(_ROUTING_FANOUT_CACHE) > 256:
+            _ROUTING_FANOUT_CACHE.clear()
+        _ROUTING_FANOUT_CACHE[full_key] = fanout
+    return fanout
 
 
 def _route_to_chunks(data: DataFrame, id_field, nprobe: int, bc) -> DataFrame:

@@ -337,6 +337,7 @@ def test_routed_plan_has_no_gfold_explode(spark, emb):
     amap = sim._assign_frame_map(
         emb, f, "embedding", "vec_id", "cell",
         chunk_bytes=sim.centroid_model_bytes(4, dim), salt_parts=4,
+        route="coarse",
     )
     plan = amap._jdf.queryExecution().toString()
     import re
@@ -387,6 +388,7 @@ def test_routed_keeps_null_id_row(spark):
         df, cents, "embedding", "vec_id", "cell",
         chunk_bytes=sim.centroid_model_bytes(1, 2),  # 4 chunks of 1 cell
         salt_parts=2,
+        route="coarse",
     ).collect()
     got = {r["vec_id"]: r["cell"] for r in rows}
     assert got == {1: 0, None: 1}
@@ -455,3 +457,58 @@ def test_kmeanspp_frame_tops_up_degenerate_corpus(spark):
     cents = sim.kmeanspp_init_centroids_frame(df, k=5, rounds=1)
     rows = cents.collect()
     assert sorted(r["cell"] for r in rows) == list(range(5))
+
+
+def test_auto_route_falls_back_on_concentrated_data(spark, emb):
+    """route='auto' must NOT pay the routing pass when exact pruning
+    cannot engage: the fixture embeddings are random unit vectors
+    (near-equal pairwise distances), so the fan-out probe reads ~G
+    chunks per row and auto picks the replicate layout (plan HAS the
+    G-fold explode). The probe is memoized: the second build launches
+    zero jobs."""
+    import re
+
+    cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
+    dim = len(cents[0])
+    f = _as_frame(spark, cents)
+    kw = dict(chunk_bytes=sim.centroid_model_bytes(4, dim), salt_parts=4)
+    amap = sim._assign_frame_map(emb, f, "embedding", "vec_id", "cell", **kw)
+    plan = amap._jdf.queryExecution().toString()
+    assert re.search(r"sequence\(0, 7", plan)  # replicate chosen
+    sc = spark.sparkContext
+    sc.setJobGroup("fanout-probe-2", "second build")
+    sim._assign_frame_map(emb, f, "embedding", "vec_id", "cell", **kw)
+    ids = sc.statusTracker().getJobIdsForGroup("fanout-probe-2")
+    sc.setJobGroup(None, None)
+    assert list(ids) == []
+
+
+def test_auto_route_keeps_coarse_on_clustered_data(spark):
+    """On a corpus with real cluster structure the fan-out probe reads
+    ~1 chunk per row and auto keeps the routed layout — and the
+    assignment still matches the replicate layout exactly."""
+    import re
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(16, 8) * 10.0
+    rows = [
+        (int(i), (centers[i % 16] + rng.randn(8) * 0.05).tolist())
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = sim.train_ivf_centroids(df, k=16, iters=2, output="list")
+    f = _as_frame(spark, cents)
+    kw = dict(chunk_bytes=sim.centroid_model_bytes(2, 8), salt_parts=4)  # 8 chunks
+    amap = sim._assign_frame_map(df, f, "embedding", "vec_id", "cell", **kw)
+    plan = amap._jdf.queryExecution().toString()
+    assert not re.search(r"sequence\(0, 7", plan)  # coarse kept
+    rep = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_frame_map(
+            df, f, "embedding", "vec_id", "cell", route="replicate", **kw
+        ).collect()
+    }
+    got = {r["vec_id"]: r["cell"] for r in amap.collect()}
+    assert got == rep

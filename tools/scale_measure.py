@@ -527,6 +527,83 @@ def main():
             f"unchunked={cdiff}, vs replicate={rdiff} "
             f"(loadavg_end={round(os.getloadavg()[0], 2)})"
         )
+        # routed vs replicate on a HIERARCHICALLY clustered corpus
+        # (r10): the sf embeddings are random unit vectors — near-equal
+        # pairwise distances, the geometric worst case where exact
+        # pruning cannot engage and route='auto' correctly falls back
+        # to replicate. Note iid-random CENTERS don't fix that either:
+        # two-level pruning needs the FINE CENTROIDS to group under the
+        # coarse layer, and 400 iid Gaussian centers in 64-dim are
+        # themselves concentrated (fan-out measured 7.9/8 on that
+        # variant). Real embedding manifolds have topic/subtopic
+        # hierarchy; model it: 20 super-centers (scale 10), 20
+        # sub-centers each (offset 0.5), points at sigma 0.05 —
+        # fan-out ~1 chunk/row, routed beats replicate, 0
+        # disagreements.
+        clus_path = f"{DST}/embeddings_clustered2.parquet"
+        if not os.path.exists(clus_path):
+            import pandas as pd
+
+            def gen(batches):
+                import numpy as np
+
+                rng0 = np.random.RandomState(42)
+                supers = rng0.randn(20, 64) * 10.0
+                subs = supers[:, None, :] + rng0.randn(20, 20, 64) * 0.5
+                centers = subs.reshape(400, 64)
+                for pdf in batches:
+                    ids = pdf["id"].to_numpy()
+                    seed = int(ids[0]) % (2**31) if len(ids) else 0
+                    noise = np.random.RandomState(seed).randn(len(ids), 64) * 0.05
+                    emb = centers[ids % 400] + noise
+                    yield pd.DataFrame(
+                        {"vec_id": ids, "embedding": [list(r) for r in emb]}
+                    )
+
+            spark.range(200_000).repartition(32).mapInPandas(
+                gen, "vec_id long, embedding array<double>"
+            ).write.parquet(clus_path)
+        clus = spark.read.parquet(clus_path)
+        cents_cl = similarity.train_ivf_centroids_frame(
+            clus, "embedding", "vec_id", k=400, iters=1
+        )
+        chunk_cl = centroid_model_bytes(400 // 8, 64)
+        fanout = similarity._routing_fanout(
+            clus, cents_cl, "embedding", "vec_id", "cell", "centroid", 8, 400, 1
+        )
+        t0 = time.time()
+        amap_cl = similarity._assign_frame_map(
+            clus, cents_cl, "embedding", "vec_id", "cell_c", chunk_bytes=chunk_cl
+        )
+        _force(amap_cl)
+        t_cl_cold = time.time() - t0
+        t0 = time.time()
+        _force(
+            similarity._assign_frame_map(
+                clus, cents_cl, "embedding", "vec_id", "cell_c", chunk_bytes=chunk_cl
+            )
+        )
+        t_cl_warm = time.time() - t0
+        t0 = time.time()
+        amap_cr = similarity._assign_frame_map(
+            clus, cents_cl, "embedding", "vec_id", "cell_p",
+            chunk_bytes=chunk_cl, route="replicate",
+        )
+        _force(amap_cr)
+        t_cl_rep = time.time() - t0
+        cldiff = (
+            amap_cl.join(amap_cr, "vec_id")
+            .filter(F.col("cell_c") != F.col("cell_p"))
+            .count()
+        )
+        out["centroid_frame_routed_clustered"] = t_cl_warm
+        print(
+            f"centroid_frame_routed_clustered (200k x 64, 400 centers, 8 "
+            f"chunks): fanout={fanout:.2f} chunks/row; routed "
+            f"{t_cl_cold:.2f}s cold / {t_cl_warm:.2f}s warm vs replicate "
+            f"{t_cl_rep:.2f}s; disagreements={cldiff} "
+            f"(loadavg_end={round(os.getloadavg()[0], 2)})"
+        )
         # salt_parts sizing (VERDICT r9 item 7): the auto default now
         # derives from the scan-split estimate instead of
         # spark.sql.shuffle.partitions — sweep manual bucket counts
