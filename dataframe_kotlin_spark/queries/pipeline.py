@@ -2386,7 +2386,17 @@ def ivf_assign_routed_chunks(spark, sf_dir):
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     plan = routed._jdf.queryExecution().toString()
-    gfold = re.search(rf"sequence\(0, {n_chunks - 1}[,)]", plan)
+    # anchor on the explode's OUTPUT column: the replicate layout's
+    # G-fold prints `Generate explode(sequence(0, G-1, ...)) ... [__g__#N]`
+    # while the model side's LEGITIMATE salt explodes print `[__salt__#N]`
+    # — and the persisted model's plan string still carries its full
+    # TRAINING lineage, whose salt explodes collide with a bare
+    # sequence(0, G-1) grep whenever salt_parts == G (under the
+    # driver's local[8] session the auto salt is 8 = this corpus's
+    # chunk count; caught red in r10 pre-flight under vanilla)
+    gfold = re.search(
+        rf"Generate explode\(sequence\(0, {n_chunks - 1},[^\n]*\[__g__#", plan
+    )
     route_plan_ok = gfold is None and "MapInPandas" in plan
     rep = similarity._assign_frame_map(
         emb, cents, "embedding", "vec_id", "cell_p",

@@ -341,10 +341,12 @@ def test_routed_plan_has_no_gfold_explode(spark, emb):
     )
     plan = amap._jdf.queryExecution().toString()
     import re
-    # the replicate layout's data-side G-fold: explode(sequence(0, G-1))
-    # = sequence(0, 7) for the 8-chunk model forced here; only the
-    # cents-side salt explode sequence(0, salt_parts-1) may remain
-    assert not re.search(r"sequence\(0, 7", plan)
+    # the replicate layout's data-side G-fold prints
+    # `Generate explode(sequence(0, G-1, ...)) ... [__g__#N]` — anchor
+    # on the OUTPUT column: the model's persisted lineage carries salt
+    # explodes `[__salt__#N]` whose sequence bound can collide with G
+    # (the r10 local[8] false-fail); only the __g__ one is the G-fold
+    assert not re.search(r"Generate explode\(sequence\(0, 7,[^\n]*\[__g__#", plan)
     assert re.search(r"sequence\(0, 3", plan)  # the salt explode stays
     # routing goes through mapInPandas (ArrowEvalPython/MapInPandas node)
     assert "MapInPandas" in plan or "mapInPandas" in plan
@@ -474,7 +476,7 @@ def test_auto_route_falls_back_on_concentrated_data(spark, emb):
     kw = dict(chunk_bytes=sim.centroid_model_bytes(4, dim), salt_parts=4)
     amap = sim._assign_frame_map(emb, f, "embedding", "vec_id", "cell", **kw)
     plan = amap._jdf.queryExecution().toString()
-    assert re.search(r"sequence\(0, 7", plan)  # replicate chosen
+    assert re.search(r"Generate explode\(sequence\(0, 7,[^\n]*\[__g__#", plan)  # replicate chosen
     sc = spark.sparkContext
     sc.setJobGroup("fanout-probe-2", "second build")
     sim._assign_frame_map(emb, f, "embedding", "vec_id", "cell", **kw)
@@ -503,7 +505,7 @@ def test_auto_route_keeps_coarse_on_clustered_data(spark):
     kw = dict(chunk_bytes=sim.centroid_model_bytes(2, 8), salt_parts=4)  # 8 chunks
     amap = sim._assign_frame_map(df, f, "embedding", "vec_id", "cell", **kw)
     plan = amap._jdf.queryExecution().toString()
-    assert not re.search(r"sequence\(0, 7", plan)  # coarse kept
+    assert not re.search(r"Generate explode\(sequence\(0, 7,[^\n]*\[__g__#", plan)  # coarse kept
     rep = {
         r["vec_id"]: r["cell"]
         for r in sim._assign_frame_map(
