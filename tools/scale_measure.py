@@ -604,6 +604,46 @@ def main():
             f"{t_cl_rep:.2f}s; disagreements={cldiff} "
             f"(loadavg_end={round(os.getloadavg()[0], 2)})"
         )
+        # probe-path (SEARCH) A/B on the same chunked clustered model
+        # (r10): ivf_topk_frame's probe map generalizes the argmin to
+        # top-nprobe — verify the routed probe keeps rank identity with
+        # the replicate layout at 100x, not just in the sf0.01 tests
+        queries_cl = clus.filter(F.col("vec_id") % 100 == 0)
+        t0 = time.time()
+        top_r = similarity.ivf_topk_frame(
+            clus, queries_cl, cents_cl, "embedding", "vec_id",
+            k=10, nprobe=2, chunk_bytes=chunk_cl,
+        )
+        _force(top_r)
+        t_topk_routed = time.time() - t0
+        t0 = time.time()
+        top_p = similarity.ivf_topk_frame(
+            clus, queries_cl, cents_cl, "embedding", "vec_id",
+            k=10, nprobe=2, chunk_bytes=chunk_cl, route="replicate",
+        )
+        _force(top_p)
+        t_topk_rep = time.time() - t0
+        rankdiff = (
+            top_r.select("query_id", "rank", F.col("neighbor_id").alias("n_r"))
+            .join(
+                top_p.select("query_id", "rank", F.col("neighbor_id").alias("n_p")),
+                ["query_id", "rank"],
+                "full",
+            )
+            .filter(
+                F.col("n_r").isNull()
+                | F.col("n_p").isNull()
+                | (F.col("n_r") != F.col("n_p"))
+            )
+            .count()
+        )
+        out["ivf_topk_frame_routed_clustered"] = t_topk_routed
+        print(
+            f"ivf_topk_frame_routed_clustered (2k queries, top-10, "
+            f"nprobe=2, 8 chunks): routed {t_topk_routed:.2f}s vs "
+            f"replicate {t_topk_rep:.2f}s; rank disagreements={rankdiff} "
+            f"(loadavg_end={round(os.getloadavg()[0], 2)})"
+        )
         # salt_parts sizing (VERDICT r9 item 7): the auto default now
         # derives from the scan-split estimate instead of
         # spark.sql.shuffle.partitions — sweep manual bucket counts
