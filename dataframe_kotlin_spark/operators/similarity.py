@@ -55,6 +55,20 @@ def _parse_byte_conf(value: str, default: int = 128 * 1024 * 1024) -> int:
     return n if n > 0 else default
 
 
+def _scan_bytes(df) -> int | None:
+    """Total source-file bytes from metadata (no job), or None for
+    non-file sources / metadata failures."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        return sum(
+            os.path.getsize(f[7:] if f.startswith("file://") else f) for f in files
+        )
+    except Exception:
+        return None
+
+
 def _estimate_scan_splits(df) -> int | None:
     """Scan-partition estimate from file metadata: max(file count,
     total bytes / maxPartitionBytes). ``df.rdd`` would give the exact
@@ -71,9 +85,9 @@ def _estimate_scan_splits(df) -> int | None:
         max_bytes = _parse_byte_conf(
             df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
-        total = sum(
-            os.path.getsize(f[7:] if f.startswith("file://") else f) for f in files
-        )
+        total = _scan_bytes(df)
+        if total is None:
+            return None
         return max(len(files), -(-total // max_bytes), 1)
     except Exception:
         return None
@@ -772,7 +786,10 @@ def assign_cells_frame(
     collected, broadcast, or closure-shipped. Layout:
 
     - the data shuffles ONCE by a hash salt into ``salt_parts`` buckets
-      (default: spark.sql.shuffle.partitions);
+      (default: auto-sized from data volume — the scan-split estimate,
+      floored at defaultParallelism and capped so model replication
+      never exceeds one extra pass over the data; see
+      _frame_cogroup_prep);
     - the model replicates to every salt bucket (P * model_bytes of
       shuffle — the standard sharded-scoring replication; the DATA,
       which is the big side at 100 TB, moves once);
@@ -863,24 +880,33 @@ def _coarse_layer(
     argmin / top-nprobe (a float-slack tol covers rounding at the
     boundary — extra chunks probed, never missing ones).
 
-    Returns (bc, chunk_map): ``bc`` broadcasts numpy arrays {C, c2, r,
-    n, G1} (kc x dim coarse matrix, its row norms, radii, member
-    counts, and the kc x n_chunks one-hot chunk membership); ``chunk_map``
-    is a persisted (``__cell__`` int, ``__g__`` int) frame — k rows of
-    two ints, the model's own scale class, never collected. Memoized
-    per (model lineage, n_chunks); the whole build is a handful of
-    k-row jobs plus kc-row collects (kc = sqrt(k) stays driver-sized by
-    construction — at k = 4e8 fine cells, kc = 2e4)."""
+    Oversize coarse cells SPLIT across chunks (r10 review finding): the
+    greedy balance alone cannot honor the chunk_bytes task-memory
+    contract when one coarse cell attracts a large fraction of the fine
+    cells — a cell with more than ceil(k/G) members is divided into
+    ceil(members/cap) hash sub-slots, each placed independently, and
+    its fine members distribute over the sub-slots by xxhash64(cell).
+    Routing then fans a row to ALL sub-chunks of a surviving coarse
+    cell (G1 is multi-hot), so exactness is untouched and no chunk ever
+    holds more than ~cap members because of a single heavy cell.
+
+    Returns a mutable memo entry {"bc", "map"}: ``bc`` broadcasts numpy
+    arrays {C, c2, r, n, G1} (kc x dim coarse matrix, row norms, radii,
+    member counts, kc x n_chunks multi-hot chunk membership). The
+    (``__cell__``, ``__g__``) fine->chunk frame is built LAZILY by
+    ``_coarse_chunk_map`` — the fan-out probe only needs ``bc``, so an
+    auto-route that falls back to replicate never pays the map's
+    persist+materialize (r10 review finding). Memoized per (model
+    lineage, n_chunks); the whole build is a handful of k-row jobs plus
+    kc-row collects (kc = sqrt(k) stays driver-sized by construction —
+    at k = 4e8 fine cells, kc = 2e4)."""
     import numpy as np
 
-    from dataframe_kotlin_spark.operators.cachereg import COARSE_MAPS
     from dataframe_kotlin_spark.operators.skew import plan_memo_key
 
     key = plan_memo_key(centroids_df, cell_col, cvec_col, n_chunks)
     if key is not None and key in _COARSE_LAYER_CACHE:
         return _COARSE_LAYER_CACHE[key]
-
-    from pyspark import StorageLevel
 
     spark = centroids_df.sparkSession
     kc = min(max(n_chunks, int(np.ceil(np.sqrt(k)))), k)
@@ -914,36 +940,70 @@ def _coarse_layer(
     for row in stats:
         radius[row["__coarse__"]] = float(row["__r__"])
         counts[row["__coarse__"]] = int(row["__n__"])
-    # greedy balance: heaviest coarse cells first onto the lightest chunk
-    chunk_of = np.zeros(kc, dtype=np.int64)
-    load = [0] * n_chunks
-    for j in sorted(range(kc), key=lambda j: (-counts[j], j)):
-        g = min(range(n_chunks), key=lambda t: (load[t], t))
-        chunk_of[j] = g
-        load[g] += counts[j]
-    C = np.asarray(coarse, dtype=np.float64)
+    # split oversize coarse cells into hash sub-slots, then greedy-
+    # balance SLOTS (heaviest first onto the lightest chunk): cap is
+    # the per-chunk member budget the chunking exists to enforce
+    cap = max(1, -(-k // n_chunks))
+    nsub = np.maximum(1, -(-counts // cap)).astype(np.int64)
+    slots = [
+        (counts[j] / nsub[j], j, s) for j in range(kc) for s in range(int(nsub[j]))
+    ]
     G1 = np.zeros((kc, n_chunks), dtype=np.float64)
-    G1[np.arange(kc), chunk_of] = 1.0
+    cmap_rows = []
+    load = [0.0] * n_chunks
+    for w, j, s in sorted(slots, key=lambda t: (-t[0], t[1], t[2])):
+        g = min(range(n_chunks), key=lambda t: (load[t], t))
+        load[g] += w
+        G1[j, g] = 1.0
+        cmap_rows.append((int(j), int(nsub[j]), int(s), int(g)))
+    C = np.asarray(coarse, dtype=np.float64)
     bc = spark.sparkContext.broadcast(
         {"C": C, "c2": (C * C).sum(axis=1), "r": radius, "n": counts, "G1": G1}
     )
-    cmap = spark.createDataFrame(
-        [(int(j), int(chunk_of[j])) for j in range(kc)], "__coarse__ int, __g__ int"
-    )
-    chunk_map = (
-        tagged.select("__fc__", "__coarse__")
-        .join(F.broadcast(cmap), "__coarse__")
-        .select(F.col("__fc__").alias("__cell__"), "__g__")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    COARSE_MAPS.retain(chunk_map)
-    chunk_map.count()  # materialize: every assign/probe joins this map
-    entry = (bc, chunk_map)
+    entry = {
+        "bc": bc,
+        "map": None,
+        "_tagged": tagged.select("__fc__", "__coarse__"),
+        "_cmap_rows": cmap_rows,
+        "_spark": spark,
+    }
     if key is not None:
         if len(_COARSE_LAYER_CACHE) > 64:
             _COARSE_LAYER_CACHE.clear()
         _COARSE_LAYER_CACHE[key] = entry
     return entry
+
+
+def _coarse_chunk_map(entry) -> DataFrame:
+    """The (``__cell__`` int, ``__g__`` int) fine->chunk frame for a
+    coarse-layer entry — k rows of two ints, the model's own scale
+    class, never collected; one row per (fine cell, sub-chunk). Built
+    on first use (persist + one materializing count), cached on the
+    entry so repeated assigns reuse it. Fine members of a split coarse
+    cell pick their sub-slot by xxhash64(cell) mod nsub."""
+    if entry["map"] is not None:
+        return entry["map"]
+    from pyspark import StorageLevel
+
+    from dataframe_kotlin_spark.operators.cachereg import COARSE_MAPS
+
+    spark = entry["_spark"]
+    cmap = spark.createDataFrame(
+        entry["_cmap_rows"], "__coarse__ int, __nsub__ int, __sub__ int, __g__ int"
+    )
+    chunk_map = (
+        entry["_tagged"]
+        .join(F.broadcast(cmap), "__coarse__")
+        .filter(
+            F.pmod(F.xxhash64(F.col("__fc__")), F.col("__nsub__")) == F.col("__sub__")
+        )
+        .select(F.col("__fc__").alias("__cell__"), "__g__")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    COARSE_MAPS.retain(chunk_map)
+    chunk_map.count()  # materialize: every assign/probe joins this map
+    entry["map"] = chunk_map
+    return chunk_map
 
 
 def _frame_cogroup_prep(
@@ -1001,12 +1061,31 @@ def _frame_cogroup_prep(
         )
     spark = df.sparkSession
     k, dim = _frame_model_stats(centroids_df, cvec_col, caller)
-    n_chunks = max(1, -(-centroid_model_bytes(k, dim) // chunk_bytes))
+    model_bytes = centroid_model_bytes(k, dim)
+    n_chunks = max(1, -(-model_bytes // chunk_bytes))
     if salt_parts is None:
         est = _estimate_scan_splits(df)
         dp = spark.sparkContext.defaultParallelism
         if est:
-            salt_parts = max(dp, est)
+            # Two forces pull on the bucket count. UP: each (salt, g)
+            # cogroup materializes its data in ONE task's pandas frame,
+            # so buckets must keep per-group data near maxPartitionBytes
+            # (est = the scan-split count does exactly that). DOWN: the
+            # model replicates salt_parts-fold, so an uncapped est makes
+            # model traffic LINEAR in corpus size — at the k = N/500
+            # extreme (100 TB data, 200 GB model) est ≈ 8e5 buckets
+            # would shuffle 1.6e17 model bytes (r10 review finding).
+            # Cap the replication term at the data's own shuffle volume:
+            # salt_parts <= data_bytes/model_bytes keeps model traffic
+            # <= one extra pass over the data. When the two bounds
+            # conflict (giant model AND giant per-bucket data), the
+            # traffic cap wins and per-bucket memory is the documented
+            # residual pressure — raise chunk-level parallelism or
+            # salt_parts explicitly if a group OOMs; the floor of
+            # defaultParallelism keeps every core busy either way.
+            data_bytes = _scan_bytes(df) or 0
+            cap_traffic = max(dp, int(data_bytes // max(model_bytes, 1)))
+            salt_parts = max(dp, min(est, cap_traffic))
         else:
             salt_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     salt_parts = max(1, int(salt_parts))
@@ -1035,11 +1114,16 @@ def _frame_cogroup_prep(
         # routes to every chunk, and the layout degrades to replicate
         # traffic PLUS a routing pass. Probe the realized fan-out on a
         # small deterministic sample and keep routing only when it
-        # saves at least half the chunk traffic; the probe is one
-        # limit-2048 job, memoized per (data, model, G) lineage.
+        # saves at least half the chunk traffic; the probe is two
+        # 2048-row jobs, memoized per (data, model, G) lineage. A
+        # FAILED probe (None) falls back to replicate — the known-good
+        # layout; picking coarse after a failed probe could crash the
+        # whole job on the same fault the probe hit (r10 review
+        # finding; route='coarse' still forces it for callers that
+        # must have the routed plan shape).
         fanout = _routing_fanout(df, centroids_df, vec_col, id_col,
                                  cell_col, cvec_col, n_chunks, k, nprobe)
-        routed = fanout is None or fanout <= n_chunks / 2
+        routed = fanout is not None and fanout <= n_chunks / 2
     if n_chunks == 1:
         data = data.withColumn("__g__", F.lit(0))
         cents_g = F.lit(0)
@@ -1049,8 +1133,9 @@ def _frame_cogroup_prep(
         )
         cents_g = F.pmod(F.xxhash64(F.col(cell_col)), F.lit(n_chunks)).cast("int")
     else:
-        bc, chunk_map = _coarse_layer(centroids_df, cell_col, cvec_col, n_chunks, k)
-        data = _route_to_chunks(data, id_field, nprobe, bc)
+        layer = _coarse_layer(centroids_df, cell_col, cvec_col, n_chunks, k)
+        chunk_map = _coarse_chunk_map(layer)
+        data = _route_to_chunks(data, id_field, nprobe, layer["bc"])
         cents_g = None
 
     if cents_g is not None:
@@ -1090,9 +1175,16 @@ def _routing_fanout(
     first scan partitions, which is a biased sample of the corpus but
     an adequate one for a binary layout choice (the fan-out is a
     property of the metric geometry, not of row order). Returns None
-    when the probe fails (callers then keep the coarse posture — the
-    scale-correct default). Memoized with the same lineage keys as the
-    other construction-time probes (skew.plan_memo_key)."""
+    when the probe fails — and does NOT cache the failure, so a
+    transient executor/py4j hiccup doesn't pin a layout choice for the
+    whole session (the same retry rule as litrender's JVM gate; r10
+    review finding). The denominator is the SAMPLE row count, not a
+    distinct-id count — count_distinct drops NULL ids, whose routed
+    copies would then inflate the ratio and bias auto toward replicate
+    on NULL-bearing corpora (r10 review finding). Memoized with the
+    same lineage keys as the other construction-time probes
+    (skew.plan_memo_key); only needs the coarse BROADCAST, so a
+    replicate fallback never pays the chunk-map persist."""
     from dataframe_kotlin_spark.operators.skew import plan_memo_key
 
     key = plan_memo_key(df, vec_col, id_col, n_chunks, int(nprobe))
@@ -1101,22 +1193,21 @@ def _routing_fanout(
     if full_key is not None and full_key in _ROUTING_FANOUT_CACHE:
         return _ROUTING_FANOUT_CACHE[full_key]
     try:
-        bc, _ = _coarse_layer(centroids_df, cell_col, cvec_col, n_chunks, k)
+        layer = _coarse_layer(centroids_df, cell_col, cvec_col, n_chunks, k)
         sample = df.select(
             F.col(id_col).alias(id_col),
             as_double(F.col(vec_col)).alias("__v__"),
             F.lit(0).alias("__salt__"),
         ).limit(2048)
+        n_rows = sample.count()
+        if n_rows == 0:
+            return None  # nothing to probe; not a cacheable geometry fact
         id_field = df.schema[id_col]
-        routed = _route_to_chunks(sample, id_field, nprobe, bc)
-        stats = routed.agg(
-            F.count(F.lit(1)).alias("n_routed"),
-            F.count_distinct(F.col(id_col)).alias("n_rows"),
-        ).first()
-        n_rows = int(stats["n_rows"] or 0)
-        fanout = float(stats["n_routed"]) / n_rows if n_rows else None
+        routed = _route_to_chunks(sample, id_field, nprobe, layer["bc"])
+        n_routed = routed.count()
+        fanout = float(n_routed) / n_rows
     except Exception:
-        fanout = None
+        return None  # transient failure: retry on the next build
     if full_key is not None:
         if len(_ROUTING_FANOUT_CACHE) > 256:
             _ROUTING_FANOUT_CACHE.clear()

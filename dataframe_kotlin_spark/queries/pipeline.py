@@ -2201,6 +2201,62 @@ def semdedup_scaled(spark, sf_dir):
     )
 
 
+
+def _cell_disagreement_audit(dis, emb, cents, col_a, col_b):
+    """1-row frame (n_real_disagree) for the frame-assignment posture
+    queries: expression-fold audit of DISAGREEING rows only — both
+    claimed cells' squared distances recomputed as the zip_with fold,
+    and a disagreement counts as REAL only when the gap exceeds 1e-9
+    relative (otherwise it is the documented cross-path last-ulp tie).
+    The joins touch only the disagreeing rows (expected zero), so the
+    audit is free at any scale. Shared by ivf_assign_frame_scaled and
+    ivf_assign_routed_chunks (r10 review finding: the block had
+    diverged-by-copy potential)."""
+
+    def _d2(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    ca = cents.select(F.col("cell").alias(col_a), F.col("centroid").alias("__ca__"))
+    cb = cents.select(F.col("cell").alias(col_b), F.col("centroid").alias("__cb__"))
+    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__v__"))
+    audit = (
+        dis.join(vec, "vec_id")
+        .join(ca, col_a)
+        .join(cb, col_b)
+        .select(_d2(F.col("__v__"), F.col("__ca__")).alias("__da__"),
+                _d2(F.col("__v__"), F.col("__cb__")).alias("__db__"))
+    )
+    return audit.agg(
+        F.sum(
+            F.when(
+                F.abs(F.col("__da__") - F.col("__db__"))
+                > 1e-9 * (F.lit(1.0) + F.least("__da__", "__db__")),
+                1,
+            ).otherwise(0)
+        ).alias("n_real_disagree")
+    )
+
+
+def _cell_partition_audit(amap, col, k_cells):
+    """1-row frame (n_asg, n_ids, n_bad_cell): every vector got exactly
+    one cell in [0, k) — the partition_ok evidence, shared by the two
+    frame-assignment posture queries."""
+    return amap.agg(
+        F.count(F.lit(1)).alias("n_asg"),
+        F.count_distinct("vec_id").alias("n_ids"),
+        F.sum(
+            F.when(
+                F.col(col).isNull() | (F.col(col) < 0) | (F.col(col) >= k_cells),
+                1,
+            ).otherwise(0)
+        ).alias("n_bad_cell"),
+    )
+
+
 @query(
     "ivf_assign_frame_scaled",
     oracle="""
@@ -2263,45 +2319,8 @@ def ivf_assign_frame_scaled(spark, sf_dir):
     )
     both = amap.join(tag_l, "vec_id")
     dis = both.filter(F.col("cell_f") != F.col("cell_l"))
-
-    def _d2(v, c):
-        return F.aggregate(
-            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    ca = cents.select(F.col("cell").alias("cell_f"), F.col("centroid").alias("__ca__"))
-    cb = cents.select(F.col("cell").alias("cell_l"), F.col("centroid").alias("__cb__"))
-    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__v__"))
-    audit = (
-        dis.join(vec, "vec_id")
-        .join(ca, "cell_f")
-        .join(cb, "cell_l")
-        .select(_d2(F.col("__v__"), F.col("__ca__")).alias("__da__"),
-                _d2(F.col("__v__"), F.col("__cb__")).alias("__db__"))
-    )
-    a_real = audit.agg(
-        F.sum(
-            F.when(
-                F.abs(F.col("__da__") - F.col("__db__"))
-                > 1e-9 * (F.lit(1.0) + F.least("__da__", "__db__")),
-                1,
-            ).otherwise(0)
-        ).alias("n_real_disagree")
-    )
-    a_part = amap.agg(
-        F.count(F.lit(1)).alias("n_asg"),
-        F.count_distinct("vec_id").alias("n_ids"),
-        F.sum(
-            F.when(
-                F.col("cell_f").isNull()
-                | (F.col("cell_f") < 0)
-                | (F.col("cell_f") >= k_cells),
-                1,
-            ).otherwise(0)
-        ).alias("n_bad_cell"),
-    )
+    a_real = _cell_disagreement_audit(dis, emb, cents, "cell_f", "cell_l")
+    a_part = _cell_partition_audit(amap, "cell_f", k_cells)
     a_model = cents.agg(
         F.count(F.lit(1)).alias("n_cells"),
         F.min(F.size("centroid")).alias("dim_lo"),
@@ -2404,45 +2423,8 @@ def ivf_assign_routed_chunks(spark, sf_dir):
     )
     both = routed.join(rep, "vec_id")
     dis = both.filter(F.col("cell_r") != F.col("cell_p"))
-
-    def _d2(v, c):
-        return F.aggregate(
-            F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    ca = cents.select(F.col("cell").alias("cell_r"), F.col("centroid").alias("__ca__"))
-    cb = cents.select(F.col("cell").alias("cell_p"), F.col("centroid").alias("__cb__"))
-    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__v__"))
-    a_real = (
-        dis.join(vec, "vec_id")
-        .join(ca, "cell_r")
-        .join(cb, "cell_p")
-        .select(_d2(F.col("__v__"), F.col("__ca__")).alias("__da__"),
-                _d2(F.col("__v__"), F.col("__cb__")).alias("__db__"))
-        .agg(
-            F.sum(
-                F.when(
-                    F.abs(F.col("__da__") - F.col("__db__"))
-                    > 1e-9 * (F.lit(1.0) + F.least("__da__", "__db__")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_real_disagree")
-        )
-    )
-    a_part = routed.agg(
-        F.count(F.lit(1)).alias("n_asg"),
-        F.count_distinct("vec_id").alias("n_ids"),
-        F.sum(
-            F.when(
-                F.col("cell_r").isNull()
-                | (F.col("cell_r") < 0)
-                | (F.col("cell_r") >= k_cells),
-                1,
-            ).otherwise(0)
-        ).alias("n_bad_cell"),
-    )
+    a_real = _cell_disagreement_audit(dis, emb, cents, "cell_r", "cell_p")
+    a_part = _cell_partition_audit(routed, "cell_r", k_cells)
     return (
         a_part.crossJoin(a_real)
         .select(

@@ -514,3 +514,47 @@ def test_auto_route_keeps_coarse_on_clustered_data(spark):
     }
     got = {r["vec_id"]: r["cell"] for r in amap.collect()}
     assert got == rep
+
+
+def test_oversize_coarse_cell_splits_across_chunks(spark):
+    """A coarse cell that attracts most of the model must not land
+    whole in one chunk (r10 review finding: the chunk_bytes task-memory
+    contract is why chunks exist) — it splits into hash sub-slots
+    spread across chunks, and routing fans to all of them so the
+    assignment stays exact."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    blob = [(rng.randn(8) * 1e-3).tolist() for _ in range(32)]  # one tight blob
+    f = _as_frame(spark, blob)
+    layer = sim._coarse_layer(f, "cell", "centroid", 8, 32)
+    cmap = sim._coarse_chunk_map(layer)
+    rows = cmap.collect()
+    # every fine cell mapped exactly once
+    assert sorted(r["__cell__"] for r in rows) == list(range(32))
+    per_chunk: dict = {}
+    for r in rows:
+        per_chunk[r["__g__"]] = per_chunk.get(r["__g__"], 0) + 1
+    cap = -(-32 // 8)
+    # hash sub-slotting is approximate; 2x the target cap is the bound
+    assert max(per_chunk.values()) <= 2 * cap, per_chunk
+    assert len(per_chunk) >= 4  # the blob actually spread out
+    # exactness: routed assignment == replicate on data near the blob
+    df = spark.createDataFrame(
+        [(i, (rng.randn(8) * 1e-3).tolist()) for i in range(64)],
+        "vec_id int, embedding array<double>",
+    )
+    kw = dict(chunk_bytes=sim.centroid_model_bytes(4, 8), salt_parts=2)
+    rep = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_frame_map(
+            df, f, "embedding", "vec_id", "cell", route="replicate", **kw
+        ).collect()
+    }
+    routed = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_frame_map(
+            df, f, "embedding", "vec_id", "cell", route="coarse", **kw
+        ).collect()
+    }
+    assert routed == rep

@@ -30,7 +30,6 @@ def main():
 
     from dataframe_kotlin_spark.session import get_spark
 
-    sys.path.insert(0, root)  # __spark_entry__ lives at the tree root
     import __spark_entry__ as m
 
     spark = get_spark("ab-probe")

@@ -597,9 +597,10 @@ def main():
             .count()
         )
         out["centroid_frame_routed_clustered"] = t_cl_warm
+        fanout_s = "n/a" if fanout is None else f"{fanout:.2f}"
         print(
             f"centroid_frame_routed_clustered (200k x 64, 400 centers, 8 "
-            f"chunks): fanout={fanout:.2f} chunks/row; routed "
+            f"chunks): fanout={fanout_s} chunks/row; routed "
             f"{t_cl_cold:.2f}s cold / {t_cl_warm:.2f}s warm vs replicate "
             f"{t_cl_rep:.2f}s; disagreements={cldiff} "
             f"(loadavg_end={round(os.getloadavg()[0], 2)})"
