@@ -558,3 +558,15 @@ def test_oversize_coarse_cell_splits_across_chunks(spark):
         ).collect()
     }
     assert routed == rep
+
+
+def test_kmeanspp_frame_quality_parity_with_list(spark, emb):
+    """The frame-resident reduction (top-weight seeding + weighted Lloyd
+    over the candidate frame) must not trade quality for its no-collect
+    property: on the fixture it actually BEATS the list path's weighted
+    farthest-point sweep (497.9 vs 739.1 at k=16 — both deterministic),
+    so pin frame <= list with no slack."""
+    k = 16
+    lst = sim.kmeanspp_init_centroids(emb, k=k)
+    frm = sim.kmeanspp_init_centroids_frame(emb, k=k)
+    assert _inertia(emb, frm) <= _inertia(emb, _as_frame(spark, lst))
