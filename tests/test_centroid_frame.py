@@ -570,3 +570,62 @@ def test_kmeanspp_frame_quality_parity_with_list(spark, emb):
     lst = sim.kmeanspp_init_centroids(emb, k=k)
     frm = sim.kmeanspp_init_centroids_frame(emb, k=k)
     assert _inertia(emb, frm) <= _inertia(emb, _as_frame(spark, lst))
+
+
+# ---- r10: hypothesis property — routing exactness under adversarial
+# geometries (integer grids force exact distance ties; duplicate
+# centroids, zero vectors, tiny chunk budgets all reachable) ----------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@given(
+    data=st.data(),
+    dim=st.integers(2, 3),
+    k=st.integers(3, 8),
+    n=st.integers(4, 16),
+    n_sub=st.integers(2, 4),
+    nprobe=st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_routed_matches_replicate_property(spark, data, dim, k, n, n_sub, nprobe):
+    """For ANY small integer-grid model/corpus (ties abundant), the
+    coarse-routed chunked layout must agree with replicate on BOTH the
+    argmin map and the top-nprobe probe map — the triangle-inequality
+    pruning is exact, including tie cases."""
+    grid = st.integers(-2, 2)
+    cents = [
+        [float(data.draw(grid)) for _ in range(dim)] for _ in range(k)
+    ]
+    rows = [
+        (i, [float(data.draw(grid)) for _ in range(dim)]) for i in range(n)
+    ]
+    f = _as_frame(spark, cents)
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    chunk = sim.centroid_model_bytes(max(1, k // n_sub), dim)
+    kw = dict(chunk_bytes=chunk, salt_parts=2)
+    rep = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_frame_map(
+            df, f, "embedding", "vec_id", "cell", route="replicate", **kw
+        ).collect()
+    }
+    routed = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_frame_map(
+            df, f, "embedding", "vec_id", "cell", route="coarse", **kw
+        ).collect()
+    }
+    assert routed == rep
+    pkey = lambda rows: sorted((r["vec_id"], r["c"]) for r in rows)
+    prep = pkey(
+        sim._probe_frame_map(
+            df, f, "embedding", "vec_id", nprobe, "c", route="replicate", **kw
+        ).collect()
+    )
+    prouted = pkey(
+        sim._probe_frame_map(
+            df, f, "embedding", "vec_id", nprobe, "c", route="coarse", **kw
+        ).collect()
+    )
+    assert prouted == prep
