@@ -541,15 +541,66 @@ def jaccard_pairs_prefix(
     # keyed on the join key BEFORE the fan-out and keyed on the full
     # pair BEFORE the distinct both survive, and the (id_a, id_b)
     # partitioning satisfies the distinct exactly (no extra exchange).
-    prefix = ranked.filter(F.col("__pos__") <= L).select("__id__", "__tok__")
+    prefix = ranked.filter(F.col("__pos__") <= L).select(
+        "__id__", "__tok__", "__pos__", "__n__"
+    )
     prefix = prefix.repartition(nparts, "__tok__")
+    # Length + positional filters (PPJoin, Xiao et al. WWW'08) — both
+    # EXACT, both applied before the verify join fetches token sets:
+    # J >= t needs overlap o >= alpha = ceil(t/(1+t) * (n_a+n_b)), and
+    #   - length: o <= min(n_a, n_b), so min >= t*max or the pair is
+    #     impossible;
+    #   - positional, per colliding prefix token at (global-order)
+    #     positions (pa, pb): common tokens strictly before it number
+    #     <= min(pa,pb)-1 (each must precede BOTH positions in the one
+    #     shared order), plus this token, plus at most
+    #     min(n_a-pa, n_b-pb) after it — so
+    #     o <= ub = min(pa,pb) + min(n_a-pa, n_b-pb). The pair-level
+    #     bound is the MIN of ub over its collision rows, folded by the
+    #     same (id_a, id_b) aggregation that already deduplicated
+    #     multi-token collisions (groupBy replaces the old distinct —
+    #     identical exchange, strictly fewer verify pairs). Template-
+    #     heavy corpora are exactly where this bites: boilerplate
+    #     tokens collide at LATE prefix positions with short suffixes,
+    #     and the bound proves the overlap can't reach alpha.
+    # Both alpha and the length bound get the same epsilon nudge as L
+    # (down-nudge before ceil / compare: a too-SMALL alpha only keeps
+    # extra candidates — the recall-safe direction).
+    frac = threshold / (1.0 + threshold)
+    a_side = prefix.select(
+        F.col("__id__").alias("id_a"),
+        "__tok__",
+        F.col("__pos__").alias("__pa__"),
+        F.col("__n__").alias("__na__"),
+    )
+    b_side = prefix.select(
+        F.col("__id__").alias("id_b"),
+        "__tok__",
+        F.col("__pos__").alias("__pb__"),
+        F.col("__n__").alias("__nb__"),
+    )
+    ub = F.least(F.col("__pa__"), F.col("__pb__")) + F.least(
+        F.col("__na__") - F.col("__pa__"), F.col("__nb__") - F.col("__pb__")
+    )
+    alpha = F.ceil(
+        (F.col("__na__") + F.col("__nb__")) * F.lit(frac) - F.lit(1e-9)
+    )
     cand = (
-        prefix.select(F.col("__id__").alias("id_a"), "__tok__")
-        .join(prefix.select(F.col("__id__").alias("id_b"), "__tok__"), "__tok__")
+        a_side.join(b_side, "__tok__")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(
+            F.least(F.col("__na__"), F.col("__nb__"))
+            >= F.greatest(F.col("__na__"), F.col("__nb__")) * F.lit(threshold)
+            - F.lit(1e-9)
+        )
+        .select("id_a", "id_b", ub.alias("__ub__"), alpha.alias("__alpha__"))
         .repartition(nparts, "id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("__ub__").alias("__ubm__"), F.first("__alpha__").alias("__al__")
+        )
+        .filter(F.col("__ubm__") >= F.col("__al__"))
+        .select("id_a", "id_b")
     )
     sets = base.select("__id__", "__t__")
     inter = F.size(F.array_intersect(F.col("__ta__"), F.col("__tb__")))

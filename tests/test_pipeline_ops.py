@@ -1062,3 +1062,37 @@ def test_dedup_then_jaccard_composes(spark):
         assert r["id_a"] in kept_ids and r["id_b"] in kept_ids
         assert norm[r["id_a"]] != norm[r["id_b"]]  # exact copies never survive
         assert r["jaccard"] >= 0.9
+
+
+def test_jaccard_prefix_randomized_recall_with_ppjoin_filters(spark):
+    """Randomized corpus vs brute force at two thresholds: the r10
+    length + positional (PPJoin) candidate filters must stay EXACT —
+    full recall, identical pair sets and values — across many sizes,
+    overlap structures, and at-threshold boundaries."""
+    import itertools
+    import random
+
+    from dataframe_kotlin_spark.operators.dedup import jaccard_pairs_prefix
+
+    rng = random.Random(11)
+    vocab = ["w%02d" % i for i in range(40)]
+    docs = []
+    for i in range(36):
+        n = rng.randint(2, 14)
+        docs.append((i, " ".join(rng.sample(vocab, n))))
+    # seed exact duplicates and near-boundary pairs deliberately
+    docs.append((100, docs[0][1]))
+    docs.append((101, docs[1][1] + " extraone"))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    sets = {i: set(t.split()) for i, t in docs}
+    for t in (0.5, 0.75):
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in jaccard_pairs_prefix(df, "doc_id", "text", threshold=t).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= t:
+                want[(a, b)] = round(j, 9)
+        assert got == want, (t, set(want) ^ set(got))
