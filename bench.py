@@ -15,10 +15,11 @@ flattered map-heavy workloads through round 5.
 
 Round-over-round comparison protocol: compare runs at SIMILAR
 loadavg_start only. NOTE r9 added dedup_then_jaccard AND
-semdedup_scaled to the headline set, and r10 added
-ivf_assign_frame_scaled AND ivf_assign_routed_chunks, so the TOTAL
-jumps across those boundaries by construction — compare per-query
-values across a set-change boundary, not totals. Pre-existing machine load inflates wall times ~10%
+semdedup_scaled to the headline set, r10 added
+ivf_assign_frame_scaled AND ivf_assign_routed_chunks, and r11 added
+ann_ivf_routed_topk, so the TOTAL jumps across those boundaries by
+construction — compare per-query values across a set-change boundary,
+not totals. Pre-existing machine load inflates wall times ~10%
 with unchanged plans (the r5 driver record ran at loadavg 2.5 and read
 +12% vs the idle judge re-run of the same commit) — before chasing a
 regression, check this artifact's loadavg_start against the prior
@@ -79,6 +80,10 @@ def main():
         # makes warm reps measure the steady-state plan.
         "ivf_assign_frame_scaled",
         "ivf_assign_routed_chunks",
+        # r11 (VERDICT r10 item 2): the routed SEARCH posture — full
+        # ivf_topk_frame through a coarse-routed multi-chunk model,
+        # rank-audited against the replicate layout in-query
+        "ann_ivf_routed_topk",
     ]
 
     # Warm the JVM so per-query times measure the plan, not startup: run
@@ -123,9 +128,15 @@ def main():
     def _force(df):
         df.write.format("noop").mode("overwrite").save()
 
+    def _load():
+        try:
+            return round(os.getloadavg()[0], 2)
+        except OSError:
+            return None
+
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     timings: dict[str, float] = {}
-    rep_times: dict[str, list[float]] = {}
+    rep_times: dict[str, list] = {}
     for name in headline:
         fn = qs[name]
         _force(fn(spark, sf_dir))  # warmup rep, discarded
@@ -133,10 +144,14 @@ def main():
         for _ in range(reps):
             t0 = time.time()
             _force(fn(spark, sf_dir))
-            times.append(time.time() - t0)
-        rep_times[name] = [round(t, 3) for t in times]
-        times.sort()
-        timings[name] = round(times[len(times) // 2], 3)
+            # (sec, 1-min loadavg at rep end) pairs — VERDICT r10
+            # item 6: three rounds spent real effort proving ambient
+            # variance after the fact; per-rep load context makes a
+            # noisy rep self-evident inside the artifact
+            times.append((time.time() - t0, _load()))
+        rep_times[name] = [[round(t, 3), la] for t, la in times]
+        secs = sorted(t for t, _ in times)
+        timings[name] = round(secs[len(secs) // 2], 3)
 
     # BASELINE workload 1: the reference's only concrete perf harness —
     # filter over 1,000,000 rows x 50 Int columns, predicate
@@ -157,10 +172,10 @@ def main():
     for _ in range(11):
         t0 = time.time()
         assert micro.filter(F.abs(F.col("c2") + F.col("c5")) < 0).count() == 0
-        mtimes.append(time.time() - t0)
-    rep_times["filter_1m50_micro"] = [round(t, 3) for t in mtimes]
-    mtimes.sort()
-    timings["filter_1m50_micro"] = round(mtimes[len(mtimes) // 2], 3)
+        mtimes.append((time.time() - t0, _load()))
+    rep_times["filter_1m50_micro"] = [[round(t, 3), la] for t, la in mtimes]
+    msecs = sorted(t for t, _ in mtimes)
+    timings["filter_1m50_micro"] = round(msecs[len(msecs) // 2], 3)
     micro.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -171,10 +186,11 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                # raw per-rep wall times in run order (pre-sort): a
-                # loaded machine shows as min << median spread, so a
+                # raw per-rep [wall_sec, loadavg_1min] pairs in run
+                # order (pre-sort): a loaded machine shows as min <<
+                # median spread AND as elevated per-rep load, so a
                 # noisy BENCH record is self-evident instead of reading
-                # as a plan regression
+                # as a plan regression (r11: pairs, was bare seconds)
                 "reps": rep_times,
                 # 1-min loadavg at start / end (this process contributes
                 # ~32 runnable threads while benching, so only

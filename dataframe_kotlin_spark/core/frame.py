@@ -796,21 +796,27 @@ class KDataFrame:
         api/sort.kt:42-50)."""
         return self._wrap(self.df.orderBy(*[F.col(k).desc_nulls_last() for k in keys]))
 
-    def sort_with(self, cmp, limit: int = 100_000) -> "KDataFrame":
+    def sort_with(self, cmp, limit: int | None = None) -> "KDataFrame":
         """sortWith(comparator) — reference api/sort.kt:35-40.
 
         An opaque pairwise comparator CANNOT distribute (no key to range-
         partition on; Spark would need the comparator JVM-side), so this
         is by contract a DRIVER-SIDE op for bounded frames: collect, sort
-        with ``functools.cmp_to_key``, rebuild. ``limit`` is a hard cap —
-        the collect refuses beyond it rather than silently OOMing the
-        driver; for large data express the ordering as computed sort
-        keys (`add` + `sort_by`), which is the distributable form of
-        every total order a comparator can encode. cmp(row_a, row_b) ->
-        negative/zero/positive over pyspark Rows.
+        with ``functools.cmp_to_key``, rebuild. ``limit`` (default:
+        ``session.SORT_WITH_DRIVER_CAP``, documented with the session's
+        driver-memory sizing) is a hard cap — the collect refuses beyond
+        it rather than silently OOMing the driver; for large data
+        express the ordering as computed sort keys (`add` + `sort_by`),
+        which is the distributable form of every total order a
+        comparator can encode. cmp(row_a, row_b) -> negative/zero/
+        positive over pyspark Rows.
         """
         from functools import cmp_to_key
 
+        from dataframe_kotlin_spark.session import SORT_WITH_DRIVER_CAP
+
+        if limit is None:
+            limit = SORT_WITH_DRIVER_CAP
         rows = self.df.limit(limit + 1).collect()
         if len(rows) > limit:
             raise ValueError(
@@ -844,6 +850,14 @@ class KDataFrame:
           dims (the planner's AQE can also decide this from stats).
         """
         right = other.df if isinstance(other, KDataFrame) else other
+        if how == "cross":
+            raise ValueError(
+                "how='cross' is not a keyed join: use zip_frames for the "
+                "reference's positional add(otherDf) concat, or "
+                "df.crossJoin(...) on the raw frames if you really mean "
+                "the cartesian product (it is quadratic — broadcast-gate "
+                "or bound one side first)"
+            )
         if how not in _JOIN_TYPES:
             raise ValueError(
                 "how must be one of the join aliases "

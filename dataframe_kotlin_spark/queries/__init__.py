@@ -38,40 +38,38 @@ def query(name: str, oracle: str | None = None):
 # through joins, grouping, pivot/reshape, window analytics, TPC-H shapes,
 # dedup/similarity/text pipeline — instead of exhausting the budget on one
 # module's block.
-# Round-9 rotation (VERDICT r8 item 5): oldest-first. The 50-slot
-# window = the round's TWO new queries (the executor-resident centroid
-# postures — new code ships with first-round driver evidence), then ALL
-# 30 names whose latest green row is r5 (leading with the two the r9
-# litrender rewrite could touch via null/value rendering), then 18 of
-# the 38 r6 names — again rendering-adjacent first (pivot_null_bucket,
-# merge_null_render, transpose_stats, describe_numeric all stringify
-# values). After the r9 gate runs, no name's latest green row is older
-# than r6.
+# Round-11 rotation (VERDICT r10 item 5): oldest-first. The 50-slot
+# window = ALL 21 names whose latest green row is r7, then the round's
+# one new registration (the routed SEARCH posture — placed AFTER the
+# r7 block so 21 cheaper queries absorb the sweep session's cold-start
+# before the similarity-heavy new query runs), then 28 of the 50 r8
+# names, new-code-adjacent first — this round touched the similarity
+# trainer/seed paths, the two-pass row number (core.frame), and the
+# persist registries (cachereg: the jaccard-prefix base, the
+# query-result pins, the coarse maps). After the r11 gate runs, no
+# name's latest green row is older than r8.
 _PRIORITY = [
-    # round-10 new registration: the chunked-model coarse-routed posture
-    "ivf_assign_routed_chunks",
-    # oldest-green rotation (VERDICT r9 item 6): the 20 names whose
-    # latest green row is round 6
-    "digitize_bins", "grouping_sets_qty", "hll_rollup_customers",
-    "join_left_nulls", "median_quantity", "merge_upsert_customers",
-    "mode_per_segment", "ntile_quartiles", "outer_join_nations",
-    "quantiles_price", "rollup_region_nation", "select_project",
-    "semi_join_customers", "split_generated_names", "stats_summary",
-    "stddev_variance", "string_funcs", "top_k_orders",
-    "union_missing_cols", "union_widen",
-    # window fill: 29 of the 50 r7 names, new-code-adjacent first —
-    # this round touched the similarity frame paths, the dedup persist
-    # registry, the join-type alias table, and litrender's JVM gate
-    "ann_ivf_scaled", "ann_bruteforce_topk", "semdedup_survivors",
-    "jaccard_pairs", "simhash_hamming_pairs", "simhash_values",
-    "minhash_signatures", "dedup_exact", "curate_corpus",
-    "heavy_hitter_terms", "count_min_term_counts", "language_id",
-    "pii_redaction", "dsir_log_weights", "decontamination_hits",
-    "join_part_supplier_stats", "except_keys", "intersect_keys",
-    "distinct_suppliers_brand", "q3_shipping_priority",
-    "q5_local_supplier", "q2_min_cost_supplier", "q7_nation_volume",
-    "q9_profit_nation_year", "pivot_counts", "pivot_sum_segments",
-    "gather_melt", "q1_pricing_summary", "filter_predicates",
+    # oldest-green rotation: the 21 names whose latest green row is r7
+    "cohort_retention", "decimal_exact_ledger", "diff_lag",
+    "explode_embeddings", "flatten_nested", "funnel_conversion",
+    "moving_average", "q4_priority_exists", "q6_revenue_band",
+    "q8_market_share", "q10_returned_items", "q11_important_value",
+    "q12_late_priority", "q13_order_distribution", "q14_type_share",
+    "q18_large_orders", "sessionize", "sliding_window",
+    "split_into_rows", "struct_roundtrip", "tumbling_window",
+    # round-11 new registration: the routed SEARCH posture
+    "ann_ivf_routed_topk",
+    # window fill: 28 of the 50 r8 names, new-code-adjacent first
+    "ann_ivf_topk", "ann_ivf_trained", "kmeans_det_assignments",
+    "semdedup_scaled", "neardup_embedding", "simhash_hamming_scaled",
+    "jaccard_prefix_pairs", "dedup_then_jaccard",
+    "fuzzy_pairs_editdist", "dedup_clusters", "chunked_groups",
+    "running_total_scan", "training_mix_report", "bloom_prefilter_join",
+    "psi_drift_priority", "pagerank_parts", "bm25_topk",
+    "tfidf_top_terms", "doc_fingerprints", "pivot_matches",
+    "pivot_multi_agg", "move_restructure", "q15_top_supplier",
+    "q16_supplier_relation", "q17_small_quantity", "q19_brand_bands",
+    "q20_promotion_suppliers", "q21_waiting_supplier",
 ]
 
 

@@ -952,6 +952,114 @@ def ann_ivf_frame_topk(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_routed_topk",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 100 = 0) AS BIGINT)
+             AS n_queries,
+           TRUE AS route_plan_ok, TRUE AS topk_complete, TRUE AS ranks_agree
+    """,
+)
+def ann_ivf_routed_topk(spark, sf_dir):
+    """The routed SEARCH posture, driver-gated (VERDICT r10 item 2:
+    ivf_topk_frame on a coarse-routed chunked model was rank-identity
+    TESTED but had no registered query — the same tracking-gap class
+    r9/r10 closed for dedup and assign). This forces a multi-chunk
+    model (2-cell chunks), runs the FULL search — corpus assignment,
+    probe selection, per-cell cogroup BLAS scoring, global ranking —
+    through ``route='coarse'``, and verifies the posture end to end
+    with the boolean-contract oracle shape:
+
+    - route_plan_ok — the routed search plan carries NO data-side
+      ``explode(sequence(0, G-1))`` (the replicate layout's G-fold
+      signature; anchored on the ``__g__`` output column so the
+      model-side salt explodes can't false-match — the
+      ivf_assign_routed_chunks discipline);
+    - topk_complete — every probe query got exactly k=10 ranked rows
+      from BOTH layouts;
+    - ranks_agree — routed (query, rank) -> neighbor matches the
+      replicate layout's, with the ulp-audit discipline: the two
+      layouts cogroup different row batches through the same float64
+      BLAS, so a razor-edge tie may flip a rank; a disagreement counts
+      as REAL only when the two neighbors' cosine similarities differ
+      by more than 1e-9 (cosines live in [-1, 1], so absolute epsilon
+      IS the relative discipline here). The audit is a
+      (queries x k)-row join — model-parameter sized at any corpus.
+
+    Same iters=0 / small-k evidence sizing as ivf_assign_routed_chunks
+    (VERDICT r10 item 4): routing exactness must hold for ANY centroid
+    frame, and the k-proportional-to-N posture is already gated by
+    ivf_assign_frame_scaled."""
+    import re
+
+    from dataframe_kotlin_spark.operators import similarity as sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_cells = max(8, n // 400)
+    cents = sim.train_ivf_centroids_frame(emb, "embedding", "vec_id", k=k_cells, iters=0)
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    chunk = sim.centroid_model_bytes(2, int(dim_row["d"]))
+    n_chunks = max(1, -(-sim.centroid_model_bytes(k_cells, int(dim_row["d"])) // chunk))
+    queries_df = emb.filter(F.col("vec_id") % 100 == 0)
+    from pyspark import StorageLevel
+
+    routed = cachereg.QUERY_RESULTS.retain(
+        sim.ivf_topk_frame(
+            emb, queries_df, cents, k=10, nprobe=2,
+            chunk_bytes=chunk, route="coarse",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    plan = routed._jdf.queryExecution().toString()
+    gfold = re.search(
+        rf"Generate explode\(sequence\(0, {n_chunks - 1},[^\n]*\[__g__#", plan
+    )
+    route_plan_ok = gfold is None and "MapInPandas" in plan
+    rep = sim.ivf_topk_frame(
+        emb, queries_df, cents, k=10, nprobe=2,
+        chunk_bytes=chunk, route="replicate",
+    )
+    a = routed.select(
+        "query_id", "rank",
+        F.col("neighbor_id").alias("__na__"), F.col("cosine_sim").alias("__ca__"),
+    )
+    b = rep.select(
+        "query_id", "rank",
+        F.col("neighbor_id").alias("__nb__"), F.col("cosine_sim").alias("__cb__"),
+    )
+    j = a.join(b, ["query_id", "rank"], "full")
+    # a neighbor mismatch is REAL only when the cosine gap exceeds the
+    # ulp budget (or a similarity is missing on one side)
+    gap_real = F.when(
+        F.col("__ca__").isNull() | F.col("__cb__").isNull(), F.lit(True)
+    ).otherwise(F.abs(F.col("__ca__") - F.col("__cb__")) > 1e-9)
+    stats = j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("__na__").isNull() | F.col("__nb__").isNull(), 1).otherwise(0)
+        ).alias("n_miss"),
+        F.sum(
+            F.when((F.col("__na__") != F.col("__nb__")) & gap_real, 1).otherwise(0)
+        ).alias("n_real"),
+    )
+    qids = queries_df.select(F.col("vec_id").alias("query_id"))
+    per = qids.join(stats, "query_id", "left")
+    agg = per.agg(
+        F.count(F.lit(1)).alias("__nq__"),
+        F.sum(
+            F.when(F.coalesce(F.col("n_rows"), F.lit(0)) == 10, 0).otherwise(1)
+        ).alias("__badq__"),
+        F.sum(F.coalesce(F.col("n_miss"), F.lit(1))).alias("__miss__"),
+        F.sum(F.coalesce(F.col("n_real"), F.lit(0))).alias("__real__"),
+    )
+    return agg.select(
+        F.col("__nq__").cast("bigint").alias("n_queries"),
+        F.lit(bool(route_plan_ok)).alias("route_plan_ok"),
+        (F.col("__badq__") == 0).alias("topk_complete"),
+        ((F.col("__miss__") == 0) & (F.col("__real__") == 0)).alias("ranks_agree"),
+    )
+
+
+@query(
     "term_frequency_topk",
     oracle="""
     WITH tok AS (

@@ -23,6 +23,16 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
 
+#: KDataFrame.sort_with's default driver-side row cap. An opaque
+#: pairwise comparator cannot distribute (no key to range-partition
+#: on), so sort_with collects — this bounds that collect. 100k rows of
+#: a typical wide row is tens of MB against the 8g default driver heap;
+#: raise it per call (sort_with(cmp, limit=...)) only with driver
+#: memory to match, or express the order as computed sort keys
+#: (add + sort_by), the distributable form of every total order a
+#: comparator can encode.
+SORT_WITH_DRIVER_CAP = 100_000
+
 
 def get_spark(app_name: str = "dataframe-kotlin-spark", extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -42,6 +42,16 @@ def test_join_how_typo_fails_loudly(spark):
         a.join(b, how="innerr")
 
 
+def test_join_cross_rejected_with_pointer(spark):
+    # VERDICT r10 item 8: 'cross' is not a keyed join — the error names
+    # the two real alternatives (zip_frames / raw crossJoin) instead of
+    # listing it among the unknown-alias typos.
+    a = KDataFrame(spark.createDataFrame([(1, "x")], "k int, a string"))
+    b = KDataFrame(spark.createDataFrame([(1, "y")], "k int, b string"))
+    with pytest.raises(ValueError, match="zip_frames"):
+        a.join(b, how="cross")
+
+
 def test_interval_join_how_typo_fails_loudly(spark):
     ev = spark.createDataFrame([(1, 5)], "k int, ts int")
     iv = spark.createDataFrame([(1, 0, 10, "w")], "k int, lo int, hi int, tag string")
