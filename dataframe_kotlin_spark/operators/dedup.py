@@ -654,3 +654,201 @@ def semdedup_prune(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Duplicated-SPAN detection (r11): exact substring-level dedup signals.
+# Document-level dedup (everything above) misses the pervasive failure
+# mode of web corpora — boilerplate/template runs repeated VERBATIM
+# inside otherwise-distinct documents (the motivation for substring
+# dedup in Lee et al., "Deduplicating Training Data Makes Language
+# Models Better", ACL'22, which removes duplicate 50-token substrings).
+# A literal suffix array does not distribute; the Spark-first
+# formulation is fixed-width token windows:
+#   - duplicate_spans: every n-token window, grouped corpus-wide ->
+#     spans appearing in >= min_docs distinct documents. EXACT for
+#     width-n spans (any duplicated run of >= n tokens contains a
+#     duplicated n-window, so recall over longer runs is total).
+#   - span_dup_fraction: per-document share of its windows that are
+#     corpus-duplicated — the quality-filter signal (drop or trim docs
+#     past a threshold).
+#   - winnow_fingerprints: Schleimer et al. SIGMOD'03 winnowing — the
+#     bounded-output candidate path when exploding EVERY window is too
+#     much (selects ~2/(w+1) of windows; any shared run of
+#     >= n + w - 1 tokens still shares a selected fingerprint).
+# All three are map-only until one keyed shuffle (the span/fingerprint
+# groupBy or join); no driver collect, no all-pairs join.
+# --------------------------------------------------------------------------
+
+
+def _span_windows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id_col, __span__) — one row per n-token window, map-side.
+    Same tokenizer/window construction as the decontamination scan
+    (textpipe._ngram_windows) so span semantics match the 13-gram
+    protocol family; re-declared here to keep dedup importable without
+    textpipe."""
+    from dataframe_kotlin_spark.functions.text import bind1
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+
+    toks = tokens(F.col(text_col))
+    windows = bind1(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    )
+    return (
+        ensure_scan_parallelism(df)
+        .filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias(id_col), F.explode(windows).alias("__span__"))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    key: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated n-token spans: (span [or span_hash],
+    n_docs, n_occurrences) for spans present in >= ``min_docs``
+    DISTINCT documents.
+
+    ``key``:
+    - 'text' groups on the span string itself — exact, and the oracle
+      default (DuckDB replays the same tok/window CTE);
+    - 'hash' groups on hash64(span) — the 100 TB path: the shuffle key
+      drops from ~6x span_tokens bytes to 8, and the map-side combine
+      holds longs instead of strings. hash64 is the md5-derived 64-bit
+      key the simhash family already uses, so even this path stays
+      SQL-replayable; collisions conflate spans at ~N_windows²/2⁶⁵
+      probability — a candidate-generation contract, same class as
+      fingerprint dedup's.
+
+    One shuffle (the span-key groupBy, map-side partial aggregation);
+    the window explosion is map-side and fuses into the scan. The
+    n_docs count is count_distinct(id) INSIDE the aggregate — no
+    second shuffle."""
+    if key not in ("text", "hash"):
+        raise ValueError(f"key must be 'text' or 'hash'; got {key!r}")
+    win = _span_windows(df, id_col, text_col, span_tokens)
+    kcol = (
+        F.col("__span__").alias("span")
+        if key == "text"
+        else hash64(F.col("__span__")).alias("span_hash")
+    )
+    kname = "span" if key == "text" else "span_hash"
+    return (
+        win.select(kcol, id_col)
+        .groupBy(kname)
+        .agg(
+            F.count_distinct(id_col).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def span_dup_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    key: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span share: (id_col, n_windows, n_dup,
+    dup_fraction) — the fraction of the document's n-token windows that
+    appear in >= ``min_docs`` distinct documents corpus-wide. The
+    standard boilerplate-contamination quality signal: filter or
+    down-weight documents whose duplicated share crosses a threshold.
+
+    Scale shape — the window relation (corpus x doc-length rows, the
+    expensive tokenize/slice/concat construction) is built exactly ONCE
+    and flows through three keyed aggregations instead of being rebuilt
+    per consumer (the r7-dsir replay class — a naive 'join the
+    duplicate_spans vocabulary back' recomputes it three times):
+    (1) a (span, id) pre-aggregate (map-side combine on the heavier
+    key); (2) n_docs via a span-PARTITIONED window over that pre-agg
+    (count over the partition = distinct docs, since the pre-agg made
+    (span, id) unique); (3) the per-id rollup. Three shuffles of narrow
+    rows — with key='hash', 8-byte keys — always cheaper than two extra
+    passes of window construction. Documents shorter than span_tokens
+    have no windows and are omitted (callers treat missing as 0)."""
+    if key not in ("text", "hash"):
+        raise ValueError(f"key must be 'text' or 'hash'; got {key!r}")
+    win = _span_windows(df, id_col, text_col, span_tokens)
+    kcol = (
+        F.col("__span__") if key == "text" else hash64(F.col("__span__"))
+    ).alias("__k__")
+    wc = win.select(kcol, id_col).groupBy("__k__", id_col).agg(
+        F.count(F.lit(1)).alias("__c__")
+    )
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("__k__"))
+    tagged = wc.withColumn("__nd__", ndocs)
+    return tagged.groupBy(id_col).agg(
+        F.sum("__c__").cast("bigint").alias("n_windows"),
+        F.sum(F.when(F.col("__nd__") >= min_docs, F.col("__c__")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+    ).select(
+        id_col,
+        "n_windows",
+        "n_dup",
+        (F.col("n_dup") / F.col("n_windows")).alias("dup_fraction"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03): per document, hash every n-token window (hash64), then
+    keep the MINIMUM hash of every w consecutive windows, distinct.
+
+    Guarantee (the paper's Theorem 1 shape, value-form): any two
+    documents sharing a verbatim run of >= n + w - 1 tokens share a
+    full w-window of identical gram hashes, whose minimum is selected
+    in BOTH documents — so the shared run is always detectable from the
+    selected fingerprints alone. Density: ~2/(w+1) of all windows, the
+    knob that makes corpus-wide span candidate generation affordable
+    when exploding every window is not.
+
+    Output: (id_col, fingerprint bigint), distinct per document. Wholly
+    map-side (array expressions, no UDF, no shuffle) — downstream
+    candidate generation pays the only shuffle (fingerprint groupBy or
+    self-join with the lsh_candidate_pairs fan-out discipline)."""
+    from dataframe_kotlin_spark.functions.text import bind1
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+
+    toks = tokens(F.col(text_col))
+    grams = bind1(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: hash64(F.concat_ws(" ", F.slice(t, i, n))),
+        ),
+    )
+    mins = bind1(
+        grams,
+        lambda h: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(h) - w + 1, F.lit(1))),
+                lambda j: F.array_min(F.slice(h, j, F.least(F.lit(w), F.size(h)))),
+            )
+        ),
+    )
+    return (
+        ensure_scan_parallelism(df)
+        .filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias(id_col), F.explode(mins).alias("fingerprint"))
+        .distinct()
+    )

@@ -40,10 +40,11 @@ def query(name: str, oracle: str | None = None):
 # module's block.
 # Round-11 rotation (VERDICT r10 item 5): oldest-first. The 50-slot
 # window = ALL 21 names whose latest green row is r7, then the round's
-# one new registration (the routed SEARCH posture — placed AFTER the
-# r7 block so 21 cheaper queries absorb the sweep session's cold-start
-# before the similarity-heavy new query runs), then 28 of the 50 r8
-# names, new-code-adjacent first — this round touched the similarity
+# FOUR new registrations (the routed SEARCH posture + the
+# duplicated-span family — placed AFTER the r7 block so 21 cheaper
+# queries absorb the sweep session's cold-start before the
+# similarity-heavy new queries run), then 25 of the 50 r8 names,
+# new-code-adjacent first — this round touched the similarity
 # trainer/seed paths, the two-pass row number (core.frame), and the
 # persist registries (cachereg: the jaccard-prefix base, the
 # query-result pins, the coarse maps). After the r11 gate runs, no
@@ -57,9 +58,11 @@ _PRIORITY = [
     "q12_late_priority", "q13_order_distribution", "q14_type_share",
     "q18_large_orders", "sessionize", "sliding_window",
     "split_into_rows", "struct_roundtrip", "tumbling_window",
-    # round-11 new registration: the routed SEARCH posture
-    "ann_ivf_routed_topk",
-    # window fill: 28 of the 50 r8 names, new-code-adjacent first
+    # round-11 new registrations: the routed SEARCH posture + the
+    # duplicated-span family (exact substring-dedup signals)
+    "ann_ivf_routed_topk", "duplicate_spans_topk", "span_dup_share",
+    "winnow_fingerprint_counts",
+    # window fill: 25 of the 50 r8 names, new-code-adjacent first
     "ann_ivf_topk", "ann_ivf_trained", "kmeans_det_assignments",
     "semdedup_scaled", "neardup_embedding", "simhash_hamming_scaled",
     "jaccard_prefix_pairs", "dedup_then_jaccard",
@@ -68,8 +71,7 @@ _PRIORITY = [
     "psi_drift_priority", "pagerank_parts", "bm25_topk",
     "tfidf_top_terms", "doc_fingerprints", "pivot_matches",
     "pivot_multi_agg", "move_restructure", "q15_top_supplier",
-    "q16_supplier_relation", "q17_small_quantity", "q19_brand_bands",
-    "q20_promotion_suppliers", "q21_waiting_supplier",
+    "q16_supplier_relation", "q17_small_quantity",
 ]
 
 

@@ -2656,6 +2656,139 @@ def decontamination_hits(spark, sf_dir):
 
 
 @query(
+    "duplicate_spans_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS span
+      FROM tok WHERE len(t) >= 8
+    ),
+    g AS (
+      SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM w GROUP BY span
+    )
+    SELECT span, n_docs, n_occurrences FROM g WHERE n_docs >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT 25
+    """,
+)
+def duplicate_spans_topk(spark, sf_dir):
+    """Corpus-wide duplicated-span detection (dedup.duplicate_spans,
+    r11): every 8-token window, grouped corpus-wide, spans present in
+    >= 2 distinct documents, heaviest first — the exact substring-level
+    dedup signal document-level dedup misses (boilerplate runs repeated
+    VERBATIM inside otherwise-distinct documents; Lee et al. ACL'22's
+    motivation for substring dedup). EXACT for width-n spans: any
+    duplicated run of >= n tokens contains a duplicated n-window. One
+    shuffle (span-key groupBy with map-side combine); the window
+    explosion fuses into the scan; key='hash' (hash64) is the 100 TB
+    shuffle-key posture, key='text' here so the oracle replays the
+    grouping verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.duplicate_spans(docs, "doc_id", "text", span_tokens=8, min_docs=2)
+    return out.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), "span"
+    ).limit(25)
+
+
+@query(
+    "span_dup_share",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS span
+      FROM tok WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT span FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hit AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+      FROM w JOIN dup USING (span) GROUP BY w.doc_id
+    ),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows FROM w GROUP BY doc_id)
+    SELECT per.doc_id, per.n_windows,
+           CAST(COALESCE(hit.n_dup, 0) AS BIGINT) AS n_dup,
+           ROUND(COALESCE(hit.n_dup, 0) / per.n_windows + 1e-9, 5) AS dup_fraction
+    FROM per LEFT JOIN hit USING (doc_id)
+    """,
+)
+def span_dup_share(spark, sf_dir):
+    """Per-document duplicated-span share (dedup.span_dup_fraction,
+    r11): the fraction of each document's 8-token windows that appear
+    in >= 2 distinct documents corpus-wide — the boilerplate-
+    contamination quality signal a curation pipeline thresholds on.
+    Scale shape: the duplicated-span vocabulary joins the window
+    relation on the span key (AQE broadcasts a small vocabulary,
+    shuffles a big one), then one per-id aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.span_dup_fraction(docs, "doc_id", "text", span_tokens=8, min_docs=2)
+    return out.select(
+        "doc_id", "n_windows", "n_dup",
+        F.round(F.col("dup_fraction") + 1e-9, 5).alias("dup_fraction"),
+    )
+
+
+@query(
+    "winnow_fingerprint_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 6),
+               i -> (('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))::UBIGINT)::HUGEINT
+                    - CASE WHEN substr(md5(array_to_string(t[i:i+7], ' ')), 1, 1)
+                                IN ('8','9','a','b','c','d','e','f')
+                           THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS h
+      FROM tok WHERE len(t) >= 8
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(h) - 2, 2)),
+                                          j -> list_min(h[j:j+3]))) AS fp
+      FROM grams
+    )
+    SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fingerprints FROM fps
+    """,
+)
+def winnow_fingerprint_counts(spark, sf_dir):
+    """Winnowing fingerprint selection (dedup.winnow_fingerprints,
+    Schleimer et al. SIGMOD'03; r11): per document, hash every 8-token
+    window (hash64) and keep the minimum of every 4 consecutive window
+    hashes, distinct — the bounded-output (~2/(w+1) density) candidate
+    path for corpus-wide span dedup when exploding every window is too
+    much, with the paper's guarantee that any shared run of
+    >= n + w - 1 = 11 tokens still shares a selected fingerprint
+    (property-pinned in tests). The oracle replays the selection
+    exactly: DuckDB computes the same md5-derived 64-bit values in
+    HUGEINT with the sign reconstructed, so its list_min agrees with
+    Spark's SIGNED array_min ordering. Output is the per-doc selected
+    count (raw signed fingerprints don't render identically across the
+    engines' integer types; the count pins the selection itself)."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = dedup.winnow_fingerprints(docs, "doc_id", "text", n=8, w=4)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fingerprints")
+    )
+
+
+@query(
     "psi_drift_priority",
     oracle="""
     WITH base AS (

@@ -1096,3 +1096,93 @@ def test_jaccard_prefix_randomized_recall_with_ppjoin_filters(spark):
             if j >= t:
                 want[(a, b)] = round(j, 9)
         assert got == want, (t, set(want) ^ set(got))
+
+
+# ---- r11: duplicated-span detection + winnowing fingerprints ---------------
+
+
+def test_duplicate_spans_exact_vs_bruteforce(docs):
+    """Width-n span detection is EXACT: compare against a pure-python
+    sliding-window count over the same normalized tokens."""
+    rows = {r["doc_id"]: r["text"].lower().split() for r in docs.collect()}
+    n = 4
+    from collections import defaultdict
+
+    by_span = defaultdict(lambda: [set(), 0])
+    for d, t in rows.items():
+        for i in range(len(t) - n + 1):
+            s = " ".join(t[i : i + n])
+            by_span[s][0].add(d)
+            by_span[s][1] += 1
+    want = {
+        s: (len(ds), occ) for s, (ds, occ) in by_span.items() if len(ds) >= 2
+    }
+    got = {
+        r["span"]: (r["n_docs"], r["n_occurrences"])
+        for r in dedup.duplicate_spans(docs, span_tokens=n).collect()
+    }
+    assert got == want
+    # the hash-key path finds the same spans (keys are hash64 of them)
+    got_h = {
+        r["span_hash"]: (r["n_docs"], r["n_occurrences"])
+        for r in dedup.duplicate_spans(docs, span_tokens=n, key="hash").collect()
+    }
+    assert sorted(got_h.values()) == sorted(want.values())
+
+
+def test_span_dup_fraction_bounds_and_exact_dup(docs):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dup_fraction(docs, span_tokens=4).collect()
+    }
+    # exact duplicates 0 and 1: every window duplicated
+    assert out[0]["dup_fraction"] == 1.0 and out[1]["dup_fraction"] == 1.0
+    # all fractions in [0, 1]; window counts positive
+    for r in out.values():
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+        assert r["n_windows"] >= 1 and 0 <= r["n_dup"] <= r["n_windows"]
+    # docs 3 and 4 share the word SET but no 4-token run: no dup windows
+    assert out[3]["n_dup"] == 0 and out[4]["n_dup"] == 0
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Schleimer et al.'s guarantee, value form: two documents sharing a
+    verbatim run of >= n + w - 1 tokens MUST share a selected
+    fingerprint (n=4, w=3 -> run of 6 suffices), under any surrounding
+    junk."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = n + w - 1
+    df = spark.createDataFrame(
+        [
+            (0, f"one two three {shared} four five six"),
+            (1, f"nine eight {shared} seven"),
+            (2, "entirely unrelated words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = dedup.winnow_fingerprints(df, n=4, w=3)
+    sets = {
+        d: {r["fingerprint"] for r in fp.filter(F.col("doc_id") == d).collect()}
+        for d in (0, 1, 2)
+    }
+    assert sets[0] & sets[1], "shared 6-token run must share a fingerprint"
+    assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+
+
+def test_winnow_density_below_full_explosion(spark):
+    """Winnowing selects strictly fewer fingerprints than the full
+    window explosion (the point of the op), and every selected value IS
+    one of the document's window hashes."""
+    text = " ".join(f"tok{i % 17}" for i in range(300))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    n, w = 8, 4
+    fp = {r["fingerprint"] for r in dedup.winnow_fingerprints(df, n=n, w=w).collect()}
+    allh = {
+        r["h"]
+        for r in dedup._span_windows(df, "doc_id", "text", n)
+        .select(dedup.hash64(F.col("__span__")).alias("h"))
+        .collect()
+    }
+    assert fp <= allh
+    # density ~2/(w+1) of distinct windows; allow generous slack upward
+    assert 0 < len(fp) <= len(allh)
+    assert len(fp) < 0.9 * len(allh)
