@@ -776,8 +776,15 @@ def span_dup_fraction(
     (count over the partition = distinct docs, since the pre-agg made
     (span, id) unique); (3) the per-id rollup. Three shuffles of narrow
     rows — with key='hash', 8-byte keys — always cheaper than two extra
-    passes of window construction. Documents shorter than span_tokens
-    have no windows and are omitted (callers treat missing as 0)."""
+    passes of window construction. Skew bound: the window's partition
+    for a boilerplate span holds n_docs(span) rows — ONE narrow row per
+    document containing it, count-only frame, and WindowExec's row
+    buffer spills — so even a span in every document costs one
+    task-linear pass over doc-count rows, never over window-count rows
+    (a groupBy+join-back shape would be AQE-splittable but consumes the
+    pre-agg twice, replaying the window construction — measured as the
+    dominant cost). Documents shorter than span_tokens have no windows
+    and are omitted (callers treat missing as 0)."""
     if key not in ("text", "hash"):
         raise ValueError(f"key must be 'text' or 'hash'; got {key!r}")
     win = _span_windows(df, id_col, text_col, span_tokens)
