@@ -859,3 +859,82 @@ def winnow_fingerprints(
         .select(F.col(id_col).alias(id_col), F.explode(mins).alias("fingerprint"))
         .distinct()
     )
+
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    out_col: str = "text_deduped",
+) -> DataFrame:
+    """Remove duplicated spans, keeping ONE canonical occurrence — the
+    transform half of the family (Lee et al. ACL'22 excise duplicate
+    substrings rather than whole documents; detection alone leaves the
+    boilerplate in the training set).
+
+    Semantics (deterministic, order-free):
+    - a span is duplicated when >= ``min_docs`` distinct documents
+      contain it (duplicate_spans' rule);
+    - its KEEPER is the smallest ``id_col`` containing it — that
+      document keeps all its occurrences, every other document excises
+      the tokens covered by its occurrences of the span;
+    - excised positions are the UNION over all duplicated windows
+      (overlapping windows from one long repeated run merge
+      naturally), and the output text is the surviving tokens joined
+      by single spaces (the tokenizer's normalized form — the op's
+      output is normalized text by contract).
+
+    Scale shape: one windows-with-position relation (map-side), one
+    span-key groupBy for (n_docs, keeper), one join back on the span
+    key (AQE-splittable on hot boilerplate spans), one per-id
+    collect_set of covered start positions (row-bounded: <= token
+    count per document), one broadcast-or-shuffle join onto the
+    original frame, and a JVM-side array filter to rebuild — no UDF,
+    no driver collect. Returns all original columns plus ``out_col``
+    (documents with no excisions carry their normalized text
+    unchanged)."""
+    from dataframe_kotlin_spark.functions.text import bind1
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+
+    n = int(span_tokens)
+    toks = tokens(F.col(text_col))
+    # (id, start position 1-based, span string) — transform WITH index
+    win = bind1(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.struct(
+                i.alias("__i__"), F.concat_ws(" ", F.slice(t, i, n)).alias("__s__")
+            ),
+        ),
+    )
+    base = ensure_scan_parallelism(df)
+    wpos = (
+        base.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias(id_col), F.explode(win).alias("__w__"))
+        .select(id_col, F.col("__w__.__i__").alias("__i__"), F.col("__w__.__s__").alias("__s__"))
+    )
+    spans = wpos.groupBy("__s__").agg(
+        F.count_distinct(id_col).alias("__nd__"),
+        F.min(id_col).alias("__keeper__"),
+    ).filter(F.col("__nd__") >= min_docs)
+    covered = (
+        wpos.join(spans, "__s__")
+        .filter(F.col(id_col) != F.col("__keeper__"))
+        .groupBy(id_col)
+        .agg(F.collect_set("__i__").alias("__starts__"))
+    )
+    joined = base.join(covered, id_col, "left")
+    starts = F.coalesce(F.col("__starts__"), F.array())
+    kept = bind1(
+        starts,
+        lambda st: F.filter(
+            toks,
+            lambda tok, j: ~F.exists(
+                st, lambda s: (s <= j + 1) & (j + 1 <= s + (n - 1))
+            ),
+        ),
+    )
+    return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop("__starts__")

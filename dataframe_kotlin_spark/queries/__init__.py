@@ -40,10 +40,10 @@ def query(name: str, oracle: str | None = None):
 # module's block.
 # Round-11 rotation (VERDICT r10 item 5): oldest-first. The 50-slot
 # window = ALL 21 names whose latest green row is r7, then the round's
-# FOUR new registrations (the routed SEARCH posture + the
+# FIVE new registrations (the routed SEARCH posture + the
 # duplicated-span family — placed AFTER the r7 block so 21 cheaper
 # queries absorb the sweep session's cold-start before the
-# similarity-heavy new queries run), then 25 of the 50 r8 names,
+# similarity-heavy new queries run), then 24 of the 50 r8 names,
 # new-code-adjacent first — this round touched the similarity
 # trainer/seed paths, the two-pass row number (core.frame), and the
 # persist registries (cachereg: the jaccard-prefix base, the
@@ -61,8 +61,8 @@ _PRIORITY = [
     # round-11 new registrations: the routed SEARCH posture + the
     # duplicated-span family (exact substring-dedup signals)
     "ann_ivf_routed_topk", "duplicate_spans_topk", "span_dup_share",
-    "winnow_fingerprint_counts",
-    # window fill: 25 of the 50 r8 names, new-code-adjacent first
+    "winnow_fingerprint_counts", "excise_duplicate_spans_docs",
+    # window fill: 24 of the 50 r8 names, new-code-adjacent first
     "ann_ivf_topk", "ann_ivf_trained", "kmeans_det_assignments",
     "semdedup_scaled", "neardup_embedding", "simhash_hamming_scaled",
     "jaccard_prefix_pairs", "dedup_then_jaccard",
@@ -71,7 +71,7 @@ _PRIORITY = [
     "psi_drift_priority", "pagerank_parts", "bm25_topk",
     "tfidf_top_terms", "doc_fingerprints", "pivot_matches",
     "pivot_multi_agg", "move_restructure", "q15_top_supplier",
-    "q16_supplier_relation", "q17_small_quantity",
+    "q16_supplier_relation",
 ]
 
 

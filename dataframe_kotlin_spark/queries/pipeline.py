@@ -2742,6 +2742,68 @@ def span_dup_share(spark, sf_dir):
 
 
 @query(
+    "excise_duplicate_spans_docs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      FROM tok WHERE len(t) >= 8
+    ),
+    ws AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span FROM w),
+    spans AS (
+      SELECT span, MIN(doc_id) AS keeper
+      FROM ws GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covraw AS (
+      SELECT ws.doc_id, ws.i, unnest(range(0, 8)) AS off
+      FROM ws JOIN spans USING (span)
+      WHERE ws.doc_id <> spans.keeper
+    ),
+    cov AS (SELECT DISTINCT doc_id, i + off AS j FROM covraw),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tokk, unnest(range(1, len(t) + 1)) AS j
+      FROM tok
+    ),
+    kept AS (SELECT pos.* FROM pos ANTI JOIN cov USING (doc_id, j)),
+    reb AS (
+      SELECT doc_id, string_agg(tokk, ' ' ORDER BY j) AS txt
+      FROM kept GROUP BY doc_id
+    )
+    SELECT tok.doc_id,
+           CAST(len(t) AS BIGINT) AS n_before,
+           CAST(len(string_split(COALESCE(reb.txt, ''), ' ')) AS BIGINT) AS n_after,
+           md5(COALESCE(reb.txt, '')) AS dedup_md5
+    FROM tok LEFT JOIN reb USING (doc_id)
+    """,
+)
+def excise_duplicate_spans_docs(spark, sf_dir):
+    """Span EXCISION, the transform half of the duplicated-span family
+    (dedup.excise_duplicate_spans, r11): spans in >= 2 distinct docs
+    keep ONE canonical occurrence (the smallest doc_id); every other
+    document excises the covered tokens, and the rebuilt text is
+    hashed so the oracle pins the transform byte-for-byte (DuckDB
+    rebuilds via a positions anti-join + ordered string_agg — the
+    relational restatement of Spark's indexed array filter). n_after
+    counts tokens of the OUTPUT text under the shared split('')
+    quirk (an all-excised or empty document reads 1 — both engines,
+    by the documented string_split contract)."""
+    docs = _t(spark, sf_dir, "documents")
+    from dataframe_kotlin_spark.functions.text import tokens as _toks
+
+    out = dedup.excise_duplicate_spans(docs, "doc_id", "text", span_tokens=8, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.size(_toks(F.col("text"))).cast("bigint").alias("n_before"),
+        F.size(F.split(F.col("text_deduped"), " ")).cast("bigint").alias("n_after"),
+        F.md5(F.col("text_deduped")).alias("dedup_md5"),
+    )
+
+
+@query(
     "winnow_fingerprint_counts",
     oracle="""
     WITH tok AS (

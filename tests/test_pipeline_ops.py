@@ -1186,3 +1186,36 @@ def test_winnow_density_below_full_explosion(spark):
     # density ~2/(w+1) of distinct windows; allow generous slack upward
     assert 0 < len(fp) <= len(allh)
     assert len(fp) < 0.9 * len(allh)
+
+
+def test_excise_duplicate_spans_keep_one(spark):
+    """Keep-one semantics: the smallest doc_id containing a duplicated
+    span keeps it; every other document excises exactly the covered
+    tokens (union of overlapping windows); untouched docs pass through
+    as normalized text."""
+    df = spark.createDataFrame(
+        [
+            (0, "The quick  brown fox jumps over the lazy dog"),
+            (1, "intro words the quick brown fox jumps over the lazy dog outro"),
+            (2, "unrelated content entirely here with many words to see"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.excise_duplicate_spans(df, span_tokens=4, min_docs=2).collect()
+    }
+    # keeper (doc 0) keeps its text — normalized (lowercase, collapsed ws)
+    assert out[0] == "the quick brown fox jumps over the lazy dog"
+    # doc 1 loses the whole shared run (overlapping 4-windows merged)
+    assert out[1] == "intro words outro"
+    assert out[2] == "unrelated content entirely here with many words to see"
+    # exact duplicate pair: the non-keeper empties entirely
+    dd = spark.createDataFrame(
+        [(7, "a b c d e f"), (9, "a b c d e f")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.excise_duplicate_spans(dd, span_tokens=4, min_docs=2).collect()
+    }
+    assert got == {7: "a b c d e f", 9: ""}
