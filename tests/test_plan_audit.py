@@ -305,17 +305,24 @@ def test_similarity_family_no_unpartitioned_window(spark):
     #     materializations, so the final plans can't witness it);
     # (2) executed-plan: the search path's ranking windows (the
     #     family's remaining window nodes) are partitioned.
-    import inspect
+    import pathlib
     import re
 
     from dataframe_kotlin_spark.operators import similarity as sim
 
-    src = inspect.getsource(sim)
-    bad = re.findall(r"Window\.orderBy", src)
-    assert not bad, (
-        "operators/similarity.py constructs an unpartitioned window "
-        f"({len(bad)} Window.orderBy site(s)) — use "
-        "core.frame._global_row_number (two-pass row number) instead"
+    # package-wide: NO module may construct Window.orderBy without a
+    # partitionBy (every legitimate window in the engine chains off
+    # Window.partitionBy) — the rule now has no family exemptions
+    pkg = pathlib.Path(sim.__file__).resolve().parents[1]
+    offenders = []
+    for p in sorted(pkg.rglob("*.py")):
+        hits = re.findall(r"Window\.orderBy", p.read_text())
+        if hits:
+            offenders.append(f"{p.relative_to(pkg)} x{len(hits)}")
+    assert not offenders, (
+        "unpartitioned Window.orderBy construction — use "
+        "core.frame._global_row_number (two-pass row number) or a "
+        f"partitioned window: {offenders}"
     )
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(200)
