@@ -927,14 +927,24 @@ def excise_duplicate_spans(
         .agg(F.collect_set("__i__").alias("__starts__"))
     )
     joined = base.join(covered, id_col, "left")
-    starts = F.coalesce(F.col("__starts__"), F.array())
-    kept = bind1(
+    starts = F.coalesce(F.col("__starts__"), F.array().cast("array<int>"))
+    # linear rebuild: expand starts to covered positions (O(starts*n)),
+    # subtract from the full position range with array_except (hash-set
+    # backed and LEFT-order-preserving, O(len + covered)), then read the
+    # surviving tokens by position. A per-token exists() over the starts
+    # array would be O(len * starts) interpreted — quadratic on a fully
+    # covered long document.
+    cov = bind1(
         starts,
-        lambda st: F.filter(
-            toks,
-            lambda tok, j: ~F.exists(
-                st, lambda s: (s <= j + 1) & (j + 1 <= s + (n - 1))
-            ),
+        lambda st: F.flatten(
+            F.transform(st, lambda s: F.sequence(s, s + (n - 1)))
+        ),
+    )
+    kept = bind1(
+        toks,
+        lambda t: F.transform(
+            F.array_except(F.sequence(F.lit(1), F.size(t)), cov),
+            lambda p: F.element_at(t, p),
         ),
     )
     return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop("__starts__")
