@@ -1219,3 +1219,53 @@ def test_excise_duplicate_spans_keep_one(spark):
         for r in dedup.excise_duplicate_spans(dd, span_tokens=4, min_docs=2).collect()
     }
     assert got == {7: "a b c d e f", 9: ""}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    docs_toks=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_duplicate_spans_property_vs_bruteforce(spark, docs_toks, n):
+    """Property: duplicate_spans == the brute-force sliding-window count
+    on arbitrary token sequences (single-char tokens so duplicated runs
+    occur often), including degenerate docs (< n tokens, repeated
+    tokens, all-equal docs)."""
+    from collections import defaultdict
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    by_span = defaultdict(lambda: [set(), 0])
+    for i, t in enumerate(docs_toks):
+        # mirror the tokenizer quirk: split('') of an empty doc is ['']
+        toks = " ".join(t).split(" ") if t else [""]
+        for j in range(len(toks) - n + 1):
+            s = " ".join(toks[j : j + n])
+            by_span[s][0].add(i)
+            by_span[s][1] += 1
+    want = {s: (len(d), c) for s, (d, c) in by_span.items() if len(d) >= 2}
+    got = {
+        r["span"]: (r["n_docs"], r["n_occurrences"])
+        for r in dedup.duplicate_spans(df, span_tokens=n).collect()
+    }
+    assert got == want
+    # excision conservation: sum of per-doc kept tokens == sum of
+    # n_windows-weighted... simpler invariant: every doc's excised text
+    # has <= its token count, and the keeper of every duplicated span
+    # still contains it verbatim
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in dedup.excise_duplicate_spans(df, span_tokens=n).collect()
+    }
+    for s, (d, _) in by_span.items():
+        if len(d) >= 2:
+            keeper = min(d)
+            assert s in out[keeper], (s, keeper, out[keeper])
