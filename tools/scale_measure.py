@@ -676,28 +676,58 @@ def main():
     # bounded. Measure exactly that: 100x embeddings with k scaled 100x.
     from dataframe_kotlin_spark.operators import dedup, similarity
 
-    if only and "semdedup_k_scaled" not in only:
-        out["loadavg_start"], out["loadavg_end"] = run_load_start, round(os.getloadavg()[0], 2)
-        print({k: round(v, 2) for k, v in out.items()})
-        return
+    if not only or "semdedup_k_scaled" in only:
+        emb = spark.read.parquet(f"{DST}/embeddings.parquet")
+        k_cells = 4 * FACTOR
+        t0 = time.time()
+        cents = similarity.train_ivf_centroids(
+            emb, "embedding", "vec_id", k=k_cells, iters=1
+        )
+        tagged = similarity.assign_cells(emb, cents, "embedding", "cell")
+        # deployment method (r8): per-cell dgemm — see cosine_neardup_pairs
+        surv = dedup.semdedup_prune(
+            tagged, "cell", "embedding", "vec_id", threshold=0.35, method="dgemm"
+        )
+        n = surv.count()
+        out["semdedup_k_scaled"] = time.time() - t0
+        print(
+            f"semdedup_k_scaled (k={k_cells}, fast-path kmeans): "
+            f"{out['semdedup_k_scaled']:.2f}s (survivors={n}, joins={joins_in_plan(surv)})"
+        )
 
-    emb = spark.read.parquet(f"{DST}/embeddings.parquet")
-    k_cells = 4 * FACTOR
-    t0 = time.time()
-    cents = similarity.train_ivf_centroids(
-        emb, "embedding", "vec_id", k=k_cells, iters=1
-    )
-    tagged = similarity.assign_cells(emb, cents, "embedding", "cell")
-    # deployment method (r8): per-cell dgemm — see cosine_neardup_pairs
-    surv = dedup.semdedup_prune(
-        tagged, "cell", "embedding", "vec_id", threshold=0.35, method="dgemm"
-    )
-    n = surv.count()
-    out["semdedup_k_scaled"] = time.time() - t0
-    print(
-        f"semdedup_k_scaled (k={k_cells}, fast-path kmeans): "
-        f"{out['semdedup_k_scaled']:.2f}s (survivors={n}, joins={joins_in_plan(surv)})"
-    )
+    # r11: the duplicated-SPAN family at 100x documents (500k docs) —
+    # detection on the hash-key posture (8-byte shuffle keys), the
+    # per-doc share signal (one window construction, three narrow keyed
+    # shuffles), and the keep-one excision transform (noop-forced so
+    # the full rebuild executes).
+    if not only or "span_family_scaled" in only:
+        docs100 = spark.read.parquet(f"{DST}/documents.parquet")
+        row_load = round(os.getloadavg()[0], 2)
+        t0 = time.time()
+        ndup = dedup.duplicate_spans(
+            docs100, "doc_id", "text", span_tokens=8, key="hash"
+        ).count()
+        out["duplicate_spans_scaled"] = time.time() - t0
+        t0 = time.time()
+        share = dedup.span_dup_fraction(
+            docs100, "doc_id", "text", span_tokens=8, key="hash"
+        )
+        nshare = share.count()
+        out["span_dup_share_scaled"] = time.time() - t0
+        t0 = time.time()
+        exc = dedup.excise_duplicate_spans(
+            docs100, "doc_id", "text", span_tokens=8
+        ).select("doc_id", "text_deduped")
+        _force(exc)
+        out["excise_spans_scaled"] = time.time() - t0
+        print(
+            f"span_family_scaled (500k docs, n=8, key=hash): detect "
+            f"{out['duplicate_spans_scaled']:.2f}s ({ndup} dup spans) · "
+            f"share {out['span_dup_share_scaled']:.2f}s ({nshare} docs) · "
+            f"excise {out['excise_spans_scaled']:.2f}s "
+            f"(loadavg_start={row_load}, loadavg_end={round(os.getloadavg()[0], 2)})"
+        )
+
     out["loadavg_start"], out["loadavg_end"] = run_load_start, round(os.getloadavg()[0], 2)
     print({k: round(v, 2) for k, v in out.items()})
 
