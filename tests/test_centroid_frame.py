@@ -705,3 +705,24 @@ def test_routed_matches_replicate_property(spark, data, dim, k, n, n_sub, nprobe
         ).collect()
     )
     assert prouted == prep
+
+
+def test_trained_model_memoized_zero_jobs(spark, emb):
+    """r11: the frame trainer is deterministic per (input lineage, k,
+    iters, init, chunk_bytes), so a repeated training returns the SAME
+    persisted model with zero jobs — the construction-time-probe
+    discipline (stats/coarse/fan-out) applied to the model itself."""
+    import time
+
+    emb2 = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    m1 = sim.train_ivf_centroids_frame(emb, k=6, iters=1)
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    m2 = sim.train_ivf_centroids_frame(emb2, k=6, iters=1)  # fresh scan, same lineage
+    time.sleep(0.3)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert m2 is m1
+    assert after == before
+    # different hyperparameters miss (k differs -> real retrain)
+    m3 = sim.train_ivf_centroids_frame(emb, k=7, iters=1)
+    assert m3 is not m1 and m3.count() == 7
