@@ -886,6 +886,14 @@ def excise_duplicate_spans(
       by single spaces (the tokenizer's normalized form — the op's
       output is normalized text by contract).
 
+    The guarantee is POSITIONAL, not per-span: a token survives in
+    doc D iff no duplicated-span occurrence whose keeper is another
+    doc covers it. When two DIFFERENT duplicated spans overlap, the
+    keeper of one may still lose shared tokens to the other span's
+    excision — simultaneous per-span retention is impossible for
+    overlapping spans under any token-removal semantics (property-
+    tested against a brute-force positional oracle).
+
     Scale shape: one windows-with-position relation (map-side), one
     span-key groupBy for (n_docs, keeper), one join back on the span
     key (AQE-splittable on hot boilerplate spans), one per-id

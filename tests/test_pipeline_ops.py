@@ -1257,15 +1257,23 @@ def test_duplicate_spans_property_vs_bruteforce(spark, docs_toks, n):
         for r in dedup.duplicate_spans(df, span_tokens=n).collect()
     }
     assert got == want
-    # excision conservation: sum of per-doc kept tokens == sum of
-    # n_windows-weighted... simpler invariant: every doc's excised text
-    # has <= its token count, and the keeper of every duplicated span
-    # still contains it verbatim
+    # excision: full positional semantics vs brute force — a token
+    # survives in doc D iff NO duplicated-span occurrence whose keeper
+    # is another doc covers it. (A naive "keeper still contains the
+    # span" invariant is FALSE when two different duplicated spans
+    # overlap: hypothesis found d1 = "a a a a e d" keeping span "a e"
+    # but losing its 'a' to the overlapping "a a" span kept by d0.)
     out = {
         r["doc_id"]: r["text_deduped"]
         for r in dedup.excise_duplicate_spans(df, span_tokens=n).collect()
     }
-    for s, (d, _) in by_span.items():
-        if len(d) >= 2:
-            keeper = min(d)
-            assert s in out[keeper], (s, keeper, out[keeper])
+    for i, t in enumerate(docs_toks):
+        toks = " ".join(t).split(" ") if t else [""]
+        covered = set()
+        for j in range(len(toks) - n + 1):
+            s = " ".join(toks[j : j + n])
+            d = by_span[s][0]
+            if len(d) >= 2 and min(d) != i:
+                covered.update(range(j, j + n))
+        kept = [toks[j] for j in range(len(toks)) if j not in covered]
+        assert out[i] == " ".join(kept), (i, out[i], kept)
