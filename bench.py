@@ -39,11 +39,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    # Pre-existing machine load, captured BEFORE Spark starts: a loaded
-    # driver machine inflates wall times ~10%, which otherwise reads as
-    # a plan regression (the r5 driver record was +12% vs the idle judge
-    # re-run). loadavg_start >> 0 flags it inside the artifact itself.
+    # Cooldown gate (VERDICT r11 item 6): BENCH_r11 started at loadavg
+    # 7.57 and every shared row read ambient-slower — the per-rep load
+    # stamps made that legible after the fact, but headline totals are
+    # only comparable round-over-round when the box starts quiet. Spin
+    # (bounded) until the 1-min loadavg drops under the gate before
+    # Spark starts; if the box never cools, stamp loadavg_warn so the
+    # artifact carries its own caveat instead of reading as a plan
+    # regression.
+    gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOADGATE", "2.0"))
+    deadline = time.time() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "300")
+    )
+    cooldown_wait = 0.0
     try:
+        t0 = time.time()
+        while os.getloadavg()[0] >= gate and time.time() < deadline:
+            time.sleep(5)
+        cooldown_wait = round(time.time() - t0, 1)
         load_start = round(os.getloadavg()[0], 2)
     except OSError:
         load_start = None
@@ -198,6 +211,14 @@ def main():
                 "loadavg_start": load_start,
                 "loadavg_end": (
                     round(os.getloadavg()[0], 2) if load_start is not None else None
+                ),
+                # r12 cooldown gate: seconds spent waiting for the box
+                # to cool below the load gate before Spark started, and
+                # an explicit warn flag when it never did — totals from
+                # a warned record are NOT round-over-round comparable
+                "cooldown_wait_sec": cooldown_wait,
+                "loadavg_warn": (
+                    bool(load_start is not None and load_start >= gate)
                 ),
                 # round 6: timed action switched count() -> noop write
                 # (count() let Catalyst prune map-only work, so e.g.

@@ -472,6 +472,22 @@ def _order_bucket_tagged(
     lead, asc, nulls_first = _leading_sort_key(order_by)
     nk = None
     bounds = None
+    if known_bounds is not None and (
+        lead is None or _is_string_col(df, lead) or _orderable_numeric(df, lead) is None
+    ):
+        # ADVICE r11: known_bounds is a NUMERIC-domain declaration; the
+        # string branch interpolates UTF-8 segment embeddings and the
+        # no-embedding fallback uses a single bucket — both ignore it.
+        # Warn loudly so a caller doesn't assume the min/max scan was
+        # skipped (correctness is unaffected either way).
+        import warnings
+
+        warnings.warn(
+            "_global_row_number: known_bounds ignored — the leading sort "
+            "key is not a numeric-embeddable column (string keys derive "
+            "their own bounds; non-orderable keys use a single bucket)",
+            stacklevel=3,
+        )
     if lead is not None and _is_string_col(df, lead):
         bounds, bounds_extra = _string_bounds(df, lead, asc)
         # BroadcastHashJoin (codegen-friendly) onto the 1-row bounds;

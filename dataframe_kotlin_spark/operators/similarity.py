@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -857,6 +858,48 @@ _FRAME_STATS_CACHE = LockedLRU(cap=256)
 #: wrong-item 1); cap 32 distinct chunked models per session.
 _COARSE_LAYER_CACHE = LockedLRU(cap=32, on_evict=_release_coarse_entry)
 
+#: coarse-layer local-build gate (r12, VERDICT r11 item 3): when the
+#: FINE centroid matrix (k*dim*8 bytes) fits under this, the whole
+#: coarse layer builds in numpy on the driver instead of ~15 tiny Spark
+#: jobs whose cost at gate scale is pure stage-scheduling latency. The
+#: fine model is already k = N/500-sized, so this is a model-parameter
+#: collect, never a data collect — and at a true 100 TB posture
+#: (k ~ 4e8 x 512 dims ≈ 1.6 TB) the gate fails by ~5 orders of
+#: magnitude and the distributed build runs. Same byte class as
+#: CENTROID_FRAME_THRESHOLD (the driver-list/frame model boundary).
+COARSE_LOCAL_MAX_BYTES = _parse_byte_conf(
+    os.environ.get("SPARK_GRAFT_COARSE_LOCAL_MAX_BYTES", ""),
+    default=CENTROID_FRAME_THRESHOLD,
+)
+
+
+def _local_coarse_kmeans(X, kc: int):
+    """Driver-local deterministic k-means for the coarse layer's
+    size-gated build: maxmin (farthest-point-first) seeding from row 0
+    — callers pass rows sorted by fine cell id, so the seed sequence is
+    a pure function of the model — then ONE Lloyd step, empty clusters
+    dropped. Mirrors the distributed branch's kmeans||+1-iter shape:
+    the coarse layer only needs tight balanced groups, and routing
+    exactness is layout-independent (the triangle inequality holds for
+    ANY coarse set), so local/distributed builds may differ in
+    balance/tightness but never in correctness."""
+    import numpy as np
+
+    n = X.shape[0]
+    kc = max(1, min(int(kc), n))
+    chosen = [0]
+    d2 = ((X - X[0]) ** 2).sum(axis=1)
+    for _ in range(1, kc):
+        j = int(np.argmax(d2))
+        chosen.append(j)
+        d2 = np.minimum(d2, ((X - X[j]) ** 2).sum(axis=1))
+    C = X[chosen]
+    x2 = (X * X).sum(axis=1)
+    dd = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+    a = np.argmin(dd, axis=1)
+    means = [X[a == j].mean(axis=0) for j in range(kc) if (a == j).any()]
+    return np.asarray(means, dtype=np.float64)
+
 
 def _frame_model_stats(
     centroids_df: DataFrame, cvec_col: str, caller: str, cell_col: str | None = None
@@ -970,32 +1013,73 @@ def _coarse_layer(
         F.col(cell_col).cast("int").alias("__fc__"),
         as_double(F.col(cvec_col)).alias("__fv__"),
     )
-    # kmeans|| init, not hash: the coarse layer's ONLY job is tight,
-    # balanced groups of fine centroids — with hash seeding over the
-    # hierarchical 100x fixture the mean coarse radius was 14.9 and the
-    # routed fan-out 3.49 chunks/row; kmeans|| recovers the hierarchy
-    # exactly (radius 4.4, members 12-33, fan-out 1.00). Its candidate
-    # sweep collects ~2*kc*rounds vectors — sqrt(k)-scale, driver-sized
-    # by the same argument as the coarse model itself.
-    coarse = train_ivf_centroids(
-        fine, "__fv__", "__fc__", k=kc, iters=1, init="kmeans||", output="list"
-    )
-    kc = len(coarse)
-    tagged = assign_cells(fine, coarse, vec_col="__fv__", out="__coarse__")
-    tagged = _with_min_sq_dist(tagged, coarse, "__fv__", "__d2c__")
-    stats = (
-        tagged.groupBy("__coarse__")
-        .agg(
-            F.max(F.sqrt(F.greatest(F.col("__d2c__"), F.lit(0.0)))).alias("__r__"),
-            F.count(F.lit(1)).alias("__n__"),
+    # Size-gated LOCAL build (r12, VERDICT r11 item 3): the distributed
+    # coarse build is ~15 tiny Spark jobs (a kmeans|| sweep + assign +
+    # stats over a k-row frame) — at gate/bench scale that is pure
+    # stage-scheduling latency (~10 s), and even at the k = N/500
+    # posture the FINE frame is model-sized, not data-sized. When
+    # k*dim*8 fits COARSE_LOCAL_MAX_BYTES, collect the fine centroids
+    # once and build the whole layer in numpy (deterministic: rows
+    # sorted by cell id, maxmin seeding, one Lloyd step). Routing
+    # exactness is layout-independent — the triangle inequality holds
+    # for ANY coarse set — so the local and distributed layers differ
+    # only in balance/tightness, and the equivalence is test-pinned
+    # (routed == replicate assignments under both builds). At a real
+    # 100 TB k (~4e8 cells x 512 dims ≈ 1.6 TB) the byte gate fails by
+    # five orders of magnitude and the distributed build runs.
+    _, dim = _frame_model_stats(centroids_df, cvec_col, "_coarse_layer", cell_col)
+    if k * dim * 8 <= COARSE_LOCAL_MAX_BYTES:
+        rows = sorted(fine.collect(), key=lambda r: r["__fc__"])
+        fcs = [int(r["__fc__"]) for r in rows]
+        X = np.asarray([list(r["__fv__"]) for r in rows], dtype=np.float64)
+        C = _local_coarse_kmeans(X, kc)
+        kc = C.shape[0]
+        x2 = (X * X).sum(axis=1)
+        d2 = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        a = np.argmin(d2, axis=1)
+        d2c = np.maximum(d2[np.arange(len(X)), a], 0.0)
+        radius = np.zeros(kc, dtype=np.float64)
+        counts = np.zeros(kc, dtype=np.int64)
+        for j in range(kc):
+            m = a == j
+            counts[j] = int(m.sum())
+            if counts[j]:
+                radius[j] = float(np.sqrt(d2c[m].max()))
+        coarse = C
+        # the fine->coarse tag frame becomes a k-row local relation (the
+        # same byte gate that allowed the collect): _coarse_chunk_map's
+        # xxhash64 sub-slot filter still runs Spark-side, unchanged
+        tagged = spark.createDataFrame(
+            list(zip(fcs, (int(j) for j in a))), "__fc__ int, __coarse__ int"
         )
-        .collect()
-    )  # kc rows: model-parameter sized by construction
-    radius = np.zeros(kc, dtype=np.float64)
-    counts = np.zeros(kc, dtype=np.int64)
-    for row in stats:
-        radius[row["__coarse__"]] = float(row["__r__"])
-        counts[row["__coarse__"]] = int(row["__n__"])
+    else:
+        # kmeans|| init, not hash: the coarse layer's ONLY job is tight,
+        # balanced groups of fine centroids — with hash seeding over the
+        # hierarchical 100x fixture the mean coarse radius was 14.9 and
+        # the routed fan-out 3.49 chunks/row; kmeans|| recovers the
+        # hierarchy exactly (radius 4.4, members 12-33, fan-out 1.00).
+        # Its candidate sweep collects ~2*kc*rounds vectors —
+        # sqrt(k)-scale, driver-sized by the same argument as the
+        # coarse model itself.
+        coarse = train_ivf_centroids(
+            fine, "__fv__", "__fc__", k=kc, iters=1, init="kmeans||", output="list"
+        )
+        kc = len(coarse)
+        tagged = assign_cells(fine, coarse, vec_col="__fv__", out="__coarse__")
+        tagged = _with_min_sq_dist(tagged, coarse, "__fv__", "__d2c__")
+        stats = (
+            tagged.groupBy("__coarse__")
+            .agg(
+                F.max(F.sqrt(F.greatest(F.col("__d2c__"), F.lit(0.0)))).alias("__r__"),
+                F.count(F.lit(1)).alias("__n__"),
+            )
+            .collect()
+        )  # kc rows: model-parameter sized by construction
+        radius = np.zeros(kc, dtype=np.float64)
+        counts = np.zeros(kc, dtype=np.int64)
+        for row in stats:
+            radius[row["__coarse__"]] = float(row["__r__"])
+            counts[row["__coarse__"]] = int(row["__n__"])
     # split oversize coarse cells into hash sub-slots, then greedy-
     # balance SLOTS (heaviest first onto the lightest chunk): cap is
     # the per-chunk member budget the chunking exists to enforce
@@ -1019,6 +1103,11 @@ def _coarse_layer(
     entry = {
         "bc": bc,
         "map": None,
+        # per-entry build lock (ADVICE r11): the lazy chunk-map build is
+        # check-then-set on a SHARED entry dict — without this, two
+        # racing threads both persist a chunk map and the loser's frame
+        # lingers until COARSE_MAPS FIFO churn releases it
+        "_maplock": threading.Lock(),
         "_tagged": tagged.select("__fc__", "__coarse__"),
         "_cmap_rows": cmap_rows,
         "_spark": spark,
@@ -1037,30 +1126,43 @@ def _coarse_chunk_map(entry) -> DataFrame:
     class, never collected; one row per (fine cell, sub-chunk). Built
     on first use (persist + one materializing count), cached on the
     entry so repeated assigns reuse it. Fine members of a split coarse
-    cell pick their sub-slot by xxhash64(cell) mod nsub."""
+    cell pick their sub-slot by xxhash64(cell) mod nsub.
+
+    Build guarded by the entry's own lock (ADVICE r11): the LockedLRU
+    hands the SAME entry dict to every thread, so an unlocked
+    check-then-set here let two racing threads both build and persist
+    the map, stranding the loser's persist until FIFO churn. Only one
+    thread builds now; the build window PINS the map in COARSE_MAPS
+    (ADVICE r11: pin() existed but nothing production called it) so a
+    concurrent retain() burst cannot evict it between persist and the
+    materializing count."""
     if entry["map"] is not None:
         return entry["map"]
     from pyspark import StorageLevel
 
     from dataframe_kotlin_spark.operators.cachereg import COARSE_MAPS
 
-    spark = entry["_spark"]
-    cmap = spark.createDataFrame(
-        entry["_cmap_rows"], "__coarse__ int, __nsub__ int, __sub__ int, __g__ int"
-    )
-    chunk_map = (
-        entry["_tagged"]
-        .join(F.broadcast(cmap), "__coarse__")
-        .filter(
-            F.pmod(F.xxhash64(F.col("__fc__")), F.col("__nsub__")) == F.col("__sub__")
+    with entry["_maplock"]:
+        if entry["map"] is not None:
+            return entry["map"]
+        spark = entry["_spark"]
+        cmap = spark.createDataFrame(
+            entry["_cmap_rows"], "__coarse__ int, __nsub__ int, __sub__ int, __g__ int"
         )
-        .select(F.col("__fc__").alias("__cell__"), "__g__")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    COARSE_MAPS.retain(chunk_map)
-    chunk_map.count()  # materialize: every assign/probe joins this map
-    entry["map"] = chunk_map
-    return chunk_map
+        chunk_map = (
+            entry["_tagged"]
+            .join(F.broadcast(cmap), "__coarse__")
+            .filter(
+                F.pmod(F.xxhash64(F.col("__fc__")), F.col("__nsub__")) == F.col("__sub__")
+            )
+            .select(F.col("__fc__").alias("__cell__"), "__g__")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        with COARSE_MAPS.pin(chunk_map):
+            COARSE_MAPS.retain(chunk_map)
+            chunk_map.count()  # materialize: every assign/probe joins this map
+        entry["map"] = chunk_map
+        return chunk_map
 
 
 def _frame_cogroup_prep(
@@ -1794,7 +1896,18 @@ def train_ivf_centroids_frame(
     persisted model with zero jobs. The r11 distributed seed costs
     ~1 s of AQE stage-scheduling latency per training at toy scale
     (invisible at real scale, where the stages carry real work); the
-    memo keeps that off repeated trainings of one input."""
+    memo keeps that off repeated trainings of one input.
+
+    OWNERSHIP (ADVICE r11): the returned DataFrame is SHARED and
+    cache-owned — repeated calls with the same inputs return the SAME
+    persisted frame. Callers must NOT ``unpersist()`` it: doing so
+    silently degrades every other holder and all future memo hits,
+    which keep serving the unpersisted handle and replay the full
+    training lineage per job. The cache releases models itself on LRU
+    eviction; a caller that needs a private model it may unpersist
+    should train on a distinct lineage (e.g. ``df.alias(...)`` does
+    NOT change lineage — add a no-op filter or use ``output='list'``
+    on train_ivf_centroids instead)."""
     if init not in ("hash", "kmeans||"):
         raise ValueError(f"init must be 'hash' or 'kmeans||'; got {init!r}")
     from dataframe_kotlin_spark.operators.skew import plan_memo_key

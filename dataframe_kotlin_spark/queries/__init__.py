@@ -38,40 +38,45 @@ def query(name: str, oracle: str | None = None):
 # through joins, grouping, pivot/reshape, window analytics, TPC-H shapes,
 # dedup/similarity/text pipeline — instead of exhausting the budget on one
 # module's block.
-# Round-11 rotation (VERDICT r10 item 5): oldest-first. The 50-slot
-# window = ALL 21 names whose latest green row is r7, then the round's
-# FIVE new registrations (the routed SEARCH posture + the
-# duplicated-span family — placed AFTER the r7 block so 21 cheaper
-# queries absorb the sweep session's cold-start before the
-# similarity-heavy new queries run), then 24 of the 50 r8 names,
-# new-code-adjacent first — this round touched the similarity
-# trainer/seed paths, the two-pass row number (core.frame), and the
-# persist registries (cachereg: the jaccard-prefix base, the
-# query-result pins, the coarse maps). After the r11 gate runs, no
-# name's latest green row is older than r8.
+# Round-12 rotation (VERDICT r11 item 5): oldest-first. The 50-slot
+# window = ALL 26 names whose latest green row is r8, then the round's
+# TWO new registrations (the winnowed span-candidate pipeline and the
+# hashed span posture — after the r8 block so 26 cheaper queries
+# absorb the sweep session's cold-start), then the routed-chunks
+# ASSIGN posture DELIBERATELY BEFORE the routed SEARCH posture — the
+# two share an exact model lineage, so assign pays the one-off
+# training + coarse-layer build and ann_ivf_routed_topk's construction
+# becomes a memo hit (VERDICT r11 item 3: 15.6 s cold-first -> warm;
+# ann_ivf_routed_topk is re-gated because its evidence sizing changed
+# this round) — then 20 of the 50 r9 names, new-code-adjacent first
+# (this round touched the similarity construction/memo paths, dedup's
+# candidate-pair discipline, and core.frame's known_bounds path).
+# After the r12 gate runs, no name's latest green row is older than r9.
 _PRIORITY = [
-    # oldest-green rotation: the 21 names whose latest green row is r7
-    "cohort_retention", "decimal_exact_ledger", "diff_lag",
-    "explode_embeddings", "flatten_nested", "funnel_conversion",
-    "moving_average", "q4_priority_exists", "q6_revenue_band",
-    "q8_market_share", "q10_returned_items", "q11_important_value",
-    "q12_late_priority", "q13_order_distribution", "q14_type_share",
-    "q18_large_orders", "sessionize", "sliding_window",
-    "split_into_rows", "struct_roundtrip", "tumbling_window",
-    # round-11 new registrations: the routed SEARCH posture + the
-    # duplicated-span family (exact substring-dedup signals)
-    "ann_ivf_routed_topk", "duplicate_spans_topk", "span_dup_share",
-    "winnow_fingerprint_counts", "excise_duplicate_spans_docs",
-    # window fill: 24 of the 50 r8 names, new-code-adjacent first
-    "ann_ivf_topk", "ann_ivf_trained", "kmeans_det_assignments",
-    "semdedup_scaled", "neardup_embedding", "simhash_hamming_scaled",
-    "jaccard_prefix_pairs", "dedup_then_jaccard",
-    "fuzzy_pairs_editdist", "dedup_clusters", "chunked_groups",
-    "running_total_scan", "training_mix_report", "bloom_prefilter_join",
-    "psi_drift_priority", "pagerank_parts", "bm25_topk",
-    "tfidf_top_terms", "doc_fingerprints", "pivot_matches",
-    "pivot_multi_agg", "move_restructure", "q15_top_supplier",
-    "q16_supplier_relation",
+    # oldest-green rotation: the 26 names whose latest green row is r8
+    "asof_last_purchase", "asof_nearest_purchase", "asof_next_purchase",
+    "bigram_lm_topk", "chunk_documents", "collocations_pmi",
+    "distinct_by_expr", "doc_surprisal_scores", "hash_split_counts",
+    "hll_deterministic_customers", "mix_weighted_counts",
+    "mixture_plan_langs", "pack_sequences_stats", "q17_small_quantity",
+    "q19_brand_bands", "q20_promotion_suppliers", "q21_waiting_supplier",
+    "q22_idle_balance", "quality_filter", "repetition_filter",
+    "resample_ffill_hours", "reservoir_counts", "split_leakage_pairs",
+    "term_frequency_topk", "text_stats", "weighted_sample_langs",
+    # round-12 new registrations (the winnow consumer + hash posture)
+    "winnow_span_pairs", "duplicate_spans_hashed",
+    # shared-lineage pair: assign FIRST (pays construction), search
+    # second (memo-warm); the search query is re-gated this round
+    "ivf_assign_routed_chunks", "ann_ivf_routed_topk",
+    # window fill: 20 of the 50 r9 names, new-code-adjacent first
+    "ann_ivf_frame_topk", "ivf_assign_frame_scaled",
+    "quantize_embeddings_int8", "lsh_candidate_pairs",
+    "row_number_rank", "skip_last_tail", "slice_rows_page",
+    "drop_rows_inverse", "distinct_by_first", "nth_order_value",
+    "split_tokens", "inverted_index", "multimodal_features",
+    "merge_rows_lists", "describe_numeric", "corr_pair",
+    "agg_minmax_count", "count_conditional", "argmax_row",
+    "transpose_stats",
 ]
 
 

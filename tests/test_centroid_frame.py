@@ -307,6 +307,73 @@ def test_routed_assign_matches_replicate_multi_chunk(spark, emb):
     assert len(routed) == emb.count()
 
 
+def test_routed_assign_exact_under_both_coarse_builds(spark, emb, monkeypatch):
+    """r12 (VERDICT r11 item 3): the coarse layer now has a size-gated
+    LOCAL numpy build next to the distributed one. Routing exactness is
+    layout-independent (the triangle inequality holds for ANY coarse
+    set), so routed must equal replicate under BOTH builds — this pins
+    the distributed branch, which small-model tests no longer reach
+    (they all fit under COARSE_LOCAL_MAX_BYTES and take the local
+    path)."""
+    from dataframe_kotlin_spark.operators.cachereg import LockedLRU
+
+    cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
+    dim = len(cents[0])
+    f = _as_frame(spark, cents)
+    kw = dict(chunk_bytes=sim.centroid_model_bytes(4, dim), salt_parts=4)
+    rep = {
+        r["vec_id"]: r["cell"]
+        for r in sim._assign_frame_map(
+            emb, f, "embedding", "vec_id", "cell", route="replicate", **kw
+        ).collect()
+    }
+    for forced_max in (None, 0):  # None = local (default gate), 0 = distributed
+        # fresh memo per arm: both arms share the model lineage, and a
+        # cache hit would silently reuse the OTHER arm's layer
+        monkeypatch.setattr(
+            sim, "_COARSE_LAYER_CACHE",
+            LockedLRU(cap=4, on_evict=sim._release_coarse_entry),
+        )
+        if forced_max is not None:
+            monkeypatch.setattr(sim, "COARSE_LOCAL_MAX_BYTES", forced_max)
+        routed = {
+            r["vec_id"]: r["cell"]
+            for r in sim._assign_frame_map(
+                emb, f, "embedding", "vec_id", "cell", route="coarse", **kw
+            ).collect()
+        }
+        assert routed == rep, f"forced_max={forced_max}"
+
+
+def test_local_coarse_build_is_deterministic(spark, emb, monkeypatch):
+    """The local build must be a pure function of the model: two fresh
+    builds over the same centroids yield bit-identical coarse arrays
+    and chunk maps (the memo normally hides this — force misses)."""
+    import numpy as np
+
+    from dataframe_kotlin_spark.operators.cachereg import LockedLRU
+
+    cents = sim.train_ivf_centroids(emb, k=24, iters=1, output="list")
+    f = _as_frame(spark, cents)
+    layers = []
+    for _ in range(2):
+        monkeypatch.setattr(
+            sim, "_COARSE_LAYER_CACHE",
+            LockedLRU(cap=4, on_evict=sim._release_coarse_entry),
+        )
+        layer = sim._coarse_layer(f, "cell", "centroid", 4, 24)
+        cmap = sorted(
+            (r["__cell__"], r["__g__"])
+            for r in sim._coarse_chunk_map(layer).collect()
+        )
+        layers.append((layer["bc"].value, cmap))
+    (b1, m1), (b2, m2) = layers
+    assert np.array_equal(b1["C"], b2["C"])
+    assert np.array_equal(b1["r"], b2["r"])
+    assert np.array_equal(b1["G1"], b2["G1"])
+    assert m1 == m2
+
+
 def test_routed_probe_matches_replicate_multi_chunk(spark, emb):
     cents = sim.train_ivf_centroids(emb, k=32, iters=1, output="list")
     dim = len(cents[0])

@@ -499,20 +499,26 @@ def test_plans_md_covers_exact_registry():
         f"{registry - digest_names}"
     )
     # VERDICT r8 item 4: the "0 cartesians" claim must be self-evident
-    # registry-wide, not just spot-asserted. The digest's total row now
-    # carries cartesian/bnlj columns; a CartesianProduct anywhere in the
-    # registry fails this gate (BNLJ stays nonzero — the intended 1-row
-    # scalar-aggregate crossJoin pattern — but is now reviewable per row).
-    assert "| cartesian | bnlj |" in text, (
-        "PLANS.md predates the cartesian/bnlj columns — regenerate it"
+    # registry-wide, not just spot-asserted. r12 (VERDICT r11 item 4):
+    # bnlj is now audited by CLASS — four columns, with bnlj_other
+    # required to be 0 so a NEW nested-loop join shape cannot hide in
+    # the (large, legitimate) scalar/offsets counts.
+    assert "| cartesian | bnlj_scalar | bnlj_offsets | bnlj_probe | bnlj_other |" in text, (
+        "PLANS.md predates the classified bnlj columns — regenerate it"
     )
     total = re.search(r"^\| \*\*total\*\* \|(.*)\|\s*$", text, flags=re.M)
     assert total is not None, "PLANS.md has no **total** row"
     cols = [c.strip() for c in total.group(1).split("|")]
-    cartesian_total = int(cols[-2])
+    cartesian_total = int(cols[-5])
     assert cartesian_total == 0, (
         f"{cartesian_total} CartesianProduct node(s) in registry plans — "
         "see PLANS.md's cartesian column for the offending query"
+    )
+    bnlj_other_total = int(cols[-1])
+    assert bnlj_other_total == 0, (
+        f"{bnlj_other_total} unknown-class BroadcastNestedLoopJoin node(s) "
+        "in registry plans — see PLANS.md's bnlj_other column and classify "
+        "or fix before shipping"
     )
 
 
@@ -651,3 +657,75 @@ def test_fanout_joins_keep_repartition_pins(spark, name, min_pins):
     df = spark_queries()[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("REPARTITION_BY_NUM") >= min_pins, (name, plan[:2000])
+
+
+def test_bnlj_classifier_known_classes_and_zero_other(spark):
+    """The plan digest's BNLJ classifier (VERDICT r11 item 4): the two
+    known-legitimate classes are recognized from their physical-plan
+    signatures, anything else counts as bnlj_other, and real plans that
+    embed BOTH classes (the two-pass row number's offsets join + the
+    scalar-aggregate crossJoin) classify with zero unknowns."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from plan_digest import classify_bnlj
+
+    # synthetic lines: one of each class + a would-be NEW class
+    synth = "\n".join(
+        [
+            "+- *(6) BroadcastNestedLoopJoin BuildRight, Cross",
+            "+- BroadcastNestedLoopJoin BuildRight, Cross, "
+            "(c_acctbal#3 > __thr__#6)",
+            ":  +- BroadcastNestedLoopJoin BuildRight, LeftOuter, "
+            "(__gbkt2__#24 < __gbkt__#63)",
+            "+- BroadcastNestedLoopJoin BuildRight, Cross, "
+            "(size(filter(t#54, lambdafunction((lambda x_1#65 = term#63), "
+            "lambda x_1#65, false)), false) > 0)",
+            "+- BroadcastNestedLoopJoin BuildLeft, Inner, (a#1 < b#2)",
+        ]
+    )
+    got = classify_bnlj(synth)
+    assert got == {
+        "bnlj_scalar": 2, "bnlj_offsets": 1, "bnlj_probe": 1, "bnlj_other": 1,
+    }
+
+    # real plans: queries known to carry these classes stay other-free,
+    # and every BNLJ node lands in exactly one class (q22 carries the
+    # fused-threshold scalar form, bm25 the literal-probe form)
+    for name in ("skip_last_tail", "q14_type_share", "q22_idle_balance", "bm25_topk"):
+        df = spark_queries()[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        d = classify_bnlj(plan)
+        assert d["bnlj_other"] == 0, (name, plan)
+        n_nodes = plan.count("BroadcastNestedLoopJoin")
+        assert (
+            d["bnlj_scalar"] + d["bnlj_offsets"] + d["bnlj_probe"] == n_nodes
+        ), name
+
+
+def test_known_bounds_warns_on_non_numeric_leading_key(spark):
+    """ADVICE r11: known_bounds silently did nothing when the leading
+    sort key is a string (the string branch returns first) — now it
+    warns so callers can't assume the min/max pass was skipped. The
+    numeric path stays warning-free."""
+    import warnings
+
+    from dataframe_kotlin_spark.core.frame import (
+        XXHASH64_DOMAIN,
+        _global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "n long, s string"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _global_row_number(df, [F.col("s")], "rk", known_bounds=(0.0, 10.0))
+    assert any("known_bounds ignored" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = _global_row_number(
+            df, [F.xxhash64(F.col("n"))], "rk", known_bounds=XXHASH64_DOMAIN
+        )
+        assert out.count() == 2
+    assert not [w for w in rec if "known_bounds" in str(w.message)]

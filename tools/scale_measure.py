@@ -728,6 +728,51 @@ def main():
             f"(loadavg_start={row_load}, loadavg_end={round(os.getloadavg()[0], 2)})"
         )
 
+    # r12 (VERDICT r11 item 1 done-criterion): full-window explosion vs
+    # the winnowed candidate pipeline at 100x. The comparison the knob
+    # exists for — candidate generation's shuffle volume: the exact path
+    # puts EVERY n-token window on the span-key shuffle (~doc_tokens
+    # rows/doc), the winnowed path ~2/(w+1) of them with the SIGMOD'03
+    # shared-run guarantee (runs >= n+w-1 tokens always detected).
+    if not only or "winnow_pipeline_scaled" in only:
+        docs100 = spark.read.parquet(f"{DST}/documents.parquet")
+        row_load = round(os.getloadavg()[0], 2)
+        n_tok, w_win = 8, 4
+        # shuffle-volume ratio, computed cheaply (two aggregates)
+        from dataframe_kotlin_spark.operators.dedup import (
+            winnow_fingerprints,
+            winnowed_duplicate_pairs,
+        )
+        from dataframe_kotlin_spark.functions.text import tokens as _tokens
+
+        n_windows = docs100.select(
+            F.sum(
+                F.greatest(F.size(_tokens(F.col("text"))) - n_tok + 1, F.lit(0))
+            ).alias("n")
+        ).first()["n"]
+        t0 = time.time()
+        n_fp = winnow_fingerprints(
+            docs100, "doc_id", "text", n=n_tok, w=w_win
+        ).count()
+        t_fp = time.time() - t0
+        t0 = time.time()
+        n_pairs = winnowed_duplicate_pairs(
+            docs100, "doc_id", "text", n=n_tok, w=w_win, max_bucket=64
+        ).count()
+        out["winnow_pipeline_scaled"] = time.time() - t0
+        print(
+            f"winnow_pipeline_scaled (500k docs, n={n_tok}, w={w_win}, "
+            f"max_bucket=64): candidates+verify "
+            f"{out['winnow_pipeline_scaled']:.2f}s ({n_pairs} verified "
+            f"pairs); fingerprint selection {t_fp:.2f}s — {n_fp} "
+            f"fingerprints vs {n_windows} full windows = "
+            f"{n_windows / max(n_fp, 1):.2f}x shuffle-volume reduction "
+            f"(theory ~(w+1)/2 = {(w_win + 1) / 2:.1f}x before "
+            f"distinct; compare duplicate_spans_scaled for the "
+            f"full-explosion detect cost) "
+            f"(loadavg_start={row_load}, loadavg_end={round(os.getloadavg()[0], 2)})"
+        )
+
     out["loadavg_start"], out["loadavg_end"] = run_load_start, round(os.getloadavg()[0], 2)
     print({k: round(v, 2) for k, v in out.items()})
 
