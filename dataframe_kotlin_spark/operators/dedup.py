@@ -1073,3 +1073,108 @@ def winnowed_duplicate_pairs(
         df, id_col, text_col, n=n, w=w, max_bucket=max_bucket
     )
     return verify_span_pairs(df, cand, id_col, text_col, span_tokens=n)
+
+
+def longest_duplicate_run(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    min_docs: int = 2,
+    key: str = "text",
+) -> DataFrame:
+    """Per-document longest duplicated run: the length IN TOKENS of the
+    longest contiguous region of each document in which EVERY n-token
+    window appears in >= ``min_docs`` distinct documents corpus-wide —
+    the headline substring-contamination statistic (Lee et al. ACL'22
+    report exactly this distribution when motivating substring-level
+    over document-level dedup; a doc with dup_fraction 0.05 hiding one
+    400-token verbatim license block and a doc with 5% scattered
+    duplicated 8-grams are different problems, and this statistic is
+    what separates them).
+
+    Position form: window start i is duplicated iff its n-window is;
+    a maximal run of consecutive duplicated starts i..j covers
+    (j - i) + n tokens. Documents with no duplicated window (or shorter
+    than n tokens) report 0 — every input document emits a row (the
+    "missing means 0" contract materialized, as span_dup_fraction's
+    include_short does).
+
+    Scale shape (span_dup_fraction's discipline): the window relation
+    is built ONCE and flows through three narrow keyed shuffles —
+    (1) the (span-key, id) pre-aggregate collects each doc's start
+    positions for that span (map-side combine; list bounded by the
+    span's occurrence count within the doc); (2) n_docs via a
+    span-PARTITIONED count-only window over the pre-agg (one narrow
+    row per containing doc, so a hot boilerplate span costs a
+    doc-count pass, never a window-count pass); (3) the per-id rollup,
+    where the run scan is ONE F.aggregate fold over the doc's sorted
+    duplicated starts (JVM-side, list bounded by the doc's own window
+    count — the same per-doc bound excise_duplicate_spans' covered-set
+    already accepts). ``key='hash'`` swaps the shuffle key for hash64
+    (8 bytes at 100 TB, SQL-replayable; collision contract as
+    duplicate_spans). No UDF, no collect, no join back onto the window
+    relation."""
+    if key not in ("text", "hash"):
+        raise ValueError(f"key must be 'text' or 'hash'; got {key!r}")
+    n = int(span_tokens)
+    toks = tokens(F.col(text_col))
+    from dataframe_kotlin_spark.functions.text import bind1
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+
+    win = bind1(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.struct(
+                i.alias("__i__"), F.concat_ws(" ", F.slice(t, i, n)).alias("__s__")
+            ),
+        ),
+    )
+    base = ensure_scan_parallelism(df)
+    kexpr = F.col("__w__.__s__") if key == "text" else hash64(F.col("__w__.__s__"))
+    wpos = (
+        base.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias(id_col), F.explode(win).alias("__w__"))
+        .select(id_col, F.col("__w__.__i__").alias("__i__"), kexpr.alias("__k__"))
+    )
+    pre = wpos.groupBy("__k__", id_col).agg(
+        F.collect_list("__i__").alias("__starts__")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("__k__"))
+    dup_starts = (
+        pre.withColumn("__nd__", nd)
+        .filter(F.col("__nd__") >= min_docs)
+        .select(id_col, F.explode("__starts__").alias("__i__"))
+    )
+    # one fold over the sorted starts: state (prev, current run, best run)
+    fold = lambda st: F.aggregate(
+        st,
+        F.struct(
+            F.lit(-2).alias("p"), F.lit(0).alias("c"), F.lit(0).alias("b")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("p"),
+            F.when(x == acc["p"] + 1, acc["c"] + 1).otherwise(F.lit(1)).alias("c"),
+            F.greatest(
+                acc["b"],
+                F.when(x == acc["p"] + 1, acc["c"] + 1).otherwise(F.lit(1)),
+            ).alias("b"),
+        ),
+        lambda acc: acc["b"],
+    )
+    longest = dup_starts.groupBy(id_col).agg(
+        fold(F.sort_array(F.collect_set("__i__"))).alias("__run__")
+    )
+    return base.select(
+        id_col,
+        F.greatest(F.size(toks) - n + 1, F.lit(0))
+        .cast("bigint")
+        .alias("n_windows"),
+    ).join(longest, id_col, "left").select(
+        id_col,
+        "n_windows",
+        F.coalesce(
+            F.col("__run__") + F.lit(n - 1), F.lit(0)
+        ).cast("bigint").alias("longest_dup_run"),
+    )

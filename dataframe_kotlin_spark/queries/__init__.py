@@ -63,12 +63,14 @@ _PRIORITY = [
     "q22_idle_balance", "quality_filter", "repetition_filter",
     "resample_ffill_hours", "reservoir_counts", "split_leakage_pairs",
     "term_frequency_topk", "text_stats", "weighted_sample_langs",
-    # round-12 new registrations (the winnow consumer + hash posture)
-    "winnow_span_pairs", "duplicate_spans_hashed",
+    # round-12 new registrations (the winnow consumer, the hash
+    # posture, and the longest-duplicated-run statistic)
+    "winnow_span_pairs", "duplicate_spans_hashed", "longest_dup_run",
     # shared-lineage pair: assign FIRST (pays construction), search
     # second (memo-warm); the search query is re-gated this round
     "ivf_assign_routed_chunks", "ann_ivf_routed_topk",
-    # window fill: 20 of the 50 r9 names, new-code-adjacent first
+    # window fill: 19 of the 50 r9 names, new-code-adjacent first
+    # (19, not 20 — the third new registration took one slot)
     "ann_ivf_frame_topk", "ivf_assign_frame_scaled",
     "quantize_embeddings_int8", "lsh_candidate_pairs",
     "row_number_rank", "skip_last_tail", "slice_rows_page",
@@ -76,7 +78,6 @@ _PRIORITY = [
     "split_tokens", "inverted_index", "multimodal_features",
     "merge_rows_lists", "describe_numeric", "corr_pair",
     "agg_minmax_count", "count_conditional", "argmax_row",
-    "transpose_stats",
 ]
 
 

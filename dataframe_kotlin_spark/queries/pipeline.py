@@ -2966,6 +2966,62 @@ def duplicate_spans_hashed(spark, sf_dir):
 
 
 @query(
+    "longest_dup_run",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS span
+      FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+            FROM tok WHERE len(t) >= 8)
+    ),
+    dup AS (
+      SELECT span FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    ds AS (SELECT w.doc_id, w.i FROM w JOIN dup USING (span)),
+    runs AS (
+      SELECT doc_id,
+             i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS g
+      FROM ds
+    ),
+    rl AS (
+      SELECT doc_id, CAST(COUNT(*) + 7 AS BIGINT) AS run_tokens
+      FROM runs GROUP BY doc_id, g
+    ),
+    mx AS (SELECT doc_id, MAX(run_tokens) AS longest FROM rl GROUP BY doc_id)
+    SELECT tok.doc_id,
+           CAST(GREATEST(len(t) - 7, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(mx.longest, 0) AS BIGINT) AS longest_dup_run
+    FROM tok LEFT JOIN mx USING (doc_id)
+    """,
+)
+def longest_dup_run(spark, sf_dir):
+    """Per-document longest duplicated token run
+    (dedup.longest_duplicate_run, r12): the length in tokens of the
+    longest contiguous region in which every 8-token window is
+    duplicated corpus-wide (>= 2 distinct documents) — the statistic
+    that separates one long verbatim boilerplate block from scattered
+    duplicated 8-grams at equal dup_fraction (Lee et al. ACL'22 report
+    this distribution to motivate substring-level dedup). Every
+    document emits a row; no duplicated window (or fewer than 8
+    tokens) reports 0. Scale shape: the window relation is built once
+    and flows through three narrow keyed shuffles — (span, id)
+    pre-agg with map-side combine, a span-partitioned count-only
+    window for n_docs (one row per containing doc, so hot boilerplate
+    is doc-count bounded), and a per-id rollup whose run scan is a
+    single JVM-side F.aggregate fold over the doc's sorted duplicated
+    starts. The oracle replays the run detection as classic
+    gaps-and-islands (i - row_number grouping)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.longest_duplicate_run(
+        docs, "doc_id", "text", span_tokens=8, min_docs=2
+    )
+
+
+@query(
     "psi_drift_priority",
     oracle="""
     WITH base AS (

@@ -1379,3 +1379,75 @@ def test_span_dup_fraction_include_short(spark):
     }
     assert full[2] == (0, 0, 0.0)
     assert full[0] == (3, 3, 1.0) and full[1] == (3, 3, 1.0)
+
+
+def test_longest_duplicate_run_hand_cases(spark):
+    """Run semantics pinned by hand (r12): a maximal run of consecutive
+    duplicated window starts i..j reports (j - i) + n tokens; scattered
+    duplicated windows report n; clean and sub-n docs report 0 and
+    still emit a row; the hash shuffle-key posture agrees with text."""
+    boiler = "l1 l2 l3 l4 l5 l6"  # 6-token block, n=4 -> 3 windows, run = 6
+    df = spark.createDataFrame(
+        [
+            (0, f"u0a u0b {boiler} u0c"),
+            (1, f"u1a {boiler} u1b u1c"),
+            # doc 2 shares ONLY the scattered 4-window "s1 s2 s3 s4"
+            # with doc 3 (one duplicated start each -> run = n = 4)
+            (2, "s1 s2 s3 s4 zz1 zz2 zz3 zz4 zz5"),
+            (3, "yy1 yy2 s1 s2 s3 s4 yy3 yy4"),
+            (4, "entirely clean words never repeated anywhere else one"),
+            (5, "shorty"),  # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["longest_dup_run"])
+        for r in dedup.longest_duplicate_run(df, span_tokens=4).collect()
+    }
+    assert got[0] == (6, 6) and got[1] == (6, 6)
+    assert got[2] == (6, 4) and got[3] == (5, 4)
+    assert got[4] == (5, 0)
+    assert got[5] == (0, 0)
+    hashed = {
+        r["doc_id"]: (r["n_windows"], r["longest_dup_run"])
+        for r in dedup.longest_duplicate_run(df, span_tokens=4, key="hash").collect()
+    }
+    assert hashed == got
+
+
+@given(
+    docs_toks=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=16),
+        min_size=2,
+        max_size=5,
+    ),
+    n=st.integers(2, 4),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_longest_duplicate_run_property_vs_bruteforce(spark, docs_toks, n):
+    """Property: longest_dup_run equals the brute-force longest
+    contiguous block of starts whose n-window appears in >= 2 distinct
+    docs, plus n-1 — for every doc, including 0 rows."""
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs_toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {i: (" ".join(t).split(" ") if t else [""]) for i, t in enumerate(docs_toks)}
+    by_span = {}
+    for i, t in toks.items():
+        for j in range(len(t) - n + 1):
+            by_span.setdefault(" ".join(t[j : j + n]), set()).add(i)
+    want = {}
+    for i, t in toks.items():
+        nw = max(len(t) - n + 1, 0)
+        best = cur = 0
+        for j in range(nw):
+            if len(by_span[" ".join(t[j : j + n])]) >= 2:
+                cur += 1
+                best = max(best, cur)
+            else:
+                cur = 0
+        want[i] = (nw, best + n - 1 if best else 0)
+    got = {
+        r["doc_id"]: (r["n_windows"], r["longest_dup_run"])
+        for r in dedup.longest_duplicate_run(df, span_tokens=n).collect()
+    }
+    assert got == want

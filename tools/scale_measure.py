@@ -735,6 +735,8 @@ def main():
     # rows/doc), the winnowed path ~2/(w+1) of them with the SIGMOD'03
     # shared-run guarantee (runs >= n+w-1 tokens always detected).
     if not only or "winnow_pipeline_scaled" in only:
+        from pyspark.sql import functions as F
+
         docs100 = spark.read.parquet(f"{DST}/documents.parquet")
         row_load = round(os.getloadavg()[0], 2)
         n_tok, w_win = 8, 4
@@ -755,17 +757,31 @@ def main():
             docs100, "doc_id", "text", n=n_tok, w=w_win
         ).count()
         t_fp = time.time() - t0
+        # the 100x fixture replicates each sf0.1 document ~100-fold, so
+        # EVERY fingerprint bucket is 65-512 members (measured) — the
+        # degenerate shape _cap_buckets' docstring sends to an
+        # exact-dup pass first. Measure the documented composition:
+        # exact_dedup survivors (one md5 shuffle) feed the winnowed
+        # pair pipeline — pair granularity is for NEAR-dup structure,
+        # not wholesale replication.
+        from dataframe_kotlin_spark.operators.dedup import exact_dedup
+
         t0 = time.time()
+        keep = exact_dedup(docs100, "text", "doc_id").select(
+            F.col("keep_id").alias("doc_id")
+        )
+        surv = docs100.join(keep, "doc_id", "left_semi")
         n_pairs = winnowed_duplicate_pairs(
-            docs100, "doc_id", "text", n=n_tok, w=w_win, max_bucket=64
+            surv, "doc_id", "text", n=n_tok, w=w_win, max_bucket=64
         ).count()
         out["winnow_pipeline_scaled"] = time.time() - t0
         print(
             f"winnow_pipeline_scaled (500k docs, n={n_tok}, w={w_win}, "
-            f"max_bucket=64): candidates+verify "
+            f"max_bucket=64): exact-dedup + candidates + verify "
             f"{out['winnow_pipeline_scaled']:.2f}s ({n_pairs} verified "
-            f"pairs); fingerprint selection {t_fp:.2f}s — {n_fp} "
-            f"fingerprints vs {n_windows} full windows = "
+            f"pairs among exact-dedup survivors); fingerprint selection "
+            f"{t_fp:.2f}s full-corpus — {n_fp} fingerprints vs "
+            f"{n_windows} full windows = "
             f"{n_windows / max(n_fp, 1):.2f}x shuffle-volume reduction "
             f"(theory ~(w+1)/2 = {(w_win + 1) / 2:.1f}x before "
             f"distinct; compare duplicate_spans_scaled for the "
