@@ -1178,3 +1178,126 @@ def longest_duplicate_run(
             F.col("__run__") + F.lit(n - 1), F.lit(0)
         ).cast("bigint").alias("longest_dup_run"),
     )
+
+
+def span_store(
+    df: DataFrame,
+    text_col: str = "text",
+    span_tokens: int = 20,
+    key: str = "hash",
+) -> DataFrame:
+    """The distinct n-token-window key set of a corpus — the SPAN STORE
+    an incremental pipeline maintains so each new crawl batch is
+    checked against history WITHOUT rereading history's text (at
+    100 TB the store is the only history artifact that is ever touched
+    again). One column: ``span`` (key='text') or ``span_hash``
+    (key='hash', the default here — the store is pure join key, so the
+    8-byte hash64 form is the right at-rest shape; collisions conflate
+    spans at ~N²/2⁶⁵, the candidate-generation contract shared with
+    duplicate_spans).
+
+    Scale shape: map-side window explosion, one distinct (span-key
+    shuffle). Persist the output bucketed/sorted by the key column
+    (sources.layout.write_bucketed) so every future batch join
+    co-locates against the store with zero history-side shuffle;
+    append-only maintenance is a union + distinct of the new batch's
+    own windows."""
+    if key not in ("text", "hash"):
+        raise ValueError(f"key must be 'text' or 'hash'; got {key!r}")
+    win = _span_windows(
+        df.select(F.lit(1).alias("__sid__"), F.col(text_col)),
+        "__sid__",
+        text_col,
+        span_tokens,
+    )
+    kcol = (
+        F.col("__span__").alias("span")
+        if key == "text"
+        else hash64(F.col("__span__")).alias("span_hash")
+    )
+    return win.select(kcol).distinct()
+
+
+def incremental_new_docs(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Exact incremental dedup: the batch documents whose normalized
+    md5 fingerprint is NOT in an existing corpus fingerprint store —
+    the production crawl-ingest shape (dedup each new batch against
+    everything already kept, without re-processing history; the store
+    is ``exact_dedup(history).select('fingerprint')`` or its
+    maintained union). Returns the surviving batch rows, all original
+    columns.
+
+    Scale shape: the batch fingerprints map-side; one LEFT ANTI join
+    on the 16-byte key. The store is the big side at 100 TB (one row
+    per distinct historical document) — keep it bucketed by ``fp_col``
+    (sources.layout) so the anti-join co-locates with no store-side
+    shuffle, and only the (small) batch moves; when the batch fits the
+    broadcast threshold AQE runs the anti-join broadcast from the
+    BATCH side's perspective automatically. md5 keys are uniform, so
+    no skew handling is needed."""
+    fp = F.md5(normalize(F.col(text_col)))
+    tagged = batch.withColumn("__fp__", fp)
+    return (
+        tagged.join(
+            store.select(F.col(fp_col).alias("__fp__")), "__fp__", "left_anti"
+        )
+        .drop("__fp__")
+    )
+
+
+def incremental_span_contamination(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 20,
+    key: str = "hash",
+) -> DataFrame:
+    """Per-batch-document contamination against a historical span
+    store: (id, n_windows, n_seen, seen_fraction), where n_windows is
+    the count of the document's DISTINCT n-token windows and n_seen
+    how many of them already exist in the store — the quality/dedup
+    signal an incremental pipeline thresholds on before admitting a
+    crawl document (a doc whose windows are 95% already-seen adds
+    almost no new text even if its exact fingerprint is novel). Every
+    batch document emits a row; sub-span_tokens docs report (0, 0, 0).
+
+    Scale shape: batch windows explode map-side and DISTINCT per (id,
+    key); one semi-ish LEFT join against the store key column (store
+    bucketed by key ⇒ no store-side shuffle, same layout argument as
+    incremental_new_docs); one per-id rollup. ``key`` must match the
+    store's column ('span' or 'span_hash')."""
+    if key not in ("text", "hash"):
+        raise ValueError(f"key must be 'text' or 'hash'; got {key!r}")
+    n = int(span_tokens)
+    kname = "span" if key == "text" else "span_hash"
+    win = _span_windows(batch, id_col, text_col, n)
+    kcol = (
+        F.col("__span__") if key == "text" else hash64(F.col("__span__"))
+    ).alias("__k__")
+    bw = win.select(id_col, kcol).distinct()
+    seen = store.select(F.col(kname).alias("__k__"), F.lit(1).alias("__hit__"))
+    per = (
+        bw.join(seen, "__k__", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_seen"),
+        )
+    )
+    return batch.select(id_col).join(per, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_windows"), F.lit(0)).cast("bigint").alias("n_windows"),
+        F.coalesce(F.col("n_seen"), F.lit(0)).cast("bigint").alias("n_seen"),
+        F.coalesce(
+            F.col("n_seen") / F.col("n_windows"), F.lit(0.0)
+        ).alias("seen_fraction"),
+    )

@@ -40,17 +40,19 @@ def query(name: str, oracle: str | None = None):
 # module's block.
 # Round-12 rotation (VERDICT r11 item 5): oldest-first. The 50-slot
 # window = ALL 26 names whose latest green row is r8, then the round's
-# TWO new registrations (the winnowed span-candidate pipeline and the
-# hashed span posture — after the r8 block so 26 cheaper queries
-# absorb the sweep session's cold-start), then the routed-chunks
-# ASSIGN posture DELIBERATELY BEFORE the routed SEARCH posture — the
-# two share an exact model lineage, so assign pays the one-off
-# training + coarse-layer build and ann_ivf_routed_topk's construction
-# becomes a memo hit (VERDICT r11 item 3: 15.6 s cold-first -> warm;
-# ann_ivf_routed_topk is re-gated because its evidence sizing changed
-# this round) — then 20 of the 50 r9 names, new-code-adjacent first
-# (this round touched the similarity construction/memo paths, dedup's
-# candidate-pair discipline, and core.frame's known_bounds path).
+# FIVE new registrations (the winnowed span-candidate pipeline, the
+# hashed span posture, the longest-duplicated-run statistic, and the
+# incremental store-based dedup pair — after the r8 block so 26
+# cheaper queries absorb the sweep session's cold-start), then the
+# routed-chunks ASSIGN posture DELIBERATELY BEFORE the routed SEARCH
+# posture — the two share an exact model lineage, so assign pays the
+# one-off training + coarse-layer build and ann_ivf_routed_topk's
+# construction becomes a memo hit (VERDICT r11 item 3: 15.6 s
+# cold-first -> warm; ann_ivf_routed_topk is re-gated because its
+# evidence sizing changed this round) — then 17 of the 50 r9 names,
+# new-code-adjacent first (this round touched the similarity
+# construction/memo paths, dedup's candidate-pair discipline, and
+# core.frame's known_bounds path).
 # After the r12 gate runs, no name's latest green row is older than r9.
 _PRIORITY = [
     # oldest-green rotation: the 26 names whose latest green row is r8
@@ -64,20 +66,22 @@ _PRIORITY = [
     "resample_ffill_hours", "reservoir_counts", "split_leakage_pairs",
     "term_frequency_topk", "text_stats", "weighted_sample_langs",
     # round-12 new registrations (the winnow consumer, the hash
-    # posture, and the longest-duplicated-run statistic)
+    # posture, the longest-duplicated-run statistic, and the
+    # incremental store-based dedup pair)
     "winnow_span_pairs", "duplicate_spans_hashed", "longest_dup_run",
+    "incremental_new_docs", "incremental_span_contamination",
     # shared-lineage pair: assign FIRST (pays construction), search
     # second (memo-warm); the search query is re-gated this round
     "ivf_assign_routed_chunks", "ann_ivf_routed_topk",
-    # window fill: 19 of the 50 r9 names, new-code-adjacent first
-    # (19, not 20 — the third new registration took one slot)
+    # window fill: 17 of the 50 r9 names, new-code-adjacent first
+    # (17, not 20 — the five new registrations took three extra slots)
     "ann_ivf_frame_topk", "ivf_assign_frame_scaled",
     "quantize_embeddings_int8", "lsh_candidate_pairs",
     "row_number_rank", "skip_last_tail", "slice_rows_page",
     "drop_rows_inverse", "distinct_by_first", "nth_order_value",
     "split_tokens", "inverted_index", "multimodal_features",
     "merge_rows_lists", "describe_numeric", "corr_pair",
-    "agg_minmax_count", "count_conditional", "argmax_row",
+    "agg_minmax_count",
 ]
 
 

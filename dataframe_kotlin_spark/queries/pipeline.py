@@ -3022,6 +3022,105 @@ def longest_dup_run(spark, sf_dir):
 
 
 @query(
+    "incremental_new_docs",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT b.doc_id, b.lang
+    FROM batch b ANTI JOIN hist USING (fp)
+    """,
+)
+def incremental_new_docs(spark, sf_dir):
+    """Exact incremental dedup (dedup.incremental_new_docs, r12): the
+    production crawl-ingest shape — each new batch is deduplicated
+    against the FINGERPRINT STORE of everything already kept, without
+    re-reading history's text. History = even doc_ids (its store is
+    exact_dedup's fingerprint column), batch = odd doc_ids; the result
+    is the batch documents whose normalized-md5 fingerprint is novel.
+    One left-anti join on a 16-byte uniform key; at 100 TB the store
+    is bucketed by fingerprint (sources.layout) so only the batch
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = dedup.exact_dedup(hist, "text", "doc_id").select("fingerprint")
+    return dedup.incremental_new_docs(batch, store, "doc_id", "text").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "incremental_span_contamination",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    wspan AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(t[i:i+7], ' '))) AS span
+      FROM tok WHERE len(t) >= 8
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST((('0x' || substr(md5(span), 1, 16))::UBIGINT)::HUGEINT
+                  - CASE WHEN substr(md5(span), 1, 1)
+                              IN ('8','9','a','b','c','d','e','f')
+                         THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                  AS BIGINT) AS k
+      FROM wspan
+    ),
+    store AS (SELECT DISTINCT k FROM w WHERE doc_id % 2 = 0),
+    bw AS (SELECT DISTINCT doc_id, k FROM w WHERE doc_id % 2 = 1),
+    per AS (
+      SELECT bw.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN store.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+      FROM bw LEFT JOIN store USING (k)
+      GROUP BY bw.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(per.n_seen, 0) AS BIGINT) AS n_seen,
+           ROUND(COALESCE(per.n_seen / per.n_windows, 0.0) + 1e-9, 5) AS seen_fraction
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN per USING (doc_id)
+    """,
+)
+def incremental_span_contamination(spark, sf_dir):
+    """Per-batch-document span contamination against a historical SPAN
+    STORE (dedup.incremental_span_contamination, r12): the fraction of
+    each new document's distinct 8-token windows that history already
+    contains — the admit/reject signal for documents that are
+    fingerprint-novel but textually almost entirely already-seen.
+    History = even doc_ids (its store is span_store's 8-byte hash64
+    key column — the at-rest posture, SQL-replayed via the HUGEINT
+    sign-reconstruction recipe), batch = odd doc_ids; every batch
+    document emits a row (sub-8-token docs report zeros). One store
+    join + one per-id rollup; store bucketed by key at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = dedup.span_store(hist, "text", span_tokens=8, key="hash")
+    out = dedup.incremental_span_contamination(
+        batch, store, "doc_id", "text", span_tokens=8, key="hash"
+    )
+    return out.select(
+        "doc_id", "n_windows", "n_seen",
+        F.round(F.col("seen_fraction") + 1e-9, 5).alias("seen_fraction"),
+    )
+
+
+@query(
     "psi_drift_priority",
     oracle="""
     WITH base AS (

@@ -1451,3 +1451,62 @@ def test_longest_duplicate_run_property_vs_bruteforce(spark, docs_toks, n):
         for r in dedup.longest_duplicate_run(df, span_tokens=n).collect()
     }
     assert got == want
+
+
+# ---- r12: incremental store-based dedup -----------------------------------
+
+
+def test_incremental_new_docs_and_span_store(spark):
+    """The crawl-ingest contract: a batch doc textually identical to a
+    history doc (modulo normalization) is dropped by the fingerprint
+    anti-join; novel docs survive with all columns; the span store is
+    the distinct window-key set and both key layouts agree in size."""
+    hist = spark.createDataFrame(
+        [(0, "The Quick   brown fox jumps over the lazy dog"),
+         (2, "entirely different historical content here")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+         (3, "genuinely new text never seen before at all"),
+         (5, "entirely different historical content here")],  # dup of 2
+        "doc_id long, text string",
+    )
+    store = dedup.exact_dedup(hist, "text", "doc_id").select("fingerprint")
+    out = dedup.incremental_new_docs(batch, store, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in out.collect()) == [3]
+    assert out.columns == ["doc_id", "text"]
+    st_t = dedup.span_store(hist, "text", span_tokens=4, key="text")
+    st_h = dedup.span_store(hist, "text", span_tokens=4, key="hash")
+    assert st_t.columns == ["span"] and st_h.columns == ["span_hash"]
+    assert st_t.count() == st_h.count() > 0
+
+
+def test_incremental_span_contamination_fractions(spark):
+    """Hand-pinned fractions: a batch doc sharing half its distinct
+    windows with history reports 0.5; an all-new doc 0.0; an identical
+    doc 1.0; a sub-n doc emits (0, 0, 0.0)."""
+    hist = spark.createDataFrame(
+        [(0, "h1 h2 h3 h4 h5")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, "h1 h2 h3 h4 h5"),        # identical: 2 windows, both seen
+            (3, "h1 h2 h3 h4 b1"),        # windows {h1..h4, h2..b1}: 1 of 2 seen
+            (5, "n1 n2 n3 n4 n5 n6"),     # all new
+            (7, "tiny doc"),              # < 4 tokens
+        ],
+        "doc_id long, text string",
+    )
+    for key in ("text", "hash"):
+        store = dedup.span_store(hist, "text", span_tokens=4, key=key)
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_seen"], r["seen_fraction"])
+            for r in dedup.incremental_span_contamination(
+                batch, store, "doc_id", "text", span_tokens=4, key=key
+            ).collect()
+        }
+        assert got[1] == (2, 2, 1.0), key
+        assert got[3] == (2, 1, 0.5), key
+        assert got[5] == (3, 0, 0.0), key
+        assert got[7] == (0, 0, 0.0), key

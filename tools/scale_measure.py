@@ -789,6 +789,48 @@ def main():
             f"(loadavg_start={row_load}, loadavg_end={round(os.getloadavg()[0], 2)})"
         )
 
+    # r12: the incremental store-based dedup pair at 100x — history =
+    # even doc_ids (its fingerprint/span stores), batch = odd. The
+    # production crawl-ingest shape: per-batch cost must be
+    # batch-sized + one store join, never a history text re-read.
+    if not only or "incremental_scaled" in only:
+        from pyspark.sql import functions as F
+
+        from dataframe_kotlin_spark.operators.dedup import (
+            exact_dedup,
+            incremental_new_docs,
+            incremental_span_contamination,
+            span_store,
+        )
+
+        docs100 = spark.read.parquet(f"{DST}/documents.parquet")
+        hist = docs100.filter(F.col("doc_id") % 2 == 0)
+        batch = docs100.filter(F.col("doc_id") % 2 == 1)
+        row_load = round(os.getloadavg()[0], 2)
+        t0 = time.time()
+        fstore = exact_dedup(hist, "text", "doc_id").select("fingerprint")
+        n_new = incremental_new_docs(batch, fstore, "doc_id", "text").count()
+        t_exact = time.time() - t0
+        t0 = time.time()
+        sstore = span_store(hist, "text", span_tokens=8, key="hash")
+        cont = incremental_span_contamination(
+            batch, sstore, "doc_id", "text", span_tokens=8, key="hash"
+        )
+        stats = cont.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("seen_fraction").alias("avg_seen"),
+        ).collect()[0]
+        t_span = time.time() - t0
+        out["incremental_scaled"] = t_exact + t_span
+        print(
+            f"incremental_scaled (250k-doc batch vs 250k-doc history): "
+            f"exact store+anti-join {t_exact:.2f}s ({n_new} novel docs) · "
+            f"span store+contamination {t_span:.2f}s "
+            f"({stats['n']} batch docs, avg seen_fraction "
+            f"{stats['avg_seen']:.3f}) "
+            f"(loadavg_start={row_load}, loadavg_end={round(os.getloadavg()[0], 2)})"
+        )
+
     out["loadavg_start"], out["loadavg_end"] = run_load_start, round(os.getloadavg()[0], 2)
     print({k: round(v, 2) for k, v in out.items()})
 
