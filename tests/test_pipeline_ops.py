@@ -1510,3 +1510,56 @@ def test_incremental_span_contamination_fractions(spark):
         assert got[3] == (2, 1, 0.5), key
         assert got[5] == (3, 0, 0.0), key
         assert got[7] == (0, 0, 0.0), key
+
+
+@given(
+    hist_toks=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=10),
+        min_size=1, max_size=4,
+    ),
+    batch_toks=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=10),
+        min_size=1, max_size=4,
+    ),
+    n=st.integers(2, 4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_incremental_ops_property_vs_bruteforce(spark, hist_toks, batch_toks, n):
+    """Property: incremental_new_docs == batch docs whose normalized
+    text is not in history; span contamination fractions match the
+    brute-force distinct-window containment for every batch doc."""
+    hist = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(hist_toks)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, " ".join(t)) for i, t in enumerate(batch_toks)],
+        "doc_id long, text string",
+    )
+    fstore = dedup.exact_dedup(hist, "text", "doc_id").select("fingerprint")
+    got_new = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_new_docs(batch, fstore, "doc_id", "text").collect()
+    )
+    hist_norm = {" ".join(t) for t in hist_toks}
+    want_new = sorted(
+        1000 + i for i, t in enumerate(batch_toks) if " ".join(t) not in hist_norm
+    )
+    assert got_new == want_new
+
+    sstore = dedup.span_store(hist, "text", span_tokens=n, key="hash")
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_seen"])
+        for r in dedup.incremental_span_contamination(
+            batch, sstore, "doc_id", "text", span_tokens=n, key="hash"
+        ).collect()
+    }
+    hwins = set()
+    for t in hist_toks:
+        tt = " ".join(t).split(" ") if t else [""]
+        for j in range(len(tt) - n + 1):
+            hwins.add(" ".join(tt[j : j + n]))
+    for i, t in enumerate(batch_toks):
+        tt = " ".join(t).split(" ") if t else [""]
+        bw = {" ".join(tt[j : j + n]) for j in range(len(tt) - n + 1)}
+        assert got[1000 + i] == (len(bw), len(bw & hwins)), (i, t)
