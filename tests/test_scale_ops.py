@@ -510,3 +510,47 @@ def test_persist_registry_concurrency_soak(spark):
 
     assert pinned.storageLevel != StorageLevel.NONE
     pinned.unpersist()
+
+
+def test_incremental_store_bucketed_no_store_shuffle(spark):
+    """The incremental-dedup docstring's layout claim, pinned: with the
+    fingerprint store written BUCKETED on its key (sources.layout), the
+    batch anti-join reads the store co-located — the ONLY Exchange in
+    the plan is the batch side shuffling into the store's bucketing;
+    the store branch has none. At 100 TB the store is the big side, so
+    this is the difference between a batch-sized and a corpus-sized
+    shuffle per ingested crawl."""
+    from dataframe_kotlin_spark.operators import dedup
+    from dataframe_kotlin_spark.sources import write_bucketed
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    spark.sql("DROP TABLE IF EXISTS t_fp_store_b")
+    store_src = dedup.exact_dedup(hist, "text", "doc_id").select("fingerprint")
+    write_bucketed(store_src, "t_fp_store_b", ["fingerprint"], 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        store = spark.table("t_fp_store_b")
+        out = dedup.incremental_new_docs(batch, store, "doc_id", "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin LeftAnti" in plan or (
+            "SortMergeJoin" in plan and "LeftAnti" in plan
+        ), plan
+        # exactly ONE shuffle: the batch side into the store's buckets
+        n_exchange = plan.count("Exchange hashpartitioning")
+        assert n_exchange == 1, plan
+        # and the result agrees with the unbucketed path
+        expected = sorted(
+            r["doc_id"]
+            for r in dedup.incremental_new_docs(
+                batch, store_src, "doc_id", "text"
+            ).collect()
+        )
+        got = sorted(r["doc_id"] for r in out.collect())
+        assert got == expected and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_fp_store_b")
