@@ -545,6 +545,20 @@ def jaccard_pairs_prefix(
         "__id__", "__tok__", "__pos__", "__n__"
     )
     prefix = prefix.repartition(nparts, "__tok__")
+    # BOTH sides of the candidate self-join read `prefix`, and (like the
+    # 4-consumer `base` above) the repeated subtree does NOT collapse to
+    # ReusedExchange under AQE — so without this persist the document-
+    # frequency aggregate and the per-doc ranking window (the operator's
+    # two heaviest front-half exchanges: a full (id, token) shuffle +
+    # sort each) execute TWICE per run (r12 plan audit: ops 18-35 and
+    # 37-58 in plans/r12/dedup_then_jaccard_before.txt are the same
+    # subtree verbatim). The cached relation is 4 narrow columns x
+    # (prefix length L) rows per doc — strictly smaller than the
+    # persisted base's full token sets, so the same bounded-FIFO
+    # lifecycle applies. Persisting AFTER the __tok__ repartition keeps
+    # the cached partitioning, so the self-join consumes it without a
+    # new exchange.
+    prefix = PREFIX_BASE.retain(prefix.persist(StorageLevel.MEMORY_AND_DISK))
     # Length + positional filters (PPJoin, Xiao et al. WWW'08) — both
     # EXACT, both applied before the verify join fetches token sets:
     # J >= t needs overlap o >= alpha = ceil(t/(1+t) * (n_a+n_b)), and
@@ -1035,7 +1049,21 @@ def verify_span_pairs(
     that hub fan-out. No collect, no cross join, no UDF.
 
     Returns (id_a, id_b, n_shared_spans) with n_shared_spans >= 1.
+
+    Replay discipline (r12): ``pairs`` has THREE consumers here (both
+    arms of the ids union plus the verify join) and ``spans`` has two
+    (the a/b sides of the shared-window join); neither repeated subtree
+    collapses to ReusedExchange under AQE (the r7-dsir class), so
+    without persists the candidate generator's fingerprint self-join
+    executes 3x and the candidate-doc window explosion + distinct 2x
+    per run (r12 plan audit: plans/r12/winnow_span_pairs_before.txt).
+    Both cached relations are candidate-volume sized — (id, id) pairs
+    and the pruned docs' distinct windows — never corpus-sized, and
+    both live in the bounded PREFIX_BASE FIFO.
     """
+    from pyspark import StorageLevel
+
+    pairs = PREFIX_BASE.retain(pairs.persist(StorageLevel.MEMORY_AND_DISK))
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
@@ -1044,6 +1072,7 @@ def verify_span_pairs(
     spans = _span_windows(
         df.join(ids, id_col, "left_semi"), id_col, text_col, span_tokens
     ).distinct()
+    spans = PREFIX_BASE.retain(spans.persist(StorageLevel.MEMORY_AND_DISK))
     a = spans.select(F.col(id_col).alias("id_a"), F.col("__span__"))
     b = spans.select(F.col(id_col).alias("id_b"), F.col("__span__"))
     return (

@@ -2275,13 +2275,31 @@ def semdedup_scaled(spark, sf_dir):
     # jaccard_pairs_prefix's base persist (r9), where the replayed
     # subtree contains the caller's whole shuffle-heavy dedup.
     tagged = similarity.assign_cells(emb, cents, "embedding", "cell")
-    surv = dedup.semdedup_prune(
-        tagged, "cell", "embedding", "vec_id", threshold=0.35, method="dgemm"
-    )
+    # r12 optimization: the per-cell dgemm pair scoring is the query's
+    # one expensive pass (cell shuffle + cogroup BLAS), and it used to
+    # execute FIVE times — semdedup_prune built its own pairs->dropped->
+    # anti-join internally, the verification pass built the same pairs
+    # again, and `dropped`/`surv` then fanned into the four audit
+    # aggregates with no AQE subtree reuse (the r7-dsir replay class;
+    # plans/r12/semdedup_scaled_before.txt shows 5 FlatMapGroupsInPandas
+    # nodes). Compute the pairs ONCE, persist only the drop-id list —
+    # ids only, bounded by n rows, narrow at any corpus size (the
+    # persist-wins shape: expensive replay, cheap cache — unlike the
+    # deliberately-recomputed map-only `tagged`) — and derive the
+    # survivors by the SAME anti-join semdedup_prune performs
+    # (dedup.py:652-656: dropped = distinct id_b, keep = left_anti), so
+    # the surviving set is unchanged row for row. 5 dgemm passes -> 1.
+    from pyspark import StorageLevel
+
     pairs = similarity.cosine_neardup_pairs(
         tagged, "cell", vec_col="embedding", id_col="vec_id", threshold=0.35, method="dgemm"
     )
-    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    dropped = cachereg.QUERY_RESULTS.retain(
+        pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    surv = tagged.join(dropped, "vec_id", "left_anti")
     a_part = tagged.agg(
         F.count(F.lit(1)).alias("n_asg"),
         F.count_distinct("vec_id").alias("n_ids"),

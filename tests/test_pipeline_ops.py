@@ -1563,3 +1563,39 @@ def test_incremental_ops_property_vs_bruteforce(spark, hist_toks, batch_toks, n)
         tt = " ".join(t).split(" ") if t else [""]
         bw = {" ".join(tt[j : j + n]) for j in range(len(tt) - n + 1)}
         assert got[1000 + i] == (len(bw), len(bw & hwins)), (i, t)
+
+
+def test_r12_replay_persists_engage(spark):
+    """r12 optimization pins: the shared relations that used to replay
+    their build subtrees into every consumer (jaccard's ranked prefix,
+    the winnow verify's candidate pairs + candidate-doc spans) are now
+    persisted, so each expensive subtree executes once per run. Assert
+    the physical plan consumes a cached relation (InMemoryTableScan)
+    AND that results are byte-identical to the unpersisted brute force
+    (the recall tests above already pin values; this pins the plan)."""
+    from dataframe_kotlin_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+        winnowed_duplicate_pairs,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lam"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    jp = jaccard_pairs_prefix(df, "doc_id", "text", threshold=0.6)
+    jp_plan = jp._jdf.queryExecution().executedPlan().toString()
+    # base + prefix both cached -> at least two distinct InMemory scans
+    assert jp_plan.count("InMemoryTableScan") >= 2
+    assert {(r["id_a"], r["id_b"]) for r in jp.collect()} == {(1, 2), (1, 4), (2, 4)}
+
+    wp = winnowed_duplicate_pairs(df, "doc_id", "text", n=8, w=2)
+    wp_plan = wp._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in wp_plan
+    got = {(r["id_a"], r["id_b"]): r["n_shared_spans"] for r in wp.collect()}
+    # docs 1 and 4 are identical (3 distinct 8-token windows shared);
+    # 1-2 and 2-4 share the 9-token prefix run -> two 8-windows
+    assert got[(1, 4)] == 3 and got[(1, 2)] == 2 and got[(2, 4)] == 2
