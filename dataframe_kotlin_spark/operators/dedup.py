@@ -359,18 +359,37 @@ def jaccard_pairs(
     toks = F.array_distinct(tokens(F.col(text_col)))
     base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], toks.alias("__t__"))
     base = _pin_fanout(base, list(block_cols))
+    # Token-set SIZE precomputed once per row (map-side), for two exact
+    # per-pair savings (r12; both value-identical by set arithmetic):
+    #   - length prune: |A∩B| <= min(n_a,n_b) and |A∪B| >= max(n_a,n_b),
+    #     so J <= min/max — pairs with min < t*max cannot reach the
+    #     threshold and are discarded by an integer predicate BEFORE the
+    #     per-pair array work runs (same bound jaccard_pairs_prefix
+    #     applies, same recall-safe epsilon nudge);
+    #   - union-free Jaccard: the token arrays are element-distinct, so
+    #     |A∪B| = n_a + n_b - |A∩B| — the array_union allocation per
+    #     pair (the join's single hottest expression) is replaced by two
+    #     int adds on the precomputed sizes.
     a = base.select(
-        F.col(id_col).alias("id_a"), *block_cols, F.col("__t__").alias("__ta__")
+        F.col(id_col).alias("id_a"), *block_cols,
+        F.col("__t__").alias("__ta__"), F.size("__t__").alias("__na__"),
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), *block_cols, F.col("__t__").alias("__tb__")
+        F.col(id_col).alias("id_b"), *block_cols,
+        F.col("__t__").alias("__tb__"), F.size("__t__").alias("__nb__"),
     )
     inter = F.size(F.array_intersect(F.col("__ta__"), F.col("__tb__")))
-    un = F.size(F.array_union(F.col("__ta__"), F.col("__tb__")))
+    un = F.col("__na__") + F.col("__nb__") - F.col("__inter__")
     return (
         a.join(b, list(block_cols))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", inter / un)
+        .filter(
+            F.least(F.col("__na__"), F.col("__nb__"))
+            >= F.greatest(F.col("__na__"), F.col("__nb__")) * F.lit(threshold)
+            - F.lit(1e-9)
+        )
+        .withColumn("__inter__", inter)
+        .withColumn("jaccard", F.col("__inter__") / un)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

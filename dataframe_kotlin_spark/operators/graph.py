@@ -47,9 +47,28 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    e = e.localCheckpoint(eager=True)
+    # r12: pre-partition the (static) edge relation on the join key it
+    # is probed with EVERY round, then checkpoint — LogicalRDD preserves
+    # the physical partitioning, so the per-round e ⋈ labels join stops
+    # re-shuffling the edges (guide §2.4: operations keyed the same way
+    # share one exchange). Edges are the component-finding pass's LARGE
+    # relation at any scale — one edge shuffle paid at build replaces
+    # one per round (plan evidence: the round-1 Exchange
+    # hashpartitioning(v) over Scan ExistingRDD is gone). The partition
+    # count matches spark.sql.shuffle.partitions so ENSURE_REQUIREMENTS
+    # accepts the existing layout.
+    nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = e.repartition(nparts, "v").localCheckpoint(eager=True)
 
-    labels = e.select(F.col("u").alias("n")).distinct().withColumn("c", F.col("n"))
+    # checkpoint the seed labels too: round 1 consumes them on BOTH
+    # sides of its join, and the un-checkpointed distinct re-executed
+    # per consumer (same no-ReusedExchange class as everywhere else)
+    labels = (
+        e.select(F.col("u").alias("n"))
+        .distinct()
+        .withColumn("c", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         # smallest label among each node's neighbors
         neigh = (
@@ -205,8 +224,24 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)  # reused every iteration
     )
-    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
-    deg = e.groupBy("__s__").agg(F.count(F.lit(1)).alias("__deg__"))
+    # r12: the edge relation and the degree table are consumed by EVERY
+    # iteration's contribs join, and an un-checkpointed lineage replays
+    # the caller's whole edge derivation per iteration (pagerank_parts:
+    # the lineitem distinct + symmetric union, 3x). Checkpoint both —
+    # edges pre-partitioned on the per-iteration probe key __s__ so the
+    # join stops re-shuffling them each round (the same discipline as
+    # connected_components; edges are the big relation at any scale),
+    # deg already hash(__s__)-partitioned by its groupBy. n_row is one
+    # row, checkpointed so each iteration's broadcast doesn't re-run
+    # the count aggregate.
+    nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = e.repartition(nparts, "__s__").localCheckpoint(eager=True)
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n__")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("__s__").agg(F.count(F.lit(1)).alias("__deg__")).localCheckpoint(
+        eager=True
+    )
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("__n__")).alias("rank")
     )
