@@ -654,6 +654,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     method: str = "expr",
+    salt_parts: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): within each embedding cluster, find pairs whose
@@ -683,7 +684,8 @@ def semdedup_prune(
     from dataframe_kotlin_spark.operators.similarity import cosine_neardup_pairs
 
     pairs = cosine_neardup_pairs(
-        df, cell_col, vec_col=vec_col, id_col=id_col, threshold=threshold, method=method
+        df, cell_col, vec_col=vec_col, id_col=id_col, threshold=threshold,
+        method=method, salt_parts=salt_parts,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")

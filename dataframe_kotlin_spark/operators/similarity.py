@@ -267,6 +267,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     method: str = "expr",
+    salt_parts: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by a coarse cell.
 
@@ -293,6 +294,23 @@ def cosine_neardup_pairs(
     Same last-ulp contract as assign_cells/ivf_topk_trained; 'auto'
     currently means 'expr' (no cheap cardinality signal exists here —
     callers at scale opt in).
+
+    ``salt_parts`` (r12, expr/numpy paths): with FEW distinct cells
+    (the pinned-k oracle queries: semdedup_survivors' k=4,
+    neardup_embedding's ~10 labels) the cell-keyed shuffle has at most
+    |cells| non-empty partitions and AQE's bytes-based coalescing folds
+    them further — the quadratic pair fan-out AND the per-pair fold
+    verify then run on ONE task (measured: semdedup_survivors 11.4 s
+    warm at sf0.1, every stage 1 task — the r8 fan-out trap, unpinned).
+    Salting splits each cell's pair space: the a-side gets
+    ``pmod(xxhash64(id_a), S)`` and the b-side replicates S ways, so
+    the join key becomes (cell, salt) with |cells|*S work units; each
+    pair still meets EXACTLY once (at the a-row's salt), so the pair
+    set — and every per-pair fold — is value-identical. The b-side
+    S-fold replication is the standard skew trade (guide recipe:
+    explode the small side); it is opt-in because with k ∝ N cells
+    (the deployment posture) the plain cell shuffle already spreads,
+    and S-fold replication would only add traffic.
     """
     _check_method(method, extra=("dgemm",))
     if method == "dgemm":
@@ -307,12 +325,28 @@ def cosine_neardup_pairs(
         F.col(cell_col).alias("__cell__"),
         as_double(F.col(vec_col)).alias("__vb__"),
     )
+    join_keys = ["__cell__"]
+    if salt_parts and salt_parts > 1:
+        a = a.withColumn(
+            "__ps__", F.pmod(F.xxhash64(F.col("id_a")), F.lit(salt_parts)).cast("int")
+        )
+        b = b.withColumn(
+            "__ps__",
+            F.explode(F.sequence(F.lit(0).cast("int"), F.lit(salt_parts - 1).cast("int"))),
+        )
+        join_keys = ["__cell__", "__ps__"]
+        # explicit numPartitions repartition is exempt from AQE
+        # coalescing (the dedup._pin_fanout discipline) — without it the
+        # salted shuffle's tiny BYTES would be folded back onto few tasks
+        n = df.sparkSession.sparkContext.defaultParallelism
+        a = a.repartition(n, *join_keys)
+        b = b.repartition(n, *join_keys)
     if method == "numpy":
         sim = pandas_cosine()(F.col("__va__"), F.col("__vb__"))
     else:
         sim = cosine(F.col("__va__"), F.col("__vb__"))
     return (
-        a.join(b, "__cell__")
+        a.join(b, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine_sim", sim)
         .filter(F.col("cosine_sim") >= threshold)

@@ -435,8 +435,12 @@ def neardup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs blocked by coarse cell
     (operators/similarity.cosine_neardup_pairs). Threshold tuned to the
     synthetic embeddings (random vectors peak ~0.47 cosine)."""
+    # r12: ~10 distinct labels -> the cell shuffle serialized the
+    # quadratic fold onto 1 task (4.9 s warm at sf0.1); salt the pair
+    # space (value-identical — see cosine_neardup_pairs)
     out = similarity.cosine_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), cell_col="label", threshold=0.35
+        _t(spark, sf_dir, "embeddings"), cell_col="label", threshold=0.35,
+        salt_parts=spark.sparkContext.defaultParallelism,
     )
     return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), 6))
 
@@ -2218,7 +2222,15 @@ def semdedup_survivors(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     asg = similarity.kmeans_lloyd_det(emb, "vec_id", "embedding", k=4, iters=1)
     tagged = emb.join(asg.select("vec_id", F.col("cell").cast("bigint").alias("cell")), "vec_id")
-    out = dedup.semdedup_prune(tagged, "cell", "embedding", "vec_id", threshold=0.35)
+    # r12: k is PINNED at 4 (the oracle replays every float, which caps
+    # k), so the cell shuffle has 4 non-empty partitions and the
+    # quadratic within-cell fold serialized onto one task (11.4 s warm
+    # at sf0.1, every stage 1 task). Salt the pair space — pair set and
+    # every per-pair fold value-identical; see cosine_neardup_pairs.
+    out = dedup.semdedup_prune(
+        tagged, "cell", "embedding", "vec_id", threshold=0.35,
+        salt_parts=spark.sparkContext.defaultParallelism,
+    )
     return out.select("vec_id", "cell")
 
 

@@ -1599,3 +1599,28 @@ def test_r12_replay_persists_engage(spark):
     # docs 1 and 4 are identical (3 distinct 8-token windows shared);
     # 1-2 and 2-4 share the 9-token prefix run -> two 8-windows
     assert got[(1, 4)] == 3 and got[(1, 2)] == 2 and got[(2, 4)] == 2
+
+
+def test_cosine_pairs_salted_identical(spark):
+    """r12: salt_parts splits the few-big-cells pair space across tasks
+    (the r8 fan-out trap hit the expr path's cell shuffle); the pair
+    SET and every per-pair fold must be value-identical — each pair
+    meets exactly once, at the a-row's salt."""
+    import random
+
+    from dataframe_kotlin_spark.operators.similarity import cosine_neardup_pairs
+
+    rnd = random.Random(7)
+    rows = [
+        (i, i % 3, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<double>")
+    plain = {
+        (r["id_a"], r["id_b"], r["cell"], r["cosine_sim"])
+        for r in cosine_neardup_pairs(df, "label", threshold=0.1).collect()
+    }
+    salted = {
+        (r["id_a"], r["id_b"], r["cell"], r["cosine_sim"])
+        for r in cosine_neardup_pairs(df, "label", threshold=0.1, salt_parts=8).collect()
+    }
+    assert plain == salted and len(plain) > 0
