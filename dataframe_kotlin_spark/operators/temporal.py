@@ -265,6 +265,18 @@ def resample_ffill(
     observed = df.groupBy(
         *keys, bucket.alias(bucket_name)
     ).agg(agg.alias(value_name))
+    # r12: `observed` has two consumers (the per-key range aggregate and
+    # the grid snap join) and the repeated subtree does not collapse to
+    # ReusedExchange under AQE — without the persist the raw-event scan
+    # + grouped aggregation execute twice per run. The cached relation
+    # is (keys x observed buckets) — aggregate-sized, far below the raw
+    # events at any scale (the persist-wins shape); bounded-FIFO
+    # lifecycle as everywhere else.
+    from pyspark import StorageLevel
+
+    from dataframe_kotlin_spark.operators.cachereg import QUERY_RESULTS
+
+    observed = QUERY_RESULTS.retain(observed.persist(StorageLevel.MEMORY_AND_DISK))
     rng = observed.groupBy(*keys).agg(
         F.min(bucket_name).alias("__b0__"), F.max(bucket_name).alias("__b1__")
     )

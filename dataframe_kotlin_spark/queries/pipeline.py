@@ -1157,8 +1157,11 @@ def collocations_pmi(spark, sf_dir):
     no gate needed). Ranked top-25 with the bigram string as tiebreak;
     rounded to 4 dp (+1e-9) for cross-engine log parity."""
     from dataframe_kotlin_spark.operators import skew
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # r12: same single-task-explode guard as bigram_lm_topk (the bigram
+    # AND unigram explodes both run from this scan; no-op at scale)
+    docs = ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     toks = tokens(F.col("text"))
     grams = docs.filter(F.size(toks) >= 2).select(
         F.explode(_sliding_bigrams(F.col("text"))).alias("bigram")
@@ -1543,7 +1546,13 @@ def bigram_lm_topk(spark, sf_dir):
     matching the oracle's list indexing); two shuffles (bigram counts,
     then first-word totals joined back). The denominator is derived FROM
     the bigram table — no second raw scan."""
-    docs = _t(spark, sf_dir, "documents")
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+
+    # r12: the bigram explode is CPU ∝ tokens but planned from scan
+    # BYTES — a single-row-group documents file serialized it onto one
+    # task (full-scan audit: every stage 1 task). The guard is a no-op
+    # at production file counts.
+    docs = ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     big = docs.filter(F.size(tokens(F.col("text"))) >= 2).select(
         F.explode(_sliding_bigrams(F.col("text"))).alias("bigram")
     )
@@ -1742,8 +1751,14 @@ def doc_surprisal_scores(spark, sf_dir):
     choice in both regimes, never trusting the known-wrong Generate
     stats."""
     from dataframe_kotlin_spark.operators import skew
+    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # r12: the bigram explode feeds BOTH the LM aggregate and the
+    # scoring join (map-only lineage — recompute over a corpus-sized
+    # cache, the semdedup-tagged precedent), and a single-row-group
+    # file serialized each pass onto one task. Guard is a no-op at
+    # production file counts.
+    docs = ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
     big = docs.filter(F.size(tokens(F.col("text"))) >= 2).select(
         "doc_id", F.explode(_sliding_bigrams(F.col("text"))).alias("bigram")
     )
