@@ -104,6 +104,31 @@ class PersistRegistry:
         with self._lock:
             return len(self._items)
 
+    def drain(self):
+        """Unpersist and forget every unpinned entry (r13, for the bench's
+        per-query cold rep): query functions call ``persist()`` fresh on
+        every invocation, so a drained registry re-caches on the next
+        run — unlike ``spark.catalog.clearCache()``, which also strips
+        the persistence marking from long-lived MEMOIZED frames
+        (COARSE_MAPS chunk maps, model lineages) that are never
+        re-``persist()``-ed and would silently recompute on every
+        subsequent action for the rest of the session."""
+        drained = []
+        with self._lock:
+            keep: deque = deque()
+            while self._items:
+                old = self._items.popleft()
+                if self._pins.get(id(old), 0) > 0:
+                    keep.append(old)
+                else:
+                    drained.append(old)
+            self._items = keep
+        for old in drained:
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session already stopped: nothing to release
+
 
 class LockedLRU:
     """Thread-safe LRU memo with per-entry resource release.
@@ -170,8 +195,12 @@ class LockedLRU:
                     pass
 
 
-#: jaccard_pairs_prefix's (id, token-set) bases — see the persist
-#: comment in operators/dedup.py. Cap 8 (ADVICE r10): sized above the
+#: the dedup family's multi-consumer persists: jaccard_pairs_prefix's
+#: (id, token-set) bases and ranked prefixes, the winnow verify's
+#: candidate relations (r12), and the self-join probe relations of
+#: lsh_candidate_pairs / hamming_pairs / levenshtein_pairs (r13 — both
+#: join sides replay the signature subtree without them). See the
+#: persist comments in operators/dedup.py. Cap 8 (ADVICE r10): sized above the
 #: threaded-harness concurrency the registry's lock exists for, so >4
 #: concurrent invocations no longer evict a base mid-query and re-run
 #: the 4-subtree scan/tokenize the persist was added to avoid. The

@@ -183,6 +183,21 @@ def lsh_candidate_pairs(
     ).select(id_col, "bk.band_id", "bk.band_key")
     stacked = _pin_fanout(stacked, ["band_id", "band_key"])
     stacked = _cap_buckets(stacked, ["band_id", "band_key"], max_bucket)
+    # BOTH sides of the band self-join read `stacked`, and the repeated
+    # subtree does NOT collapse to ReusedExchange under AQE (the r7/r12
+    # finding across this file) — so without this persist the whole
+    # signature front half (scan, tokenize, per-token md5, num_hashes
+    # minhash folds, band explode) executes TWICE per run (r13 plan
+    # audit: plans/r13/lsh_candidate_pairs_before.txt ops 1-8 and 9-16
+    # are the same subtree verbatim). The cached relation is
+    # (id, band_id, band_key) — `bands` narrow rows per doc, far smaller
+    # than the token arrays it derives from — and persisting AFTER the
+    # pin freezes the join-key partitioning so both sides consume the
+    # cache without a new exchange. Same bounded-FIFO lifecycle as the
+    # jaccard prefix base.
+    from pyspark import StorageLevel
+
+    stacked = PREFIX_BASE.retain(stacked.persist(StorageLevel.MEMORY_AND_DISK))
     left = stacked.withColumnRenamed(id_col, "id_a")
     right = stacked.withColumnRenamed(id_col, "id_b")
     pairs = (
@@ -200,6 +215,7 @@ def simhash(
     bits: int = 16,
     out_col: str = "simhash",
     method: str = "auto",
+    keep_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """SimHash over the word set: bit j of the signature is the sign of
     sum over words of (+1 if bit j of h(word) else -1). Map-only.
@@ -219,7 +235,15 @@ def simhash(
     hash switches from hash20 to hash64 (bit patterns replayable in
     DuckDB as UBIGINT), bit tests use sign-safe shift+mask, and bit 63
     lands as the bigint sign bit (two's complement — xor/popcount
-    downstream are sign-agnostic)."""
+    downstream are sign-agnostic).
+
+    ``keep_cols`` (r13, guide §4: pass only the columns the function
+    needs): when set, the output carries only keep_cols + out_col, and
+    the PROJECTION HAPPENS BEFORE the Python boundary — Spark cannot see
+    which columns the numpy fold touches, so without it every input
+    column (including the full document text the hash array already
+    encodes) crosses the Arrow boundary both ways. Default None keeps
+    the returns-all-columns contract unchanged."""
     from dataframe_kotlin_spark.operators.similarity import _check_method
 
     _check_method(method)
@@ -228,6 +252,8 @@ def simhash(
     word_hash = hash64 if bits > 20 else hash20
     words = F.array_distinct(tokens(F.col(text_col)))
     out = df.withColumn("__h__", F.transform(words, lambda w: word_hash(w)))
+    if keep_cols is not None:
+        out = out.select(*keep_cols, "__h__")
     if method == "expr":
         acc = F.lit(0).cast("bigint")
         for j in range(bits):
@@ -246,7 +272,10 @@ def simhash(
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    out_schema = StructType(df.schema.fields + [StructField(out_col, LongType(), False)])
+    out_schema = StructType(
+        [f for f in out.schema.fields if f.name != "__h__"]
+        + [StructField(out_col, LongType(), False)]
+    )
 
     def fold(batches):
         import numpy as np
@@ -329,6 +358,17 @@ def hamming_pairs(
     )
     stacked = _pin_fanout(stacked, ["block_id", "block_key"])
     stacked = _cap_buckets(stacked, ["block_id", "block_key"], max_bucket)
+    # Same 2-consumer replay as lsh_candidate_pairs: both self-join
+    # sides re-execute the signature subtree — for the numpy simhash
+    # path that is the full Arrow round-trip (MapInPandas) TWICE, plus
+    # the bucket-cap window when max_bucket is set (r13 plan audit:
+    # plans/r13/simhash_hamming_pairs_before.txt ops 1-9 / 10-18).
+    # Cached relation: (id, signature, block_id, block_key) — nblocks
+    # narrow rows per doc; persisted post-pin (and post-cap) so the join
+    # consumes the cached partitioning.
+    from pyspark import StorageLevel
+
+    stacked = PREFIX_BASE.retain(stacked.persist(StorageLevel.MEMORY_AND_DISK))
     a = stacked.select(
         F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"), "block_id", "block_key"
     )
@@ -445,6 +485,16 @@ def levenshtein_pairs(
         *hist_cols,
     )
     base = _pin_fanout(base, list(block_cols))
+    # Both self-join sides read `base`: without a persist the 37-replace
+    # character histogram (37 full string scans per row) and the text
+    # projection execute TWICE per run (r13 plan audit:
+    # plans/r13/fuzzy_pairs_editdist_before.txt ops 1-4 / 6-9 duplicate
+    # the scan+histogram subtree). Cached relation: one row per doc —
+    # id, blocks, text, 37 ints; post-pin so the join reuses the
+    # partitioning. Bounded FIFO as above.
+    from pyspark import StorageLevel
+
+    base = PREFIX_BASE.retain(base.persist(StorageLevel.MEMORY_AND_DISK))
     nh = len(alphabet)
     a = base.select(
         F.col(id_col).alias("id_a"), *block_cols,
@@ -636,12 +686,25 @@ def jaccard_pairs_prefix(
         .select("id_a", "id_b")
     )
     sets = base.select("__id__", "__t__")
+    # Union-free Jaccard (r13, same arithmetic as the r12 blocked
+    # jaccard_pairs change): token arrays are array_distinct by
+    # construction, so |A∪B| = n_a + n_b − |A∩B| exactly — computing the
+    # union SIZE from sizes removes a per-pair array allocation +
+    # hash-set build on every one of the verify pairs (candidates ≈ true
+    # pairs on this corpus: 7.1M at sf0.1). The intersect lands in a
+    # named column so the division reuses it instead of evaluating the
+    # per-pair intersect twice. inter and the sizes are ints; the
+    # division produces the identical double as inter/size(union).
     inter = F.size(F.array_intersect(F.col("__ta__"), F.col("__tb__")))
-    un = F.size(F.array_union(F.col("__ta__"), F.col("__tb__")))
     return (
         cand.join(sets.select(F.col("__id__").alias("id_a"), F.col("__t__").alias("__ta__")), "id_a")
         .join(sets.select(F.col("__id__").alias("id_b"), F.col("__t__").alias("__tb__")), "id_b")
-        .withColumn("jaccard", inter / un)
+        .withColumn("__i__", inter)
+        .withColumn(
+            "jaccard",
+            F.col("__i__")
+            / (F.size(F.col("__ta__")) + F.size(F.col("__tb__")) - F.col("__i__")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -654,7 +717,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     method: str = "expr",
-    salt_parts: int | None = None,
+    salt_parts: int | str | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023,
     arXiv:2303.09540): within each embedding cluster, find pairs whose

@@ -29,6 +29,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _shuffle_parts(df: DataFrame) -> int:
+    """spark.sql.shuffle.partitions as an int, falling back to
+    defaultParallelism when the conf is non-numeric (ADVICE r12: some
+    platforms set it to "auto"; a bare int() raised ValueError and took
+    the whole query down over a tuning knob)."""
+    spark = df.sparkSession
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -57,7 +69,7 @@ def connected_components(
     # hashpartitioning(v) over Scan ExistingRDD is gone). The partition
     # count matches spark.sql.shuffle.partitions so ENSURE_REQUIREMENTS
     # accepts the existing layout.
-    nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = _shuffle_parts(e)
     e = e.repartition(nparts, "v").localCheckpoint(eager=True)
 
     # checkpoint the seed labels too: round 1 consumes them on BOTH
@@ -234,7 +246,7 @@ def pagerank(
     # deg already hash(__s__)-partitioned by its groupBy. n_row is one
     # row, checkpointed so each iteration's broadcast doesn't re-run
     # the count aggregate.
-    nparts = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = _shuffle_parts(e)
     e = e.repartition(nparts, "__s__").localCheckpoint(eager=True)
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n__")).localCheckpoint(
         eager=True

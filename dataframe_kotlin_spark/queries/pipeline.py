@@ -138,8 +138,14 @@ _SIMHASH_ORACLE = " + ".join(
     """,
 )
 def simhash_values(spark, sf_dir):
-    """12-bit SimHash per document (operators/dedup.simhash)."""
-    out = dedup.simhash(_t(spark, sf_dir, "documents"), "text", bits=_SIMHASH_BITS)
+    """12-bit SimHash per document (operators/dedup.simhash). keep_cols
+    prunes the Arrow boundary to (doc_id, hash array) — the other three
+    document columns and the full text never cross into Python
+    (guide §4; r13)."""
+    out = dedup.simhash(
+        _t(spark, sf_dir, "documents"), "text", bits=_SIMHASH_BITS,
+        keep_cols=["doc_id"],
+    )
     return out.select("doc_id", "simhash")
 
 
@@ -166,7 +172,10 @@ def simhash_hamming_pairs(spark, sf_dir):
     disjoint bit blocks (pigeonhole => full recall), so the Spark side's
     blocked equi-join must exactly reproduce the oracle's brute-force
     cross join."""
-    sigs = dedup.simhash(_t(spark, sf_dir, "documents"), "text", bits=_SIMHASH_BITS)
+    sigs = dedup.simhash(
+        _t(spark, sf_dir, "documents"), "text", bits=_SIMHASH_BITS,
+        keep_cols=["doc_id"],
+    )
     out = dedup.hamming_pairs(sigs, "doc_id", "simhash", max_dist=2, bits=_SIMHASH_BITS)
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
@@ -231,7 +240,7 @@ def simhash_hamming_scaled(spark, sf_dir):
     )
     survivors = docs.join(kept, "doc_id", "left_semi")
     n = survivors.count()
-    sigs = dedup.simhash(survivors, "text", bits=64)
+    sigs = dedup.simhash(survivors, "text", bits=64, keep_cols=["doc_id"])
     out = dedup.hamming_pairs(
         sigs, "doc_id", "simhash", max_dist=3, bits=64, max_bucket=max(256, n // 2)
     )
@@ -437,10 +446,13 @@ def neardup_embedding(spark, sf_dir):
     synthetic embeddings (random vectors peak ~0.47 cosine)."""
     # r12: ~10 distinct labels -> the cell shuffle serialized the
     # quadratic fold onto 1 task (4.9 s warm at sf0.1); salt the pair
-    # space (value-identical — see cosine_neardup_pairs)
+    # space (value-identical — see cosine_neardup_pairs). r13: S sized
+    # from the observed largest cell, not the core count — a core-count
+    # constant replicates the b-side by the cluster size whether or not
+    # the pair space needs splitting (VERDICT r12 item 5).
     out = similarity.cosine_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), cell_col="label", threshold=0.35,
-        salt_parts=spark.sparkContext.defaultParallelism,
+        salt_parts="auto",
     )
     return out.withColumn("cosine_sim", F.round(F.col("cosine_sim"), 6))
 
@@ -2242,9 +2254,11 @@ def semdedup_survivors(spark, sf_dir):
     # quadratic within-cell fold serialized onto one task (11.4 s warm
     # at sf0.1, every stage 1 task). Salt the pair space — pair set and
     # every per-pair fold value-identical; see cosine_neardup_pairs.
+    # r13: S sized from the observed largest cell, not the core count
+    # (VERDICT r12 item 5 — bounded b-side replication).
     out = dedup.semdedup_prune(
         tagged, "cell", "embedding", "vec_id", threshold=0.35,
-        salt_parts=spark.sparkContext.defaultParallelism,
+        salt_parts="auto",
     )
     return out.select("vec_id", "cell")
 
@@ -2272,23 +2286,27 @@ def semdedup_scaled(spark, sf_dir):
     query emits corpus-level facts the oracle reproduces literally —
     n_total, plus four booleans VERIFIED DISTRIBUTED-SIDE in Spark:
     partition_ok (every vector got exactly one non-null cell in
-    [0, k)), prune_sound (no survivor is the larger id of any
-    above-threshold same-cell pair), prune_complete (survivors +
-    distinct dropped ids partition the corpus exactly), and
-    no_dup_survivors (no two IDENTICAL embeddings both survive —
-    identical vectors always share a cell and have cosine 1, so
-    clustering nondeterminism can never excuse a duplicate pair). A
-    broken cell assignment, pair join, threshold, or anti-join flips a
-    boolean and the hash mismatches. All checks are aggregates over the
-    same cell-blocked relations the operator itself uses — one DAG, no
-    collect, no all-pairs join. Pair scoring runs the per-cell BLAS
-    self-similarity (method='dgemm': each vector ships ONCE per cell
-    task and the cell scores as one normalized X @ X.T — the
-    interpreted fold measured 65 s of the 100x pass alone, and the
-    pair-materialized Arrow form still shipped ~1 KB per candidate
-    pair) in BOTH the prune and the verification pass, so threshold
-    decisions are path-consistent and the booleans cannot flip on a
-    last-ulp disagreement between paths."""
+    [0, k)), prune_sound (the survivor set is exactly disjoint from the
+    drop list — since r12 computes pairs ONCE and derives survivors by
+    the same left_anti join semdedup_prune performs, this boolean is an
+    anti-join structural check, not an independent pair-score recheck;
+    dgemm-path score consistency is instead pinned by tests against the
+    expr fold), prune_complete (survivors + distinct dropped ids
+    partition the corpus exactly), and no_dup_survivors (no two
+    IDENTICAL embeddings both survive — identical vectors always share
+    a cell and have cosine 1, so clustering nondeterminism can never
+    excuse a duplicate pair). A broken cell assignment, pair join,
+    threshold, or anti-join flips a boolean and the hash mismatches.
+    All checks are aggregates over the same cell-blocked relations the
+    operator itself uses — one DAG, no collect, no all-pairs join. Pair
+    scoring runs the per-cell BLAS self-similarity ONCE (method='dgemm':
+    each vector ships ONCE per cell task and the cell scores as one
+    normalized X @ X.T — the interpreted fold measured 65 s of the 100x
+    pass alone, and the pair-materialized Arrow form still shipped
+    ~1 KB per candidate pair); prune, audit aggregates, and survivor
+    derivation all consume that one persisted drop list (r12: 5 dgemm
+    passes -> 1), so threshold decisions are path-consistent by
+    construction."""
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
     k_cells = max(4, n // 500)

@@ -1624,3 +1624,107 @@ def test_cosine_pairs_salted_identical(spark):
         for r in cosine_neardup_pairs(df, "label", threshold=0.1, salt_parts=8).collect()
     }
     assert plain == salted and len(plain) > 0
+
+
+def test_r13_selfjoin_probe_persists_engage(spark):
+    """r13 optimization pins: lsh_candidate_pairs / hamming_pairs /
+    levenshtein_pairs persist the pinned probe relation BOTH self-join
+    sides consume — without the persist the whole signature subtree
+    (tokenize + per-token md5 + minhash folds, the simhash Arrow fold,
+    the 37-replace histogram) executed twice per run (plans/r13/
+    *_before.txt). Assert each physical plan consumes a cached relation
+    (InMemoryTableScan) and that values are unchanged."""
+    from dataframe_kotlin_spark.operators.dedup import (
+        hamming_pairs,
+        levenshtein_pairs,
+        lsh_candidate_pairs,
+        simhash,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    lp = lsh_candidate_pairs(df, "doc_id", "text", num_hashes=8, bands=4)
+    assert "InMemoryTableScan" in lp._jdf.queryExecution().executedPlan().toString()
+    assert {(r["id_a"], r["id_b"]) for r in lp.collect()} == {(1, 2)}
+
+    sigs = simhash(df, "text", bits=12, keep_cols=["doc_id"])
+    hp = hamming_pairs(sigs, "doc_id", "simhash", max_dist=2, bits=12)
+    assert "InMemoryTableScan" in hp._jdf.queryExecution().executedPlan().toString()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in hp.collect()} == {(1, 2, 0)}
+
+    lv = levenshtein_pairs(
+        df.withColumn("blk", F.lit("x")), "doc_id", "text", ["blk"], max_dist=5
+    )
+    assert "InMemoryTableScan" in lv._jdf.queryExecution().executedPlan().toString()
+    assert {(r["id_a"], r["id_b"], r["edit_distance"]) for r in lv.collect()} == {(1, 2, 0)}
+
+
+def test_r13_simhash_keep_cols_identical_and_pruned(spark):
+    """r13 guide-§4 column pruning: simhash(keep_cols=[id]) must ship
+    only (id, hash array) across the Arrow boundary and return exactly
+    keep_cols + out_col, with signatures identical to the default
+    all-columns form on BOTH the numpy and expr paths."""
+    from dataframe_kotlin_spark.operators.dedup import simhash
+
+    docs = [
+        (1, "alpha beta gamma", "en", 17),
+        (2, "delta epsilon", "de", 13),
+        (3, None, "fr", 0),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string, lang string, n int")
+    for method in ("numpy", "expr"):
+        full = {
+            (r["doc_id"], r["simhash"])
+            for r in simhash(df, "text", bits=16, method=method).collect()
+        }
+        pruned_df = simhash(df, "text", bits=16, method=method, keep_cols=["doc_id"])
+        assert pruned_df.columns == ["doc_id", "simhash"]
+        pruned = {(r["doc_id"], r["simhash"]) for r in pruned_df.collect()}
+        assert full == pruned and len(full) == 3
+    # the pruned numpy plan's Python boundary must not carry the other
+    # input columns (lang/n/text) — only the id and the hash array
+    plan = (
+        simhash(df, "text", bits=16, method="numpy", keep_cols=["doc_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    map_line = next(l for l in plan.splitlines() if "MapInPandas" in l)
+    assert "lang" not in map_line and "text" not in map_line, map_line
+
+
+def test_r13_auto_salt_parts_sizing(spark):
+    """r13 (VERDICT r12 item 5): salt_parts='auto' sizes S from the
+    observed largest cell's pair space with bounded replication — and
+    the salted-auto pair set stays identical to the unsalted one."""
+    import random
+
+    from dataframe_kotlin_spark.operators.similarity import (
+        _auto_salt_parts,
+        cosine_neardup_pairs,
+    )
+
+    rnd = random.Random(11)
+    rows = [(i, i % 2, [rnd.uniform(-1, 1) for _ in range(6)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, label int, embedding array<double>")
+    # largest cell = 25 rows -> 300 pairs: fits one target unit -> S=1
+    assert _auto_salt_parts(df, "label", target_pairs=4096) == 1
+    # force tiny units: 300 pairs / 50-pair units -> S=6; cap binds at 4
+    assert _auto_salt_parts(df, "label", target_pairs=50) == 6
+    assert _auto_salt_parts(df, "label", target_pairs=50, cap=4) == 4
+    plain = {
+        (r["id_a"], r["id_b"], r["cell"], r["cosine_sim"])
+        for r in cosine_neardup_pairs(df, "label", threshold=0.05).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"], r["cell"], r["cosine_sim"])
+        for r in cosine_neardup_pairs(
+            df, "label", threshold=0.05, salt_parts="auto"
+        ).collect()
+    }
+    assert plain == auto and len(plain) > 0

@@ -82,8 +82,48 @@ def classify_bnlj(plan: str) -> dict[str, int]:
     return out
 
 
+_NODE_MARK = re.compile(r"[+:]- ")
+
+
+def strip_cached_subtrees(plan: str) -> tuple[str, int]:
+    """Drop every InMemoryRelation's printed CHILD subtree from the tree
+    text (r13, VERDICT r12 item 9): InMemoryRelation prints its full
+    build plan, so for persist-bearing queries the raw exchange/scan
+    counts charge the cached lineage to EVERY consumer — but that
+    lineage executes once at materialization and not at all on warm
+    reps. Returns (pruned text, number of InMemoryTableScan consumers).
+    Tree depth = offset of the `+-`/`:-` node marker; a child prints at
+    a strictly greater offset than its parent."""
+    out_lines = []
+    skip_depth: int | None = None
+    cached = 0
+    for line in plan.splitlines():
+        m = _NODE_MARK.search(line)
+        depth = m.start() if m else 0
+        if skip_depth is not None:
+            if m and depth > skip_depth:
+                continue
+            skip_depth = None
+        if "InMemoryTableScan" in line:
+            cached += 1
+        if "InMemoryRelation" in line:
+            skip_depth = depth
+            continue  # the relation header itself is cache metadata
+        out_lines.append(line)
+    return "\n".join(out_lines), cached
+
+
 def digest(plan: str) -> dict[str, int]:
-    out = {k: len(re.findall(v, plan)) for k, v in MARKS.items()}
+    # executed-work counts come from the CACHE-PRUNED text; the
+    # anti-pattern GATES (cartesian, bnlj classes) stay on the FULL
+    # text — a cartesian product inside cached lineage still executes
+    # once at materialization and must not hide behind a persist.
+    pruned, cached = strip_cached_subtrees(plan)
+    out = {k: len(re.findall(v, pruned)) for k, v in MARKS.items()}
+    out["cached"] = cached
+    out["cached_exch"] = len(re.findall(MARKS["exchanges"], plan)) - out["exchanges"]
+    out["cartesian"] = len(re.findall(MARKS["cartesian"], plan))
+    out["bnlj"] = len(re.findall(MARKS["bnlj"], plan))
     # WholeStageCodegen spans appear as "*(N)" stage ids
     ids = set(re.findall(r"\*\((\d+)\)", plan))
     out["wscg_spans"] = len(ids)
@@ -132,10 +172,20 @@ def main():
         "probe relation (the query's own bounded term set — bm25_topk's "
         "3 terms) with the membership test fused into the condition; "
         "`bnlj_other` = ANYTHING ELSE — must stay 0 "
-        "(tests/test_plan_audit.py gates the classifier and the zero).",
+        "(tests/test_plan_audit.py gates the classifier and the zero). "
+        "CACHED SUBTREES (r13, VERDICT r12 item 9): InMemoryRelation "
+        "prints its full build plan, which used to charge cached lineage "
+        "to every consumer — `exchanges`/`scans`/`python evals`/join "
+        "columns now count EXECUTED work only (cached subtrees pruned); "
+        "`cached` counts InMemoryTableScan consumers and `cached_exch` "
+        "the exchanges inside cached lineage (paid once at "
+        "materialization, zero on warm reps). The cartesian/bnlj GATE "
+        "columns still scan the full text — an anti-pattern in cached "
+        "lineage executes at materialization and must not hide behind a "
+        "persist.",
         "",
-        "| query | exchanges | reused | broadcast joins | sort-merge joins | codegen spans | python evals | parquet scans | cartesian | bnlj_scalar | bnlj_offsets | bnlj_probe | bnlj_other |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "| query | exchanges | cached | cached_exch | reused | broadcast joins | sort-merge joins | codegen spans | python evals | parquet scans | cartesian | bnlj_scalar | bnlj_offsets | bnlj_probe | bnlj_other |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     totals: dict[str, int] = {}
     failed = []
@@ -153,13 +203,15 @@ def main():
         if d["bnlj_other"] > 0:
             unknown_bnlj.append(name)
         lines.append(
-            f"| {name} | {d['exchanges']} | {d['reused']} | {d['bcast_join']} | {d['smj']} "
+            f"| {name} | {d['exchanges']} | {d['cached']} | {d['cached_exch']} "
+            f"| {d['reused']} | {d['bcast_join']} | {d['smj']} "
             f"| {d['wscg_spans']} | {d['py_eval']} | {d['scans']} | {d['cartesian']} "
             f"| {d['bnlj_scalar']} | {d['bnlj_offsets']} | {d['bnlj_probe']} "
             f"| {d['bnlj_other']} |"
         )
     lines.append(
-        f"| **total** | {totals.get('exchanges', 0)} | {totals.get('reused', 0)} "
+        f"| **total** | {totals.get('exchanges', 0)} | {totals.get('cached', 0)} "
+        f"| {totals.get('cached_exch', 0)} | {totals.get('reused', 0)} "
         f"| {totals.get('bcast_join', 0)} "
         f"| {totals.get('smj', 0)} | {totals.get('wscg_spans', 0)} "
         f"| {totals.get('py_eval', 0)} | {totals.get('scans', 0)} "
