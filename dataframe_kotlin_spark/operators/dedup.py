@@ -155,6 +155,28 @@ def lsh_candidate_pairs(
     degenerate band key (e.g. every empty doc's sentinel signature)
     cannot turn the join quadratic — enabling it is an explicit recall
     trade, never a silent default.
+
+    Band keys (r13): minhash values live in [0, MINHASH_P] ⊂ [0, 2^21),
+    so up to 3 of them pack INJECTIVELY into one bigint (base-2^21
+    positional) — packed equality == tuple equality, and the join key is
+    one long instead of a "v_v" string (guide §2.3: narrower types,
+    cheaper hash/compare on every probe). Wider bands keep the string
+    form.
+
+    Duplicate elimination (r13): a pair colliding in several bands used
+    to be deduplicated by a full ``distinct()`` over the pair stream —
+    measured at sf0.1 the join itself costs 0.94 s while the distinct
+    (21.2M pre-distinct rows -> 8.9M pairs: partial agg + Exchange +
+    final agg) brings the query to 5.7 s. With max_bucket=None each row
+    carries its ``bands`` keys as scalar columns and the join emits a
+    pair ONLY at its smallest colliding band (for every earlier band
+    b' < band_id: key_a[b'] != key_b[b']) — each colliding pair is
+    emitted exactly once, so the pair set is IDENTICAL and the distinct
+    (its exchange and both aggregates) disappears. The filter is a
+    codegen-able scalar conjunction, not an array HOF. With max_bucket
+    SET the first-match rule would be wrong (a pair whose smallest
+    colliding band was capped away must still be emitted by a later
+    surviving band), so the capped path keeps the distinct.
     """
     if not 1 <= bands <= num_hashes:
         raise ValueError(f"bands must be in 1..num_hashes, got {bands}/{num_hashes}")
@@ -168,10 +190,23 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + i}") for i in range(rows_per_band)]
-        band_cols.append(F.concat_ws("_", *[p.cast("string") for p in parts]).alias(f"band{b}"))
+        if rows_per_band <= 3:
+            # positional base-2^21 packing: injective for values in
+            # [0, 2^21), and 3*21 = 63 bits fits the signed bigint
+            key = parts[0].cast("bigint")
+            for p in parts[1:]:
+                key = key * F.lit(1 << 21) + p
+        else:
+            key = F.concat_ws("_", *[p.cast("string") for p in parts])
+        band_cols.append(key.alias(f"band{b}"))
     banded = sig.select(F.col(id_col), *band_cols)
+    first_match = max_bucket is None
+    # with first-match dedup each row also carries the doc's FULL key
+    # tuple (scalar columns, bands-1 of them are compared per pair)
+    carry = [F.col(f"band{b}") for b in range(bands - 1)] if first_match else []
     stacked = banded.select(
         id_col,
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -180,7 +215,7 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band_id", "bk.band_key")
+    ).select(id_col, *[c for c in (f"band{b}" for b in range(bands - 1)) if first_match], "bk.band_id", "bk.band_key")
     stacked = _pin_fanout(stacked, ["band_id", "band_key"])
     stacked = _cap_buckets(stacked, ["band_id", "band_key"], max_bucket)
     # BOTH sides of the band self-join read `stacked`, and the repeated
@@ -198,6 +233,34 @@ def lsh_candidate_pairs(
     from pyspark import StorageLevel
 
     stacked = PREFIX_BASE.retain(stacked.persist(StorageLevel.MEMORY_AND_DISK))
+    if first_match:
+        a = stacked.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"band{b}").alias(f"__ka{b}__") for b in range(bands - 1)],
+            "band_id",
+            "band_key",
+        )
+        b_side = stacked.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"band{b}").alias(f"__kb{b}__") for b in range(bands - 1)],
+            "band_id",
+            "band_key",
+        )
+        # emit at the SMALLEST colliding band only: for every earlier
+        # band the two keys must differ (keys are non-null: minhash
+        # coalesces empty docs to the MINHASH_P sentinel)
+        cond = F.lit(True)
+        for bp in range(bands - 1):
+            cond = cond & (
+                (F.col("band_id") <= F.lit(bp))
+                | (F.col(f"__ka{bp}__") != F.col(f"__kb{bp}__"))
+            )
+        return (
+            a.join(b_side, ["band_id", "band_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cond)
+            .select("id_a", "id_b")
+        )
     left = stacked.withColumnRenamed(id_col, "id_a")
     right = stacked.withColumnRenamed(id_col, "id_b")
     pairs = (
@@ -321,7 +384,20 @@ def hamming_pairs(
     documented FULL-recall contract exactly): set it at scale when a
     short block over skewed text goes near-universal — recall then
     holds for every pair agreeing on a NON-degenerate block, an
-    explicit trade the caller makes, never a silent default."""
+    explicit trade the caller makes, never a silent default.
+
+    Duplicate elimination (r13): pairs agreeing on several blocks used
+    to be deduplicated by a full ``distinct()`` over the pair stream —
+    the same distinct-bound shape as lsh_candidate_pairs (there
+    measured 0.94 s join vs 5.7 s with the distinct at sf0.1). With
+    max_bucket=None the join emits a pair ONLY at its smallest agreeing
+    block: both signatures already ride the join, so "the earlier
+    blocks differ" is a scalar expression over (sim_a, sim_b) — zero
+    extra columns, each agreeing pair emitted exactly once, identical
+    pair set, and the distinct's Exchange + both HashAggregates
+    disappear. With max_bucket SET the first-match rule would drop a
+    pair whose smallest agreeing block was capped away, so the capped
+    path keeps the distinct."""
     nblocks = max_dist + 1
     assert bits >= nblocks, "need at least one bit per block"
     blocks = []
@@ -375,15 +451,29 @@ def hamming_pairs(
     b = stacked.select(
         F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"), "block_id", "block_key"
     )
-    pairs = (
+    joined = (
         a.join(b, ["block_id", "block_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_dist)
-        .select("id_a", "id_b", "hamming")
-        .distinct()
     )
-    return pairs
+    if max_bucket is None:
+        # first-match block dedup (see docstring): emit at the smallest
+        # agreeing block only — earlier blocks must DISAGREE, computed
+        # from the signatures already riding the join
+        def _bk(col: Column, i: int) -> Column:
+            _, lo, w = blocks[i]
+            mask = F.lit(-1) if w >= 64 else F.lit((1 << w) - 1)
+            return F.shiftrightunsigned(col, lo).bitwiseAND(mask)
+
+        cond = F.lit(True)
+        for i in range(nblocks - 1):
+            cond = cond & (
+                (F.col("block_id") <= F.lit(i))
+                | (_bk(F.col("sim_a"), i) != _bk(F.col("sim_b"), i))
+            )
+        return joined.filter(cond).select("id_a", "id_b", "hamming")
+    return joined.select("id_a", "id_b", "hamming").distinct()
 
 
 def jaccard_pairs(

